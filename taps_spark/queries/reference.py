@@ -1,0 +1,222 @@
+"""Reference-parity query inventory (SURVEY.md §2a).
+
+Each entry re-expresses one of the reference's actual operators as a
+Spark plan over the fixture tables: catalog discovery + counts (#1/#2),
+table-name filtering (#3), offset scan (#4), keyset scan (#5 — THE
+core taps access path), sort/limit (#6/#7), pk theta filter (#8), max
+aggregate (#9), checksum verification (#16), and the validation rules
+that back InvalidData (§1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taps_spark.catalog import apply_table_filter, compile_table_pattern, discover_tables, table_counts
+from taps_spark.io.tables import load_tables
+from taps_spark.queries import query
+
+TABLE_COUNTS_ORACLE = """
+SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+UNION ALL SELECT 'documents',  COUNT(*) FROM documents
+UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+UNION ALL SELECT 'events',     COUNT(*) FROM events
+UNION ALL SELECT 'lineitem',   COUNT(*) FROM lineitem
+UNION ALL SELECT 'nation',     COUNT(*) FROM nation
+UNION ALL SELECT 'orders',     COUNT(*) FROM orders
+UNION ALL SELECT 'part',       COUNT(*) FROM part
+UNION ALL SELECT 'region',     COUNT(*) FROM region
+UNION ALL SELECT 'supplier',   COUNT(*) FROM supplier
+ORDER BY table_name
+"""
+
+
+@query("table_counts", oracle=TABLE_COUNTS_ORACLE)
+def q_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog discovery + per-table COUNT(*) (reference #1/#2:
+    GET pull/table_names + POST pull/table_count,
+    lib/taps/server.rb:147-169).
+
+    Scale: counts are satisfied from parquet footer metadata — no
+    data scan at any SF.
+    """
+    return table_counts(spark, sf_dir).orderBy("table_name")
+
+
+CATALOG_FILTER_ORACLE = """
+SELECT table_name FROM (
+  VALUES ('customer'), ('lineitem'), ('orders'), ('supplier')
+) AS t(table_name)
+ORDER BY table_name
+"""
+
+
+@query("catalog_filter", oracle=CATALOG_FILTER_ORACLE)
+def q_catalog_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-name regex include + exclude filter (reference #3:
+    apply_table_filter, lib/taps/operation.rb:40-63; regex compiled
+    like lib/taps/cli.rb:137-142).
+
+    Selects tables ending in 'er(s)?'-ish business names while
+    excluding 'part' — exercising both the include regex and the
+    exclude list against the discovered catalog.
+    """
+    names = discover_tables(sf_dir)
+    kept = apply_table_filter(
+        names,
+        pattern=compile_table_pattern(["customer", "lineitem", "orders", "supplier", "part"]),
+        exclude=["part"],
+    )
+    return spark.createDataFrame([(n,) for n in kept], "table_name string").orderBy("table_name")
+
+
+KEYSET_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderkey > 500
+ORDER BY o_orderkey
+LIMIT 200
+"""
+
+
+@query("scan_keyset_page", oracle=KEYSET_ORACLE)
+def q_scan_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-paginated scan: WHERE pk > last ORDER BY pk LIMIT k —
+    the reference's primary access path (#5, DataStreamKeyed,
+    lib/taps/data_stream.rb:279-312) plus its pk theta filter (#8,
+    lib/taps/data_stream.rb:286-289).
+
+    Scale: the pk predicate pushes into the parquet scan (row-group
+    min/max pruning); LIMIT is a TakeOrdered — no full materialization.
+    On a JDBC source this same shape becomes Spark's partitionColumn
+    range read (io/jdbc.py).
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.filter(F.col("o_orderkey") > 500)
+        .orderBy("o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .limit(200)
+    )
+
+
+OFFSET_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100 OFFSET 300
+"""
+
+
+@query("scan_offset_page", oracle=OFFSET_ORACLE)
+def q_scan_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-paginated scan: ORDER BY pk LIMIT k OFFSET n — the
+    reference's fallback access path for tables without a single
+    integer PK (#4, lib/taps/data_stream.rb:76-87).
+
+    The reference itself documents this as its O(n²) perf cliff
+    (README.rdoc:36); kept for parity + pagination semantics, with
+    keyset (scan_keyset_page) as the scale path.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .offset(300)
+        .limit(100)
+    )
+
+
+COUNT_MAX_ORACLE = """
+SELECT COUNT(*) AS n_rows, MAX(l_orderkey) AS max_pk, MIN(l_orderkey) AS min_pk
+FROM lineitem
+"""
+
+
+@query("agg_count_max_pk", oracle=COUNT_MAX_ORACLE)
+def q_agg_count_max_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete aggregate surface in one query:
+    COUNT(*) (#2, lib/taps/server.rb:160-169) and MAX(pk) (#9,
+    verify_stream re-anchor, lib/taps/data_stream.rb:329-340); MIN
+    added because the JDBC scan planner needs both bounds
+    (io/jdbc.py partition planning)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.max("l_orderkey").alias("max_pk"),
+        F.min("l_orderkey").alias("min_pk"),
+    )
+
+
+CHECKSUM_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       MIN(MD5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))) AS min_h,
+       MAX(MD5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))) AS max_h
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("checksum_verify", oracle=CHECKSUM_ORACLE)
+def q_checksum_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-checksum verification (reference #16: CRC32 over each
+    chunk, lib/taps/utils.rb:25-31, lib/taps/data_stream.rb:188-200).
+
+    Spark-native form: an order-insensitive digest per key-group
+    (count + min/max of a per-row MD5 over the primary key) that can
+    be computed independently on source and sink and compared — the
+    transfer layer uses the same construction (transfer/verify.py)
+    over ALL columns. Hash input uses only integer keys rendered as
+    strings, so the digest is engine-portable.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    row_h = F.md5(
+        F.concat_ws("|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(row_h).alias("min_h"),
+            F.max(row_h).alias("max_h"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+VALIDATION_ORACLE = """
+SELECT
+  CAST(SUM(CASE WHEN LENGTH(c_name) > 25 THEN 1 ELSE 0 END) AS BIGINT)  AS name_too_long,
+  CAST(SUM(CASE WHEN c_acctbal < -999999.0 OR c_acctbal > 999999.0 THEN 1 ELSE 0 END) AS BIGINT) AS acctbal_out_of_range,
+  CAST(SUM(CASE WHEN c_custkey < 0 OR c_custkey > 2147483647 THEN 1 ELSE 0 END) AS BIGINT) AS custkey_overflow,
+  COUNT(*) AS n_rows
+FROM customer
+"""
+
+
+@query("validation_scan", oracle=VALIDATION_ORACLE)
+def q_validation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-validation scan: varchar-length and integer-range rule
+    violations counted in one pass (reference InvalidData semantics:
+    varchar overflow lib/taps/utils.rb:59-68, integer out of range
+    lib/taps/data_stream.rb:206-213). The transfer layer raises
+    InvalidData when any counter is nonzero (validation.py)."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.agg(
+        F.sum(F.when(F.length("c_name") > 25, 1).otherwise(0)).alias("name_too_long"),
+        F.sum(
+            F.when((F.col("c_acctbal") < -999999.0) | (F.col("c_acctbal") > 999999.0), 1).otherwise(0)
+        ).alias("acctbal_out_of_range"),
+        F.sum(
+            F.when((F.col("c_custkey") < 0) | (F.col("c_custkey") > 2147483647), 1).otherwise(0)
+        ).alias("custkey_overflow"),
+        F.count("*").alias("n_rows"),
+    )

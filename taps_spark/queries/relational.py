@@ -1,0 +1,704 @@
+"""Relational-core query inventory (SURVEY.md §2b surface).
+
+Each query is a named registry entry with a DuckDB oracle. These are
+the operators the reference lacks entirely (it only scans/counts
+tables — SURVEY.md §2b); the new engine exposes them as first-class,
+Catalyst-optimized DataFrame plans.
+
+Determinism rules used throughout (see queries/__init__.py):
+- float aggregates rounded (2dp for big sums, 4dp for avgs/ratios)
+- orderings always end with a unique key for stable top-k cuts
+- DuckDB type alignment: sum(BIGINT)→CAST BIGINT, length()/year()→CAST
+  INT, row_number()→CAST INT to match Spark result types exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taps_spark.io.tables import load_tables
+from taps_spark.operators.relational import asof_join, top_k_per_group
+from taps_spark.queries import query
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1 analog — scan + filter + project + agg + sort in one.
+# --------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                                            AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                                       AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+  ROUND(AVG(l_quantity), 4)                                            AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4)                                       AS avg_price,
+  ROUND(AVG(l_discount), 4)                                            AS avg_disc,
+  COUNT(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 analog).
+
+    Plan shape to verify at scale: parquet scan with pushed
+    l_shipdate filter + pruned columns → partial agg (map-side
+    combine) → single shuffle on (l_returnflag, l_linestatus) → final
+    agg. Group cardinality is tiny (≤ 9 groups) so the shuffle is
+    negligible at any SF.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q3 / Q5 analogs)
+# --------------------------------------------------------------------------
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-orders revenue (TPC-H Q3 analog): 3-way join, agg, top-10.
+
+    Scale: customer is the small side after its segment filter —
+    Catalyst broadcasts it under AQE; the orders↔lineitem join
+    shuffles on orderkey (both sides pre-filtered by pushed date
+    predicates). Ordering by the *rounded* revenue with an orderkey
+    tiebreak keeps the top-10 cut deterministic across engines.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q5_region_revenue", oracle=Q5_ORACLE)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation (TPC-H Q5 analog): 6-way join.
+
+    Scale: region/nation/supplier are dimension tables — broadcast
+    explicitly so the only real shuffles are customer↔orders and
+    orders↔lineitem on their keys. The s_nationkey = c_nationkey
+    condition rides on the supplier broadcast join (no extra shuffle).
+    """
+    t = load_tables(
+        spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join strategies: broadcast, semi, anti, range (theta), as-of
+# --------------------------------------------------------------------------
+
+BROADCAST_ORACLE = """
+SELECT p_brand,
+       COUNT(*)                                      AS n_items,
+       ROUND(SUM(l_extendedprice), 2)                AS brand_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("join_broadcast_enrich", oracle=BROADCAST_ORACLE)
+def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim enrichment with an explicit broadcast hint.
+
+    Scale: part is O(SF·200k) rows — comfortably broadcastable at any
+    realistic dim size; the join then requires NO shuffle of the
+    100 TB fact side (map-side hash join), and the brand agg shuffles
+    only the tiny partial-agg output.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > 1000.0
+  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("join_semi_active_customers", oracle=SEMI_ORACLE)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS: customers with ≥1 order.
+
+    Scale: semi-join only ships the distinct key set of orders —
+    Catalyst builds it as a shuffled semi or broadcasts the key set
+    under AQE; output never duplicates customer rows.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 1000.0)
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("join_anti_dormant_customers", oracle=ANTI_ORACLE)
+def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS: customers with no orders.
+
+    The anti-join is also the engine's idempotent-write primitive
+    (reference repairs duplicate-PK errors at lib/taps/
+    data_stream.rb:217-226; we prevent them instead — io/sinks.py).
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+RANGE_ORACLE = """
+SELECT b.band,
+       COUNT(*)                          AS n_orders,
+       ROUND(SUM(o_totalprice), 2)       AS band_total
+FROM orders
+JOIN (VALUES ('p00_low',        0.0,  50000.0),
+             ('p01_mid',    50000.0, 150000.0),
+             ('p02_high',  150000.0, 300000.0),
+             ('p03_jumbo', 300000.0, 1e12)) AS b(band, lo, hi)
+  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""
+
+
+@query("join_range_price_bands", oracle=RANGE_ORACLE)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: bucket facts into value bands from a tiny
+    band table.
+
+    Scale: a non-equi join has no shuffle key — the ONLY sane physical
+    plan is broadcast-nested-loop with the band table broadcast; the
+    hint pins that. 4 bands × N rows stays linear in N.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    bands = spark.createDataFrame(
+        [
+            ("p00_low", 0.0, 50000.0),
+            ("p01_mid", 50000.0, 150000.0),
+            ("p02_high", 150000.0, 300000.0),
+            ("p03_jumbo", 300000.0, 1e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+        )
+        .orderBy("band")
+    )
+
+
+ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey  AS asof_o_orderkey,
+       o.o_orderdate AS asof_o_orderdate
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON TRUE
+ORDER BY e.event_id
+"""
+
+
+@query("join_asof_latest_order", oracle=ASOF_ORACLE)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event paired with the issuing user's most
+    recent order at event time (ties → max orderkey).
+
+    Implemented via the union+window formulation in
+    operators/relational.asof_join — single shuffle on the key,
+    linear per-key scan; see that docstring for why this is the
+    100 TB-safe plan versus a per-key range join.
+    """
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    ev = t["events"].select("event_id", "user_id", "ts").withColumn("__key", F.col("user_id"))
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("__key"), "o_orderdate", "o_orderkey"
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        key="__key",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_o_orderkey"),
+        F.col("asof_o_orderdate"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants: rollup, cube, distinct
+# --------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*)                          AS n_rows,
+       ROUND(SUM(l_quantity), 2)         AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("agg_rollup", oracle=ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, status) → (flag) → ().
+
+    Scale: Spark expands grouping sets map-side then shuffles once;
+    cardinality stays tiny here.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*)                       AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("agg_cube", oracle=CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations over (flag, status)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count("*").alias("n_rows"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey)                 AS n_parts,
+       COUNT(DISTINCT l_suppkey)                 AS n_supps,
+       COUNT(*)                                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_distinct", oracle=DISTINCT_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-column DISTINCT aggregation.
+
+    Scale: two distinct columns → Catalyst plans an expand + two-phase
+    agg; for approximate needs at 100 TB switch to
+    approx_count_distinct (HLL, no expand) — kept exact here for the
+    oracle.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions: rank / running / moving frame
+# --------------------------------------------------------------------------
+
+RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+@query("window_rank_top_orders", oracle=RANK_ORACLE)
+def window_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number window).
+
+    Scale: one shuffle on o_custkey, per-key partial sort; no global
+    sort of the fact table. Unique o_orderkey tiebreak keeps the cut
+    deterministic.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    top = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return top.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("rn"),
+    ).orderBy("o_custkey", "rn")
+
+
+RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@query("window_running_total", oracle=RUNNING_ORACLE)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend (cumulative ROWS frame)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+MOVING_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       ROUND(AVG(l_quantity) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_qty
+FROM lineitem
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+@query("window_moving_avg", oracle=MOVING_ORACLE)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average per supplier (4-row window)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 4).alias("moving_avg_qty"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+SETOPS_ORACLE = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'both' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'customer_only' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'either' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+ORDER BY op, nationkey
+"""
+
+
+@query("set_ops_nations", oracle=SETOPS_ORACLE)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over customer vs supplier nations,
+    tagged and unioned into one result."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("op"), "nationkey")
+    only = c.exceptAll(s).select(F.lit("customer_only").alias("op"), "nationkey")
+    either = c.union(s).distinct().select(F.lit("either").alias("op"), "nationkey")
+    return both.unionByName(only).unionByName(either).orderBy("op", "nationkey")
+
+
+# --------------------------------------------------------------------------
+# Scalar expression surface: string / date / math
+# --------------------------------------------------------------------------
+
+STRING_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_brand)                                   AS brand_u,
+       LOWER(p_type)                                    AS type_l,
+       CAST(LENGTH(p_name) AS INT)                      AS name_len,
+       SUBSTRING(p_type, 1, 5)                          AS type_pfx,
+       REPLACE(p_name, ' ', '_')                        AS name_snake,
+       REVERSE(p_brand)                                 AS brand_rev,
+       CAST(p_size % 7 AS INT)                          AS size_mod,
+       ROUND(p_retailprice * 1.1, 2)                    AS price_adj
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@query("scalar_string_funcs", oracle=STRING_ORACLE)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math expression surface — all JVM-side codegen'd
+    built-ins (no UDFs; the reference has no expression language at
+    all, SURVEY.md §2b)."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_pfx"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_adj"),
+    ).orderBy("p_partkey")
+
+
+DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT)                     AS order_year,
+       CAST(MONTH(o_orderdate) AS INT)                    AS order_month,
+       CAST(DAY(o_orderdate) AS INT)                      AS order_day,
+       CAST(QUARTER(o_orderdate) AS INT)                  AS order_quarter,
+       DATE_TRUNC('month', o_orderdate)                   AS month_start,
+       o_orderdate + INTERVAL 30 DAY                      AS due_date,
+       CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@query("scalar_date_funcs", oracle=DATE_ORACLE)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time expression surface: extract, truncate, arithmetic."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / offset (reference parity #6/#7 + pagination)
+# --------------------------------------------------------------------------
+
+SORT_ORACLE = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 100
+"""
+
+
+@query("sort_limit_offset", oracle=SORT_ORACLE)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + LIMIT/OFFSET page (reference's offset-paginated
+    scan, lib/taps/data_stream.rb:76-87, made deterministic).
+
+    Scale note: the reference's OFFSET pagination is O(n²) over a
+    table (README.rdoc:36); here a single global top-(150) sort
+    (TakeOrderedAndProject) feeds the page — and real pagination at
+    scale should be keyset (see scan_keyset_page in
+    queries/reference.py).
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (conditional aggregation)
+# --------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT l_linestatus,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@query("pivot_returnflag", oracle=PIVOT_ORACLE)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot quantity by return flag (explicit value list → single
+    shuffle, no extra pass to discover pivot values)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_linestatus")
+    )
