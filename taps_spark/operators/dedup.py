@@ -1,0 +1,161 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Design for 100 TB:
+- exact dedup = one hash-shuffle on the fingerprint (never on raw
+  text; the md5 is 32 bytes regardless of doc size).
+- MinHash/LSH = explode→min-agg per (doc, seed) then ONE shuffle on
+  the band signature; candidate verification only touches bucket
+  members — all-pairs never materializes.
+- SimHash = 64 per-bit partial aggregates, map-side combined; the
+  doc-side pass is linear, candidate recall via 16-bit band buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from taps_spark.operators.text import fingerprint, tokens
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-distinct-content stats: fingerprint, copy count, kept id
+    (min id — the survivor under keep-first policy)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Return the deduplicated rows (keep-first by id per content
+    fingerprint). Implemented as min-id-per-group + semi-join back —
+    unlike dropDuplicates this is deterministic about WHICH row
+    survives."""
+    keep = exact_dedup_stats(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures over whitespace-token sets.
+
+    Hash family: h_s(tok) = md5(s || '|' || tok) compared as strings —
+    the lexicographic min of a cryptographic hash is a valid MinHash
+    permutation and, unlike xxhash64, is reproducible in any engine
+    (the DuckDB oracle computes the identical signature).
+
+    Output: one row per (id, seed) with the min hash.
+    Scale: explode(distinct tokens) × num_hashes rows, but the
+    per-(doc, seed) min is map-side combined before the single
+    shuffle on doc id.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    seeds = df.sparkSession.range(num_hashes).select(F.col("id").alias("seed"))
+    return (
+        toks.join(F.broadcast(seeds))
+        .select(
+            id_col,
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("tok"))).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_band_clusters(
+    signatures: DataFrame, id_col: str, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate clusters.
+
+    Docs whose signatures agree on ALL rows of a band land in the same
+    bucket; any bucket with >1 doc is a near-duplicate candidate set.
+    Returns per-bucket stats (band, band_sig, n_docs, min/max doc id)
+    rather than exploded pairs — pair output is quadratic in cluster
+    size and melts at scale; cluster stats stay linear.
+    """
+    banded = signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+    band_sigs = (
+        banded.groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+                ),
+            ).alias("band_sig")
+        )
+    )
+    return (
+        band_sigs.groupBy("band", "band_sig")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity between two array columns (as sets)."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    return F.size(F.array_intersect(da, db)) / F.size(F.array_union(da, db))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from xxhash64 token hashes.
+
+    For each bit position b, sum ±1 votes across the doc's distinct
+    tokens (+1 if the token hash has bit b set); the fingerprint sets
+    bit b when the vote is positive. All 64 per-bit sums are one wide
+    aggregation — map-side combined, single shuffle on id.
+
+    Spark-only (xxhash64 is engine-specific) → rows-only correctness
+    check; near-dup candidates come from matching any of the four
+    16-bit sub-bands (hamming-distance recall trick).
+    """
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    # 63 bits, not 64: bit 63 of a SQL BIGINT is the sign bit and
+    # 1<<63 overflows it; dropping one bit costs nothing for recall.
+    nbits = 63
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"v{b}")
+            for b in range(nbits)
+        ]
+    )
+    sim = None
+    for b in range(nbits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    out = votes.select(F.col(id_col), sim.alias("simhash"))
+    return out.select(
+        id_col,
+        "simhash",
+        *[
+            F.expr(f"shiftright(simhash, {16 * i}) & 65535").cast("int").alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def simhash_candidates(sim: DataFrame, id_col: str) -> DataFrame:
+    """Candidate near-dup clusters: docs sharing any 16-bit SimHash
+    band. Returns per-(band index, band value) cluster stats."""
+    stacked = None
+    for i in range(4):
+        part = sim.select(
+            F.col(id_col), F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("band_val")
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return (
+        stacked.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )

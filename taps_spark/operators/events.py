@@ -1,0 +1,93 @@
+"""Event-stream analytics (batch forms; streaming variants live in
+taps_spark.streaming).
+
+Sessionization is the gaps-and-islands formulation — lag + cumulative
+flag sum over a per-user window: one shuffle on user_id, linear scan
+per user, no self-joins. Tumbling/sliding windows use F.window
+(event-time bucketing identical to Structured Streaming's, so the
+batch oracle validates the streaming operator's semantics too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a session breaks when the gap since the
+    user's previous event exceeds `gap_minutes`.
+
+    Returns the input plus `session_id` (per-user 1-based counter).
+    Deterministic: ordering includes the unique event id.
+    """
+    order = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    # Microsecond-exact gap arithmetic (unix_timestamp truncates to
+    # seconds, which would disagree with the oracle's epoch_us on
+    # sub-second boundaries). NTZ→TZ cast is an identity relabel under
+    # the engine's pinned UTC session timezone.
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    prev_us = F.lag(micros(ts_col)).over(order)
+    new_session = F.when(
+        prev_us.isNull() | (micros(ts_col) - prev_us > gap_us), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup: bounds, size, value sum."""
+    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 2).alias("sum_value"),
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame, ts_col: str = "ts", minutes: int = 10, by: str = "event_type"
+) -> DataFrame:
+    """Tumbling event-time windows (epoch-aligned, like Structured
+    Streaming) with count + value sum per (window, key)."""
+    return (
+        df.groupBy(F.window(ts_col, f"{minutes} minutes").alias("w"), by)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), by, "n_events", "sum_value")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width_minutes: int = 15,
+    slide_minutes: int = 5,
+    by: str = "event_type",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows
+    (F.window expands them map-side; no self-join)."""
+    return (
+        df.groupBy(
+            F.window(ts_col, f"{width_minutes} minutes", f"{slide_minutes} minutes").alias("w"),
+            by,
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), by, "n_events", "sum_value")
+    )

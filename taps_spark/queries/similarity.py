@@ -1,1 +1,104 @@
-"""Placeholder — filled in as operators land."""
+"""Vector-similarity query inventory (SURVEY.md §2c) over the
+embeddings fixture (ArrayType(FloatType), dim=64)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taps_spark.io.tables import load_tables
+from taps_spark.operators.similarity import topk_bruteforce, topk_lsh
+from taps_spark.queries import query
+
+TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.q_id, c.vec_id,
+         list_dot_product(q.q_vec, c.v)
+           / SQRT(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v)) AS _score
+  FROM q CROSS JOIN c
+  WHERE c.vec_id <> q.q_id
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(_score, 4) AS score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY _score DESC, vec_id) AS rank
+  FROM s
+)
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+@query("similarity_topk_bruteforce", oracle=TOPK_ORACLE)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 8 query vectors — the
+    brute-force ANN baseline.
+
+    Scale: broadcast(8 queries) × corpus scan; cosine is a codegen'd
+    zip_with/aggregate fold in doubles (no UDF); per-query top-k cuts
+    inside the window shuffle. Corpus-linear.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return topk_bruteforce(emb, queries, k=5).orderBy("q_id", "rank")
+
+
+@query("similarity_ann_lsh")  # rows-only: hyperplane seeds use xxhash64
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (8 planes →
+    256 buckets): the 100 TB path — candidates come from an equi-join
+    on the bucket id instead of a cross join.
+
+    Rows-only check (plane weights derive from Spark's xxhash64);
+    tests/test_similarity.py pins recall against the brute-force
+    query.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return topk_lsh(emb, queries, k=5, num_planes=8, dim=64).orderBy("q_id", "rank")
+
+
+NORM_ORACLE = """
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+         AS avg_l2_norm,
+       ROUND(MIN(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+         AS min_l2_norm,
+       ROUND(MAX(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+         AS max_l2_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("similarity_norm_stats", oracle=NORM_ORACLE)
+def similarity_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — the vector-column hygiene scan
+    (catches unnormalized / degenerate embeddings before ANN).
+    Map-only math + tiny grouped agg."""
+    from taps_spark.operators.similarity import as_double, dot
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(v, v))
+    return (
+        emb.select("label", norm.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("n2"), 4).alias("avg_l2_norm"),
+            F.round(F.min("n2"), 4).alias("min_l2_norm"),
+            F.round(F.max("n2"), 4).alias("max_l2_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,1 +1,172 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis + multimodal query inventory (SURVEY.md §2c) over
+the documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taps_spark.io.tables import load_tables
+from taps_spark.operators.multimodal import extract_features, synthesize_assets
+from taps_spark.operators.text import language_id, quality_features
+from taps_spark.queries import query
+
+TOKEN_STATS_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(LEN(regexp_split_to_array(trim(text), '\\s+'))), 4)       AS avg_tokens,
+       ROUND(AVG(n_chars), 4)                                             AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("text_token_stats", oracle=TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus token statistics (token counting over
+    whitespace tokens). Map-only tokenize + tiny grouped agg."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from taps_spark.operators.text import token_count
+
+    tc = token_count("text")
+    return (
+        docs.select("lang", tc.alias("tc"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CAST(LENGTH(text) AS INT) AS char_ct,
+         CAST(LEN(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS punct_ct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(toks) AS INT) AS token_ct,
+       char_ct,
+       ROUND(CAST(LEN(ARRAY_TO_STRING(toks, '')) AS DOUBLE) / GREATEST(LEN(toks), 1), 4)
+         AS avg_token_len,
+       ROUND(CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / GREATEST(LEN(toks), 1), 4) AS stopword_ratio,
+       punct_ct
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("text_quality", oracle=QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token/char counts, mean token
+    length, stopword ratio, punctuation count — the standard cheap
+    fluency filters for pretraining corpora. Map-only, no shuffle."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return quality_features(docs, "text").select(
+        "doc_id", "token_ct", "char_ct", "avg_token_len", "stopword_ratio", "punct_ct"
+    ).orderBy("doc_id")
+
+
+LANG_ID_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+lang_tok AS (SELECT lang AS m_lang, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+lang_tot AS (SELECT lang AS m_lang, COUNT(*) AS tot FROM tok GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+scored AS (
+  SELECT t.doc_id, l.m_lang,
+         SUM(LN(COALESCE(
+           CAST(m.cnt + 1 AS DOUBLE) / (l.tot + vocab.v),
+           CAST(1.0 AS DOUBLE) / (l.tot + vocab.v)))) AS score
+  FROM (SELECT doc_id, tok FROM tok) t
+  CROSS JOIN lang_tot l
+  CROSS JOIN vocab
+  LEFT JOIN lang_tok m ON m.m_lang = l.m_lang AND m.tok = t.tok
+  GROUP BY t.doc_id, l.m_lang
+)
+SELECT doc_id, m_lang AS predicted_lang, ROUND(score, 4) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn
+  FROM scored
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@query("text_lang_id", oracle=LANG_ID_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained unigram language-ID (smoothed Naive Bayes, trained on
+    the labeled corpus and applied back to it) — train + inference
+    entirely as DataFrame aggregations, no MLlib, no UDFs. See
+    operators/text.language_id for the 100 TB plan."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return language_id(docs).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))) AS n_distinct
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_fingerprint_rollup", oracle=FINGERPRINT_ORACLE)
+def text_fingerprint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-content counts via document fingerprints —
+    the duplication-rate dashboard query."""
+    from taps_spark.operators.text import fingerprint
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select("source", fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_distinct"))
+        .orderBy("source")
+    )
+
+
+MULTIMODAL_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+         OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+         MD5(text) AS checksum
+  FROM documents
+)
+SELECT asset_id, modality, n_bytes, checksum,
+       CASE WHEN modality = 'image' THEN CAST(64 + n_bytes % 512 AS INT)
+            WHEN modality = 'video' THEN 320 END                          AS width,
+       CASE WHEN modality = 'image' THEN CAST(64 + (n_bytes * 7) % 512 AS INT)
+            WHEN modality = 'video' THEN 240 END                          AS height,
+       CASE WHEN modality = 'audio' THEN 1000 + (n_bytes * 13) % 60000
+            WHEN modality = 'video' THEN 1000 + (n_bytes * 17) % 600000 END AS duration_ms
+FROM a
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_features", oracle=MULTIMODAL_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset pipeline: binary payload column + typed
+    metadata → Arrow-batched mapInPandas feature extraction (decode
+    kernels stubbed — operators/multimodal.py; the Spark plumbing is
+    real and the stub math is mirrored in the oracle, so the
+    mapInPandas path itself is correctness-gated)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs)
+    return extract_features(assets).orderBy("asset_id")
