@@ -1,0 +1,165 @@
+"""Transfer-layer tests: round-trip parquet→parquet with manifest
+resume, idempotent append, checksum verification, validation rules,
+chunk-size controller math (mirroring the reference's
+spec/chunksize_spec.rb), and the JDBC scan planner."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from taps_spark.errors import CorruptedData, InvalidData
+from taps_spark.io import sinks
+from taps_spark.io.jdbc import TableStats, create_index_sql, plan_jdbc_scan, reset_sequence_sql
+from taps_spark.io.tables import load_table
+from taps_spark.transfer.chunking import ChunkSizer
+from taps_spark.transfer.manifest import TransferManifest
+from taps_spark.transfer.operation import ParquetEndpoint, TransferOperation
+from taps_spark.transfer.verify import compare, verify_or_raise
+from taps_spark.validation import int_range, varchar_limit, enforce
+
+
+@pytest.fixture()
+def target_dir(tmp_path):
+    return str(tmp_path / "target")
+
+
+def test_round_trip_transfer_with_resume(spark, sf_dir, tmp_path, target_dir):
+    manifest_path = str(tmp_path / "manifest.json")
+    op = TransferOperation(
+        source=ParquetEndpoint(sf_dir),
+        target=ParquetEndpoint(target_dir),
+        manifest=TransferManifest.load(manifest_path),
+        table_pattern="(^region$|^nation$|^supplier$)",
+        key_cols={"region": ["r_regionkey"], "nation": ["n_nationkey"], "supplier": ["s_suppkey"]},
+    )
+    os.makedirs(target_dir, exist_ok=True)
+    result = op.run(spark)
+    assert set(result.transferred) == {"region", "nation", "supplier"}
+    assert result.verified == sorted(["region", "nation", "supplier"]) or set(
+        result.verified
+    ) == {"region", "nation", "supplier"}
+
+    # Second run: manifest says done → all skipped, nothing duplicated.
+    op2 = TransferOperation(
+        source=ParquetEndpoint(sf_dir),
+        target=ParquetEndpoint(target_dir),
+        manifest=TransferManifest.load(manifest_path),
+        table_pattern="(^region$|^nation$|^supplier$)",
+        key_cols={"region": ["r_regionkey"], "nation": ["n_nationkey"], "supplier": ["s_suppkey"]},
+    )
+    r2 = op2.run(spark)
+    assert set(r2.skipped) == {"region", "nation", "supplier"}
+    assert spark.read.parquet(f"{target_dir}/nation.parquet").count() == 25
+
+
+def test_append_idempotent_prevents_duplicates(spark, sf_dir, target_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    path = f"{target_dir}/nation.parquet"
+    n1 = sinks.append_idempotent(spark, nation, path, ["n_nationkey"])
+    assert n1 == 25
+    # Retry the whole write (at-least-once delivery) → zero new rows.
+    n2 = sinks.append_idempotent(spark, nation, path, ["n_nationkey"])
+    assert n2 == 0
+    assert spark.read.parquet(path).count() == 25
+    # Partial overlap: keys 0-24 exist, shifted rows carry 20-44 →
+    # only 25-44 (20 rows) are new.
+    shifted = nation.withColumn("n_nationkey", F.col("n_nationkey") + 20)
+    n3 = sinks.append_idempotent(spark, shifted, path, ["n_nationkey"])
+    assert n3 == 20
+    assert spark.read.parquet(path).count() == 45
+
+
+def test_checksum_verify_detects_corruption(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    assert compare(nation, nation).ok
+    corrupted = nation.withColumn(
+        "n_name", F.when(F.col("n_nationkey") == 3, F.lit("XX")).otherwise(F.col("n_name"))
+    )
+    report = compare(nation, corrupted)
+    assert not report.ok and report.n_rows[0] == report.n_rows[1]
+    with pytest.raises(CorruptedData):
+        verify_or_raise(nation, corrupted, "nation")
+    # Row-order permutation must NOT trip the checksum (order-insensitive).
+    assert compare(nation, nation.orderBy(F.rand(seed=7))).ok
+
+
+def test_validation_rules(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    # Real data passes its declared shape.
+    enforce(customer, [varchar_limit("c_name", 25), int_range("c_custkey", 0)])
+    # Tight limits trip InvalidData with per-rule counts, like the
+    # reference's varchar-length spec (spec/utils_spec.rb).
+    with pytest.raises(InvalidData) as ei:
+        enforce(customer, [varchar_limit("c_name", 5)])
+    assert "c_name_varchar_5" in str(ei.value)
+    with pytest.raises(InvalidData):
+        enforce(customer, [int_range("c_custkey", 0, 10)])
+
+
+def test_chunksizer_matches_reference_controller():
+    """Pin the adaptive controller to the behavior documented in
+    lib/taps/chunksize.rb:37-51 / spec/chunksize_spec.rb."""
+    # slow (>3s) → size/3
+    assert ChunkSizer(chunksize=3000).on_success(4.0) == 1000
+    # mildly slow (>1.1s) → −100
+    assert ChunkSizer(chunksize=1000).on_success(1.5) == 900
+    # fast (<0.8s) → ×2
+    assert ChunkSizer(chunksize=1000).on_success(0.2) == 2000
+    # in-band → +100
+    assert ChunkSizer(chunksize=1000).on_success(1.0) == 1100
+    # floor at 1
+    assert ChunkSizer(chunksize=2).on_success(5.0) == 1
+    # idle time subtracted (reference chunksize.rb:21-23)
+    assert ChunkSizer(chunksize=1000).on_success(1.5, idle=1.0) == 2000
+    # disconnect crash-back: 10 then 1, exhausted after 2 retries
+    cs = ChunkSizer(chunksize=5000)
+    assert cs.on_disconnect() == 10
+    assert cs.on_disconnect() == 1
+    assert not cs.exhausted
+    cs.on_disconnect()
+    assert cs.exhausted
+    # trained average acts as a floor after the window
+    cs2 = ChunkSizer(chunksize=1000, train_window=2)
+    cs2.on_success(1.0)  # 1100, avg 1100
+    cs2.on_success(1.0)  # 1200, avg 1150
+    assert cs2.on_success(4.0) >= 1150  # would be /3 without the floor
+
+
+def test_jdbc_scan_planner():
+    plan = plan_jdbc_scan(
+        "orders",
+        TableStats(n_rows=100_000_000, pk="o_orderkey", pk_min=1, pk_max=150_000_000),
+        target_rows_per_partition=1_000_000,
+    )
+    assert plan.parallel
+    assert plan.options["partitionColumn"] == "o_orderkey"
+    assert plan.options["lowerBound"] == "1"
+    assert plan.options["upperBound"] == "150000001"
+    assert plan.options["numPartitions"] == "100"
+
+    # No PK → explicit single-cursor fallback (the reference's offset
+    # path), never a silent wrong-parallel plan.
+    fallback = plan_jdbc_scan("blob_table", TableStats(n_rows=10))
+    assert not fallback.parallel
+    assert "partitionColumn" not in fallback.options
+
+    # cap at max_partitions
+    big = plan_jdbc_scan(
+        "huge", TableStats(n_rows=10**12, pk="id", pk_min=0, pk_max=10**12),
+        max_partitions=512,
+    )
+    assert big.options["numPartitions"] == "512"
+
+
+def test_ddl_passthrough_sql():
+    assert (
+        create_index_sql("orders", ["o_custkey", "o_orderdate"])
+        == "CREATE INDEX idx_orders_o_custkey_o_orderdate ON orders (o_custkey, o_orderdate)"
+    )
+    assert "UNIQUE" in create_index_sql("t", ["a"], unique=True)
+    assert "setval" in reset_sequence_sql("orders", "o_orderkey", "postgres")
+    assert "AUTO_INCREMENT" in reset_sequence_sql("orders", "o_orderkey", "mysql")
+    assert "sqlite_sequence" in reset_sequence_sql("orders", "o_orderkey", "sqlite")
