@@ -68,11 +68,13 @@ def _load() -> None:
         return
     # Imports deferred so package import stays cheap and cycle-free.
     from taps_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
         events,
         reference,
         relational,
         similarity,
+        streaming,
         text,
     )
 

@@ -1,0 +1,235 @@
+"""Advanced relational coverage: multi-join analytics, percentiles,
+ordered string aggregation, JSON extraction, HAVING, and correlated-
+subquery decorrelation patterns — rounding out SURVEY.md §2b."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taps_spark.io.tables import load_tables
+from taps_spark.queries import query
+from taps_spark.queries.numeric import dsum
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@query("q7_nation_trade_volume", oracle=Q7_ORACLE)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume by year (TPC-H Q7 analog): 6-way
+    join with a self-joined dimension (nation twice).
+
+    Scale: supplier/customer/nation broadcast; the only big shuffle
+    is lineitem↔orders. The nation inequality filter rides the
+    broadcast joins (no extra pass).
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "orders", "customer", "nation"))
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_quantity), 4)                 AS median_qty,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 4) AS p90_price,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_percentiles", oracle=PERCENTILE_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group.
+
+    Exact percentile needs the group's values together (sort-based
+    agg); at 100 TB switch to percentile_approx (t-digest, partial-
+    aggregatable) — kept exact here for oracle comparability.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", 0.90), 4).alias("p90_price"),
+            F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STRING_AGG_ORACLE = """
+SELECT r_name,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@query("agg_string_collect", oracle=STRING_AGG_ORACLE)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect_list → array_sort →
+    concat_ws): deterministic regardless of partitioning, which is
+    the only safe way to use collect_list at scale."""
+    t = load_tables(spark, sf_dir, ("region", "nation"))
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4)       AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_json_extract", oracle=JSON_ORACLE)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column and aggregate it (get_json_object — JVM-side JSON path,
+    no UDF; at scale prefer from_json once per schema over repeated
+    path extraction)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HAVING_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_orders, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+ORDER BY o_custkey
+"""
+
+
+@query("agg_having", oracle=HAVING_ORACLE)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING): frequent-buyer filter."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+CORRELATED_ORACLE = """
+SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT AVG(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+ORDER BY c_custkey
+"""
+
+
+@query("subquery_above_nation_avg", oracle=CORRELATED_ORACLE)
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated the way Catalyst (and
+    every engine) wants it: compute the per-group average once and
+    broadcast-join it back — one scan + one tiny join instead of a
+    per-row subquery."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    nation_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+Q17_ORACLE = """
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS part_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       COUNT(*) AS n_small_lots,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS small_lot_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avg_qty ON ap_partkey = l_partkey
+WHERE l_quantity < 0.5 * part_avg
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("q17_small_lot_revenue", oracle=Q17_ORACLE)
+def q17_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-lot revenue per brand (TPC-H Q17 analog): correlated
+    aggregate (per-part average quantity) decorrelated into a
+    self-aggregation + join — the canonical pattern for 'compare each
+    row to its group statistic' at scale."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("part_avg")
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_lots"),
+            dsum("l_extendedprice").alias("small_lot_revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from taps_spark.io.tables import load_tables
 from taps_spark.operators.relational import asof_join, top_k_per_group
 from taps_spark.queries import query
+from taps_spark.queries.numeric import davg, dsum
 
 # --------------------------------------------------------------------------
 # Flagship: TPC-H Q1 analog — scan + filter + project + agg + sort in one.
@@ -29,13 +30,13 @@ Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 2)                                            AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2)                                       AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-  ROUND(AVG(l_quantity), 4)                                            AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4)                                       AS avg_price,
-  ROUND(AVG(l_discount), 4)                                            AS avg_disc,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,6))), 2) AS DOUBLE)       AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,6))), 2) AS DOUBLE)  AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4)      AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4)      AS avg_disc,
   COUNT(*)                                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -61,13 +62,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -81,7 +82,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_ORACLE = """
 SELECT
   l_orderkey,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue,
   o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -114,7 +115,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -124,7 +125,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_ORACLE = """
 SELECT
   n_name,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -172,7 +173,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -184,7 +185,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 BROADCAST_ORACLE = """
 SELECT p_brand,
        COUNT(*)                                      AS n_items,
-       ROUND(SUM(l_extendedprice), 2)                AS brand_revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS brand_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -208,7 +209,7 @@ def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+            dsum("l_extendedprice").alias("brand_revenue"),
         )
         .orderBy("p_brand")
     )
@@ -269,7 +270,7 @@ def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_ORACLE = """
 SELECT b.band,
        COUNT(*)                          AS n_orders,
-       ROUND(SUM(o_totalprice), 2)       AS band_total
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS band_total
 FROM orders
 JOIN (VALUES ('p00_low',        0.0,  50000.0),
              ('p01_mid',    50000.0, 150000.0),
@@ -309,7 +310,7 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+            dsum("o_totalprice").alias("band_total"),
         )
         .orderBy("band")
     )
@@ -370,7 +371,7 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*)                          AS n_rows,
-       ROUND(SUM(l_quantity), 2)         AS sum_qty
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -387,7 +388,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
         )
@@ -396,7 +397,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_price,
        COUNT(*)                       AS n_rows
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -410,7 +411,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count("*").alias("n_rows"))
+        .agg(dsum("l_extendedprice").alias("sum_price"), F.count("*").alias("n_rows"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
         )
@@ -682,9 +683,9 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_ORACLE = """
 SELECT l_linestatus,
-       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
-       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
-       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(27,6)) END), 2) AS DOUBLE) AS "A",
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(27,6)) END), 2) AS DOUBLE) AS "N",
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(27,6)) END), 2) AS DOUBLE) AS "R"
 FROM lineitem
 GROUP BY l_linestatus
 ORDER BY l_linestatus
@@ -699,6 +700,6 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(27,6)")), 2).cast("double"))
         .orderBy("l_linestatus")
     )

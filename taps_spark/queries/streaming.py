@@ -1,0 +1,56 @@
+"""Streaming query inventory — Structured Streaming jobs whose
+results are gated by the same batch oracles as their batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from taps_spark.queries import query
+from taps_spark.queries.events import TUMBLING_ORACLE
+from taps_spark.streaming.jobs import stream_session_window_agg, stream_tumbling_agg
+
+SESSION_WINDOW_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts)              AS session_start,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@query("events_stream_tumbling", oracle=TUMBLING_ORACLE)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (file-source
+    micro-batch, watermark, AvailableNow trigger, memory sink) —
+    checked against the SAME DuckDB oracle as the batch form
+    (events_tumbling_window), proving batch/stream semantic parity.
+    """
+    return stream_tumbling_agg(spark, sf_dir, minutes=10)
+
+
+@query("events_stream_session_window", oracle=SESSION_WINDOW_ORACLE)
+def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregation (30-min gap, state
+    merging). Oracle is the gaps-and-islands SQL with the half-open
+    `diff >= gap` boundary session_window defines."""
+    return stream_session_window_agg(spark, sf_dir, gap_minutes=30)

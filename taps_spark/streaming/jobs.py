@@ -1,0 +1,140 @@
+"""Structured Streaming jobs.
+
+The reference's "stream" is a resumable batch cursor
+(lib/taps/data_stream.rb:10) — real event-time streaming is part of
+the engine's beyond-reference surface (SURVEY.md §2b/§2c). Jobs here
+read the events fixture as a file-source stream and run windowed
+aggregations whose semantics are IDENTICAL to the batch operators in
+operators/events.py, so the DuckDB batch oracle gates the streaming
+path too.
+
+Scale notes: at 100 TB the file source becomes Kafka/queue input; the
+plans are unchanged. Watermarks bound state (late data beyond the
+delay is dropped); memory-sink + AvailableNow here is the local test
+harness, not the production sink (that's foreachBatch → idempotent
+append, io/sinks.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from taps_spark.io.tables import table_path
+from taps_spark.session import tune
+
+#: Raw parquet schema of the events fixture — ts as LongType because
+#: the file stores TIMESTAMP(NANOS) (see io/tables.py); the stream
+#: reader does the same ns→µs normalization as the batch loader.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_SINK_IDS = itertools.count()
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """Directory view over the single events.parquet file (symlink in
+    a session temp dir; cached per sf_dir)."""
+    if sf_dir not in _STREAM_DIRS:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="taps_stream_")
+        os.symlink(table_path(sf_dir, "events"), os.path.join(d, "events.parquet"))
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture as a file-source stream (one micro-batch under
+    an AvailableNow trigger; a directory of arriving files or a Kafka
+    topic in production)."""
+    tune(spark)
+    # The fixture is a single parquet FILE but the file stream source
+    # requires a directory. Expose it through a (cached) temp dir of
+    # symlinks — zero copy, and exactly how a production landing zone
+    # looks: a directory where files arrive.
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_as_stream_dir(sf_dir))
+    # Plain TIMESTAMP here (not NTZ like the batch loader): watermarks
+    # only accept TIMESTAMP. Session TZ is pinned UTC, so instants and
+    # wall-clock agree; outputs cast window bounds back to NTZ for
+    # oracle parity.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion on the available
+    data and return the materialized result (local harness path)."""
+    name = f"taps_stream_sink_{next(_SINK_IDS)}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_tumbling_agg(
+    spark: SparkSession, sf_dir: str, minutes: int = 10, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming 10-minute tumbling windows per event type — same
+    bucketing as the batch operator (operators/events.py), so the
+    batch DuckDB oracle validates this plan's output.
+
+    The watermark declares the lateness bound that limits state at
+    scale; with complete-output + AvailableNow on a finite fixture it
+    doesn't drop anything, which is exactly what makes the oracle
+    comparison well-defined.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+def stream_session_window_agg(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming session windows (native F.session_window state
+    merging): per-user sessions closed after `gap_minutes` of
+    inactivity.
+
+    Session semantics: a session spans [first_ts, last_ts + gap); an
+    event at exactly last_ts + gap starts a NEW session (half-open
+    interval) — the batch oracle uses `diff >= gap` accordingly.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "complete")

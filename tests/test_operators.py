@@ -1,0 +1,76 @@
+"""Semantic unit tests for operators whose queries have rows-only
+driver checks (simhash, LSH ANN) plus targeted edge cases for the
+oracle-gated ones."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taps_spark.io.tables import load_table
+from taps_spark.operators.dedup import simhash64
+from taps_spark.operators.relational import asof_join
+from taps_spark.operators.similarity import cosine, topk_bruteforce, topk_lsh
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "spark join window table"), (2, "spark join window table"), (3, "zz qq ww ee")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    assert out[1] == out[2], "identical token sets must share a simhash"
+    assert out[1] != out[3], "disjoint token sets should differ"
+
+
+def test_simhash_near_duplicates_are_close(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " extra"
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    hamming = bin(out[1] ^ out[2]).count("1")
+    assert hamming <= 16, f"one-token edit should stay hamming-close, got {hamming}"
+
+
+def test_cosine_expression_basics(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0]), (3, [1.0, 1.0], [2.0, 2.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r["id"]: r["c"] for r in df.select("id", F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()}
+    assert rows[1] == 1.0 and rows[2] == 0.0 and rows[3] == 1.0
+
+
+def test_lsh_ann_is_subset_of_bruteforce_candidates(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = topk_bruteforce(emb, queries, k=50)
+    approx = topk_lsh(emb, queries, k=50)
+    # Every ANN result must be a real (q, neighbor) scored pair whose
+    # score matches the exact computation — LSH changes RECALL, never
+    # the scores it does return.
+    ex = {(r["q_id"], r["neighbor_id"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["q_id"], r["neighbor_id"])
+        if key in ex:  # rank cutoff may differ; compare where both exist
+            assert abs(ex[key] - r["score"]) < 1e-9
+
+
+def test_asof_join_tie_and_no_match_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 50), (3, 99, 100)], "event_id long, k long, t long"
+    ).select("event_id", F.col("k").alias("__key"), F.col("t"))
+    right = spark.createDataFrame(
+        [(10, 100, 7), (10, 100, 8), (10, 60, 5)], "k long, t long, rid long"
+    ).select(F.col("k").alias("__key"), F.col("t").alias("rt"), "rid")
+    out = asof_join(
+        left, right, key="__key", left_time="t", right_time="rt", right_value_cols=["rid"]
+    )
+    got = {r["event_id"]: r["asof_rid"] for r in out.collect()}
+    # t=100 ties two right rows (rid 7,8) → max tiebreak wins; <= includes equal ts.
+    assert got[1] == 8
+    # earliest right time for key 10 is 60 > 50 → nothing as-of t=50.
+    assert got[2] is None
+    # key with no right rows at all → NULL
+    assert got[3] is None

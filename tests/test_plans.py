@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the properties that matter at
+100 TB (predicate pushdown, column pruning, broadcast strategies)
+asserted on the actual optimized plans, so a refactor that silently
+de-optimizes a query fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from taps_spark.queries import REGISTRY, _load
+
+_load()
+
+
+def formatted_plan(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = formatted_plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Projection must prune to the 7 referenced columns — reading all
+    # 11 lineitem columns for this query would be wrong at any scale.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_shipdate" in read_schema and "l_returnflag" in read_schema
+
+
+def test_q5_uses_broadcast_joins(spark, sf_dir):
+    plan = formatted_plan(spark, "q5_region_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # The explicitly broadcast dims must never fall back to sort-merge.
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = formatted_plan(spark, "join_range_price_bands", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "non-equi band join must broadcast the band table; a cartesian "
+        "or shuffled NLJ melts at scale"
+    )
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    semi = formatted_plan(spark, "join_semi_active_customers", sf_dir)
+    anti = formatted_plan(spark, "join_anti_dormant_customers", sf_dir)
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_keyset_scan_pushes_pk_predicate(spark, sf_dir):
+    plan = formatted_plan(spark, "scan_keyset_page", sf_dir)
+    assert "GreaterThan(o_orderkey,500)" in plan
+
+
+def test_topk_is_windowed_not_global_sort(spark, sf_dir):
+    plan = formatted_plan(spark, "window_rank_top_orders", sf_dir)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    # The filter on rn must sit above the window, and the final
+    # ordering is the only global sort.
+    assert "row_number()" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "agg_distinct", "join_broadcast_enrich"]
+)
+def test_no_python_udfs_in_relational_plans(spark, sf_dir, name):
+    plan = formatted_plan(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        f"{name} must stay JVM-side (no Python UDF nodes)"
+    )
