@@ -102,3 +102,61 @@ def similarity_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+NN_STATS_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+best AS (
+  SELECT a.vec_id, a.label,
+         MAX(list_dot_product(a.v, b.v)
+             / SQRT(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))) AS best_cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, a.label
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(best_cos), 4) AS avg_best_cos,
+       ROUND(MAX(best_cos), 4) AS max_best_cos
+FROM best
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("similarity_label_nn_stats", oracle=NN_STATS_ORACLE)
+def similarity_label_nn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate scan, blocked by label: each vector's
+    best intra-label cosine, rolled up per label (the dup-rate
+    dashboard for an embedded corpus; with a threshold filter this IS
+    embedding-cosine dedup — the fixtures' random vectors top out
+    ~0.45, so the rollup keeps the result informative).
+
+    Scale: blocking bounds the pair space to Σ|label|²; one shuffle
+    on label, per-label pair scoring, map-side max. For unblocked
+    corpora switch the blocker to the LSH buckets
+    (operators/similarity.hyperplane_bucket)."""
+    from taps_spark.operators.similarity import as_double, dot
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    a = emb.select(F.col("vec_id"), "label", as_double(F.col("embedding")).alias("va"))
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
+        as_double(F.col("embedding")).alias("vb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
+        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
+    )
+    best = (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("b_id")))
+        .groupBy("vec_id", "label")
+        .agg(F.max(cos).alias("best_cos"))
+    )
+    return (
+        best.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("best_cos"), 4).alias("avg_best_cos"),
+            F.round(F.max("best_cos"), 4).alias("max_best_cos"),
+        )
+        .orderBy("label")
+    )

@@ -54,3 +54,22 @@ def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging). Oracle is the gaps-and-islands SQL with the half-open
     `diff >= gap` boundary session_window defines."""
     return stream_session_window_agg(spark, sf_dir, gap_minutes=30)
+
+
+USER_STATS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("events_stream_stateful_user_stats", oracle=USER_STATS_ORACLE)
+def events_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running stats in the state store; the single-batch final
+    emission equals the batch aggregation, which is the oracle. See
+    taps_spark/streaming/stateful.py for the 100 TB state layout."""
+    from taps_spark.streaming.stateful import stream_user_stats
+
+    return stream_user_stats(spark, sf_dir).orderBy("user_id")

@@ -1,0 +1,64 @@
+"""IO tests: schema dump/load round-trips, CREATE TABLE generation,
+CSV/JSON round-trips through explicit schemas."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from taps_spark.io import sources
+from taps_spark.io.schema import create_table_sql, dump_schema, load_schema
+from taps_spark.io.tables import load_table
+from taps_spark.transfer.verify import compare
+
+
+def test_schema_round_trip_all_fixture_tables(spark, sf_dir):
+    from taps_spark.io.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        schema = load_table(spark, sf_dir, name).schema
+        assert load_schema(dump_schema(schema)) == schema, name
+
+
+def test_schema_round_trip_nested():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("emb", T.ArrayType(T.FloatType()), True),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+            T.StructField(
+                "nested", T.StructType([T.StructField("a", T.IntegerType(), True)]), True
+            ),
+        ]
+    )
+    assert load_schema(dump_schema(schema)) == schema
+
+
+def test_create_table_sql_dialects(spark, sf_dir):
+    schema = load_table(spark, sf_dir, "orders").schema
+    pg = create_table_sql("orders", schema, "postgres", primary_key="o_orderkey")
+    assert "o_orderkey BIGINT PRIMARY KEY" in pg
+    assert "o_orderdate TIMESTAMP" in pg
+    my = create_table_sql("orders", schema, "mysql")
+    assert "o_orderdate DATETIME" in my
+    lite = create_table_sql("orders", schema, "sqlite")
+    assert "o_totalprice REAL" in lite
+    with pytest.raises(KeyError):
+        create_table_sql("orders", schema, "oracle9i")
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    sources.write_csv(nation, path)
+    back = sources.read_csv(spark, path, nation.schema)
+    assert compare(nation, back).ok
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    customer = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "customer_json")
+    sources.write_json(customer, path)
+    back = sources.read_json(spark, path, customer.schema)
+    assert compare(customer, back).ok

@@ -74,3 +74,38 @@ def test_asof_join_tie_and_no_match_semantics(spark):
     assert got[2] is None
     # key with no right rows at all → NULL
     assert got[3] is None
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from taps_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", num_salts=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from taps_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F2
+
+    # one pathological key holding 90% of rows
+    hot = spark.range(9000).select(F2.lit(1).alias("k"), F2.col("id").alias("payload"))
+    cold = spark.range(1000).select((F2.col("id") % 50 + 2).alias("k"), F2.col("id").alias("payload"))
+    large = hot.unionByName(cold)
+    dim = spark.range(60).select(F2.col("id").alias("k"), F2.concat(F2.lit("d"), F2.col("id")).alias("name"))
+    out = salted_join(large, dim, "k", num_salts=8)
+    assert out.count() == 10000
+    # the hot key's rows must hash across >1 salt bucket
+    buckets = (
+        large.withColumn("__salt", F2.pmod(F2.xxhash64(*[F2.col(c) for c in large.columns]), F2.lit(8)))
+        .filter(F2.col("k") == 1).select("__salt").distinct().count()
+    )
+    assert buckets == 8
