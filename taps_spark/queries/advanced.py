@@ -233,3 +233,24 @@ def q17_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query("agg_approx")  # rows-only: HLL/t-digest results are engine-specific
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact
+    DISTINCT/percentile: approx_count_distinct (HyperLogLog++, fully
+    partial-aggregatable, no expand) and percentile_approx (t-digest
+    sketch). Engine-specific sketch values → rows-only driver check;
+    tests/test_operators.py pins both to within rel-error bounds of
+    the exact answers."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -55,6 +55,8 @@ def get_spark(app_name: str = "taps_spark", shuffle_partitions: int | None = Non
     to the core count (200 default is wrong at every local scale —
     over-parallelized for tiny data, under for huge).
     """
+    import tempfile
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     shuffle = shuffle_partitions or cpus
     builder = (
@@ -63,6 +65,13 @@ def get_spark(app_name: str = "taps_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep warehouse/metastore droppings out of the repo (static
+        # confs — only effective for the session that creates the JVM).
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="taps_wh_"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={tempfile.mkdtemp(prefix='taps_derby_')}",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -109,3 +109,22 @@ def test_salted_join_spreads_hot_key(spark):
         .filter(F2.col("k") == 1).select("__salt").distinct().count()
     )
     assert buckets == 8
+
+
+def test_approx_aggregates_within_error_bounds(spark, sf_dir):
+    from taps_spark.queries import REGISTRY
+
+    rows = {r["l_returnflag"]: r for r in REGISTRY["agg_approx"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, r in rows.items():
+        assert abs(r["approx_parts"] - exact[flag]["parts"]) / exact[flag]["parts"] < 0.05
+        assert abs(r["approx_median_price"] - exact[flag]["median"]) / exact[flag]["median"] < 0.05

@@ -1,0 +1,115 @@
+"""Streaming semantics tests that the single-batch oracle queries
+can't express: watermark late-data dropping across micro-batches, and
+bucketed-table co-located joins (shuffle elimination evidence)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_events_across_batches(spark, tmp_path):
+    """Append-mode tumbling agg with a 10-minute watermark: a second
+    micro-batch delivering an event older than the watermark must NOT
+    re-emit or amend its (already finalized) window."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 10:01:00", 1.0),
+            (2, "2024-01-01 10:04:00", 2.0),
+            (3, "2024-01-01 11:00:00", 4.0),  # advances watermark to 10:50
+        ],
+    )
+    agg = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select(F.col("w.start").alias("ws"), "n", "v")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_data_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["ws"]: (r["n"], r["v"]) for r in spark.table("late_data_test").collect()}
+        # watermark 10:50 → the 10:00 window is final and emitted
+        assert any(ws.minute == 0 and ws.hour == 10 for ws in first), first
+
+        # batch 2: one LATE event (10:05, behind the 10:50 watermark)
+        # and one fresh event pushing time forward.
+        _write_batch(
+            spark,
+            src,
+            [
+                (4, "2024-01-01 10:05:00", 100.0),  # late → must be dropped
+                (5, "2024-01-01 11:30:00", 8.0),
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.table("late_data_test").collect()
+        ten_oclock = [r for r in rows if r["ws"].hour == 10 and r["ws"].minute == 0]
+        # exactly one finalized emission for the 10:00 window, without
+        # the late event's value
+        assert len(ten_oclock) == 1
+        assert ten_oclock[0]["n"] == 2 and ten_oclock[0]["v"] == 3.0
+    finally:
+        q.stop()
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed by the join key →
+    SortMergeJoin with NO shuffle exchange — the bucketing story that
+    matters when the same 100 TB fact table is joined every hour."""
+    from taps_spark.io.tables import load_table
+
+    # warehouse dir is a static conf — bucketed tables land in the
+    # session's default warehouse; unique names + DROP in finally.
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).mode("overwrite").saveAsTable("b_orders")
+        load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+            "b_lineitem"
+        )
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed equi-join must not shuffle"
+        # and it computes the right thing
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
