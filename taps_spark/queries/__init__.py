@@ -76,6 +76,7 @@ def _load() -> None:
         similarity,
         streaming,
         text,
+        tpch_more,
     )
 
     _LOADED = True

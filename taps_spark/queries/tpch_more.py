@@ -1,0 +1,402 @@
+"""TPC-H analog widening: EXISTS semi-joins, disjunctive scan
+predicates, conditional aggregation, top-k with deterministic
+tiebreaks, grouping sets, unpivot, and the full ranking-window
+function family — each adapted to the fixture schema (no partsupp /
+l_shipmode / c_phone columns, see FIXTURES.md §B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taps_spark.io.tables import load_tables
+from taps_spark.queries import query
+from taps_spark.queries.numeric import DECIMAL_T, dsum, dsum_sql
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q4_late_order_priority", oracle=Q4_ORACLE)
+def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with any lineitem shipped >60 days after order date,
+    counted by priority (TPC-H Q4 analog: EXISTS → left-semi join
+    with a non-equi conjunct).
+
+    Scale: the semi join shuffles both sides on orderkey once and
+    keeps only the orders columns afterward — no row multiplication
+    for orders with many late items, which is exactly why EXISTS must
+    compile to semi join and not inner join + distinct.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        t["orders"]
+        .join(t["lineitem"], late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS returned_revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY returned_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_revenue", oracle=Q10_ORACLE)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns (TPC-H Q10 analog).
+
+    Deterministic top-k: ties on the sort measure are broken by the
+    unique key so LIMIT selects the same set in any engine.
+    Scale: returnflag filter is pushed to the lineitem scan; nation
+    broadcast; customer↔orders↔lineitem shuffles on their keys; the
+    global top-20 is a TakeOrderedAndProject (per-partition heap +
+    driver merge), not a full sort.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("returned_revenue"))
+        .orderBy(F.desc("returned_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q12_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+       CAST(SUM(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) BETWEEN 31 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       CAST(SUM(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q12_ship_delay_classes", oracle=Q12_ORACLE)
+def q12_ship_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay distribution per order priority (TPC-H Q12
+    analog, shipmode replaced by delay buckets): conditional
+    aggregation — sum(case when) pivots three predicates into one
+    pass, no per-bucket scans."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).alias  # noqa: E731
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            bucket(delay <= 30)("n_fast"),
+            bucket((delay >= 31) & (delay <= 90))("n_medium"),
+            bucket(delay > 90)("n_slow"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q14_ORACLE = f"""
+SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                 ELSE CAST(0 AS DECIMAL(27,6)) END), 2) AS DOUBLE) AS promo_revenue,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                 ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 3) AS promo_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+"""
+
+
+@query("q14_promo_revenue", oracle=Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 analog). The ratio divides
+    the two EXACT decimal sums as doubles — identical operands give
+    identical IEEE quotients in both engines, so rounding is safe.
+
+    Scale: part side broadcasts; one pass, no shuffle beyond the
+    single global aggregate."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DECIMAL_T)
+    zero = F.lit(0).cast(DECIMAL_T)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(promo, 2).cast("double").alias("promo_revenue"),
+            F.round(total, 2).cast("double").alias("total_revenue"),
+            F.round(100.0 * promo.cast("double") / total.cast("double"), 3).alias("promo_pct"),
+        )
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 5 AND 40
+GROUP BY p_brand, p_type
+ORDER BY n_suppliers DESC, p_brand, p_type
+"""
+
+
+@query("q16_supplier_variety", oracle=Q16_ORACLE)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per brand/type slice (TPC-H Q16 analog,
+    partsupp replaced by lineitem observations): grouped COUNT
+    DISTINCT — Catalyst expands to a two-level aggregate, partial on
+    (brand, type, suppkey) first, so the distinct set never
+    concentrates on one node."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter((F.col("p_brand") != "Brand#1") & F.col("p_size").between(5, 40))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), "p_brand", "p_type")
+    )
+
+
+Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey AS b_orderkey,
+         {dsum_sql("l_quantity")} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 200
+)
+SELECT c_custkey, c_name, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = b_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_orders", oracle=Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-volume orders and who placed them (TPC-H Q18 analog):
+    HAVING on a grouped sum, then join the survivors back to their
+    order/customer rows; deterministic top-100 via unique tiebreak.
+
+    Scale: the aggregate shrinks lineitem to one row per qualifying
+    order BEFORE the joins, so the join input is ~0.1% of lineitem;
+    orders joins on its own key (no re-shuffle under AQE)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    big = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(DECIMAL_T)), 2).alias("qty_dec"),
+        )
+        .filter(F.col("qty_dec") > 200)
+        .select("b_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("b_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q19_ORACLE = f"""
+SELECT COUNT(*) AS n_items,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
+"""
+
+
+@query("q19_disjunctive_revenue", oracle=Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-attribute predicate revenue (TPC-H Q19
+    analog): three OR'd brand/size/quantity conjunctions spanning
+    both join sides — the optimizer-stressing shape. Catalyst still
+    extracts the common `p_size BETWEEN 1 AND 50`-style bounds it can
+    push; the residual OR evaluates post-join in one codegen stage."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    q, b, s, ty = F.col("l_quantity"), F.col("p_brand"), F.col("p_size"), F.col("p_type")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(10, 30) & q.between(10, 30))
+        | ((ty == "PROMO") & s.between(20, 50) & (q >= 25))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+WINDOW_FAMILY_ORACLE = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
+       LAG(ROUND(o_totalprice, 2)) OVER w_time  AS prev_price,
+       LEAD(ROUND(o_totalprice, 2)) OVER w_time AS next_price,
+       FIRST_VALUE(o_orderkey) OVER w_time      AS first_order,
+       CAST(NTILE(4) OVER w_price AS INT)       AS price_quartile,
+       ROUND(PERCENT_RANK() OVER w_price, 6)    AS price_pctrank
+FROM orders
+WINDOW w_time  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("window_function_family", oracle=WINDOW_FAMILY_ORACLE)
+def window_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window family in one pass: lag, lead,
+    first_value over event-time order; ntile + percent_rank over
+    value order. Both windows include the unique key as tiebreak —
+    without it ntile/percent_rank are nondeterministic under ties.
+
+    Scale: both windows share PARTITION BY o_custkey, so Spark plans
+    ONE hash-partition exchange on o_custkey and two in-partition
+    sorts — confirm with .explain (single Exchange)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    price = F.round("o_totalprice", 2)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        price.alias("price"),
+        F.lag(price).over(w_time).alias("prev_price"),
+        F.lead(price).over(w_time).alias("next_price"),
+        F.first("o_orderkey").over(w_time).alias("first_order"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        F.round(F.percent_rank().over(w_price), 6).alias("price_pctrank"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {dsum_sql("o_totalprice")} AS total_spend
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), ())
+ORDER BY region_name, priority
+"""
+
+
+@query("agg_grouping_sets", oracle=GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube): per
+    (region, priority), per region, and grand total in one logical
+    pass. COALESCE labels the super-aggregate rows portably (fixture
+    names are never NULL, so no ambiguity).
+
+    Scale: Catalyst plans an Expand (3 replicas tagged by grouping
+    id) + one shuffle — same cost shape as rollup; at 100 TB prefer
+    this over 3 separate jobs re-reading the fact table."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return (
+        joined.groupingSets(
+            [["r_name", "o_orderpriority"], ["r_name"], []],
+            "r_name",
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_spend",
+        )
+        .orderBy("region_name", "priority")
+    )
+
+
+UNPIVOT_ORACLE = f"""
+SELECT l_returnflag, 'l_quantity' AS measure,
+       {dsum_sql("l_quantity")} AS total, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'l_extendedprice', {dsum_sql("l_extendedprice")}, COUNT(*)
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'l_discount', {dsum_sql("l_discount")}, COUNT(*)
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag, measure
+"""
+
+
+@query("unpivot_measures", oracle=UNPIVOT_ORACLE)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) then per-measure aggregation — the
+    inverse of pivot, used to normalize N metric columns into one
+    (metric, value) stream for generic downstream rollups.
+
+    Scale: unpivot is a zero-shuffle Expand (3× rows, narrow); the
+    single shuffle is the groupBy. The oracle's UNION ALL of three
+    scans shows exactly what this saves: one fact-table read, not
+    three."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.unpivot(
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(dsum("val").alias("total"), F.count("*").alias("n"))
+        .orderBy("l_returnflag", "measure")
+    )

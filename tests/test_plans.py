@@ -72,3 +72,30 @@ def test_no_python_udfs_in_relational_plans(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         f"{name} must stay JVM-side (no Python UDF nodes)"
     )
+
+
+def test_window_family_single_exchange(spark, sf_dir):
+    """Both window specs share PARTITION BY o_custkey — Spark must
+    plan exactly one hash-partition exchange, not one per window."""
+    plan = formatted_plan(spark, "window_function_family", sf_dir)
+    # one exchange for the windows + the final presentation sort's
+    # range exchange; no third.
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    plan = formatted_plan(spark, "q4_late_order_priority", sf_dir)
+    assert "LeftSemi" in plan, "EXISTS must be a semi join, not inner+distinct"
+
+
+def test_q10_topk_avoids_full_global_sort(spark, sf_dir):
+    plan = formatted_plan(spark, "q10_returned_revenue", sf_dir)
+    assert "TakeOrderedAndProject" in plan, (
+        "ORDER BY + LIMIT must plan per-partition heaps, not a full sort"
+    )
+
+
+def test_grouping_sets_is_one_expand_one_shuffle(spark, sf_dir):
+    plan = formatted_plan(spark, "agg_grouping_sets", sf_dir)
+    assert "Expand" in plan
