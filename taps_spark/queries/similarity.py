@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from taps_spark.io.tables import load_tables
-from taps_spark.operators.similarity import topk_bruteforce, topk_lsh
+from taps_spark.operators.similarity import topk_bruteforce, topk_ivf, topk_lsh
 from taps_spark.queries import query
 
 TOPK_ORACLE = """
@@ -64,6 +64,25 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return topk_lsh(emb, queries, k=5, num_planes=8, dim=64).orderBy("q_id", "rank")
+
+
+@query("similarity_ann_ivf")  # rows-only: Lloyd iterations aren't ANSI-SQL
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index (16 deterministic k-means
+    centroids, probe the 4 nearest lists): the second 100 TB ANN
+    path — complements LSH with a data-adaptive partitioner, and in
+    production the corpus is stored partitioned by centroid_id so a
+    search prunes (nlist - nprobe)/nlist of the scan.
+
+    Rows-only check (centroid training is iterative, not
+    SQL-expressible); tests/test_operators.py pins recall against the
+    brute-force query.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return topk_ivf(emb, queries, k=5, nlist=16, nprobe=4).orderBy("q_id", "rank")
 
 
 NORM_ORACLE = """

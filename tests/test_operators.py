@@ -112,8 +112,9 @@ def test_salted_join_spreads_hot_key(spark):
 
 
 def test_approx_aggregates_within_error_bounds(spark, sf_dir):
-    from taps_spark.queries import REGISTRY
+    from taps_spark.queries import REGISTRY, _load
 
+    _load()
     rows = {r["l_returnflag"]: r for r in REGISTRY["agg_approx"].fn(spark, sf_dir).collect()}
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
@@ -128,3 +129,36 @@ def test_approx_aggregates_within_error_bounds(spark, sf_dir):
     for flag, r in rows.items():
         assert abs(r["approx_parts"] - exact[flag]["parts"]) / exact[flag]["parts"] < 0.05
         assert abs(r["approx_median_price"] - exact[flag]["median"]) / exact[flag]["median"] < 0.05
+
+
+def test_ivf_ann_recall_and_score_fidelity(spark, sf_dir):
+    from taps_spark.operators.similarity import topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = topk_bruteforce(emb, queries, k=5)
+    approx = topk_ivf(emb, queries, k=5, nlist=8, nprobe=4)
+    ex = {(r["q_id"], r["neighbor_id"]): r["score"] for r in exact.collect()}
+    ap = {(r["q_id"], r["neighbor_id"]): r["score"] for r in approx.collect()}
+    # scores it returns are the true cosines
+    for key, s in ap.items():
+        if key in ex:
+            assert abs(ex[key] - s) < 1e-9
+    # probing half the lists must recover at least half the true top-5
+    recall = len(set(ap) & set(ex)) / len(ex)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe == nlist degenerates to exact search — same result set."""
+    from taps_spark.operators.similarity import topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in topk_bruteforce(emb, queries, k=5).collect()}
+    full = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in topk_ivf(emb, queries, k=5, nlist=4, nprobe=4).collect()}
+    assert exact == full
