@@ -37,11 +37,16 @@ HEADLINE = [
     "agg_distinct",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_lang_id",
     "similarity_topk_bruteforce",
+    "similarity_ann_ivf",
     "events_sessionize",
     "events_tumbling_window",
     "table_counts",
+    "q18_large_orders",
+    "window_function_family",
+    "agg_grouping_sets",
 ]
 
 

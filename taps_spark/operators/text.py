@@ -93,9 +93,13 @@ def language_id(
     toks = docs.select(
         F.col(id_col), F.col(label_col), F.explode(tokens(text_col)).alias("tok")
     )
+    # lang_tot and vocab derive FROM lang_tok (not from toks): all three
+    # then share one identical explode+shuffle subtree, which Spark's
+    # exchange reuse executes once (ReusedExchange) — deriving them from
+    # toks directly would re-explode the corpus twice more.
     lang_tok = toks.groupBy(label_col, "tok").agg(F.count("*").alias("cnt"))
-    lang_tot = toks.groupBy(label_col).agg(F.count("*").alias("tot"))
-    vocab = toks.select(F.countDistinct("tok").alias("v"))
+    lang_tot = lang_tok.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
+    vocab = lang_tok.select(F.countDistinct("tok").alias("v"))
     model = (
         lang_tok.join(lang_tot, label_col)
         .crossJoin(F.broadcast(vocab))

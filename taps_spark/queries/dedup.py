@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from taps_spark.io.tables import load_tables
+from taps_spark.io.tables import load_tables, parallelize_cpu
 from taps_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_stats,
@@ -100,7 +100,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster stats, not pairs, so result size stays linear in docs.
     See operators/dedup.py for the 100 TB plan shape.
     """
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
     return lsh_band_clusters(sigs, "doc_id", rows_per_band=2).orderBy("band", "band_sig")
 
@@ -112,7 +112,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records a rows-only check and unit tests pin the semantics
     (tests/test_dedup.py).
     """
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
     sim = simhash64(docs, "doc_id", "text")
     return simhash_candidates(sim, "doc_id").orderBy("band_idx", "band_val")
 
