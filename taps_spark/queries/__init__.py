@@ -77,6 +77,7 @@ def _load() -> None:
         streaming,
         text,
         tpch_more,
+        udf_surface,
     )
 
     _LOADED = True
