@@ -73,3 +73,45 @@ def events_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataF
     from taps_spark.streaming.stateful import stream_user_stats
 
     return stream_user_stats(spark, sf_dir).orderBy("user_id")
+
+
+STREAM_JOIN_ORACLE = """
+SELECT v.event_id AS view_event_id,
+       c.event_id AS click_event_id,
+       v.user_id,
+       CAST((epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS delay_s
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE
+ORDER BY view_event_id, click_event_id
+"""
+
+
+@query("events_stream_stream_join", oracle=STREAM_JOIN_ORACLE)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (view→click attribution within 60
+    minutes per user) with watermark-bounded state — checked against
+    the equivalent batch interval-join SQL. See
+    streaming/jobs.stream_stream_interval_join for the state-eviction
+    story."""
+    from taps_spark.streaming.jobs import stream_stream_interval_join
+
+    return stream_stream_interval_join(spark, sf_dir, minutes=60).orderBy(
+        "view_event_id", "click_event_id"
+    )
+
+
+@query("events_stream_foreach_batch", oracle=TUMBLING_ORACLE)
+def events_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → idempotent keyed parquet append, run twice to
+    prove replay safety (second pass appends 0 rows); the sink read
+    back must equal the batch tumbling oracle. The streaming version
+    of the reference's duplicate-PK repair made unnecessary
+    (SURVEY §2a-18)."""
+    from taps_spark.streaming.jobs import stream_foreach_batch_idempotent
+
+    return stream_foreach_batch_idempotent(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )

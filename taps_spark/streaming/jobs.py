@@ -115,6 +115,100 @@ def stream_tumbling_agg(
     return run_to_memory(agg, "complete")
 
 
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str, minutes: int = 60
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each 'view' joined to the same user's 'click's within the next
+    `minutes`. The hardest streaming operator — both sides buffer
+    state; the watermark + the time-range bound let Spark evict it
+    (without the range condition state grows forever).
+
+    Scale: state per side ≈ (events within watermark horizon); the
+    join key (user_id) hash-partitions both streams identically, so
+    matching is local after one shuffle per side. Append output mode
+    is mandatory for stream-stream joins.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"v_user_id = c_user_id AND c_ts >= v_ts "
+            f"AND c_ts <= v_ts + INTERVAL {minutes} MINUTES"
+        ),
+    ).select(
+        "view_event_id",
+        "click_event_id",
+        F.col("v_user_id").alias("user_id"),
+        ((F.unix_micros("c_ts") - F.unix_micros("v_ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("delay_s"),
+    )
+    return run_to_memory(joined, "append")
+
+
+def stream_foreach_batch_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production sink shape: streaming tumbling aggregation delivered
+    through foreachBatch → idempotent keyed append (io/sinks) — the
+    exactly-once-per-key pattern that replaces the reference's
+    duplicate-PK verify/repair protocol (SURVEY §2a-18) in streaming
+    form.
+
+    The job runs TWICE into the same target; the second pass appends
+    zero rows (anti-join on the window/event_type key), which is the
+    whole point — retries and replays are free. Returns the sink
+    contents read back.
+    """
+    import tempfile
+
+    from taps_spark.io.sinks import append_idempotent
+
+    target = tempfile.mkdtemp(prefix="taps_fes_") + "/agg"
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        append_idempotent(spark, batch_df, target, ["window_start", "event_type"])
+
+    for _ in range(2):  # second run proves idempotency
+        ev = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+        agg = (
+            ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_epoch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(target)
+
+
 def stream_session_window_agg(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
