@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the pure driver-side logic
+and the cross-engine determinism helpers — the test dimension the
+reference lacks entirely (its specs are example-based only,
+/root/reference/spec/*). Spark-touching properties cap example counts
+so the suite stays fast."""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from taps_spark.catalog import apply_table_filter, compile_table_pattern
+from taps_spark.transfer.chunking import ChunkSizer
+
+# ---------------------------------------------------------------- chunking
+
+
+@given(
+    start=st.integers(min_value=1, max_value=100_000),
+    elapsed=st.floats(min_value=0.001, max_value=100.0, allow_nan=False),
+    idle=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_chunksizer_always_positive(start, elapsed, idle):
+    cs = ChunkSizer(chunksize=start)
+    assert cs.on_success(elapsed, idle) >= 1
+
+
+@given(times=st.lists(st.floats(min_value=0.001, max_value=100.0), min_size=1, max_size=60))
+def test_chunksizer_trained_floor_holds(times):
+    """After the 20-chunk training window, size never drops below the
+    trained average floor (the reference's oscillation damper)."""
+    cs = ChunkSizer()
+    for t in times:
+        cs.on_success(t)
+    if cs.num_chunksize >= cs.train_window:
+        assert cs.chunksize >= int(cs.avg_chunksize)
+
+
+@given(st.integers(min_value=1, max_value=10**6))
+def test_chunksizer_disconnect_ladder(start):
+    """Crash-back is 10 then 1 regardless of prior size; recovery
+    resets the retry count."""
+    cs = ChunkSizer(chunksize=start)
+    assert cs.on_disconnect() == 10
+    assert cs.on_disconnect() == 1
+    assert not cs.exhausted
+    cs.on_success(1.0)
+    assert cs.retries == 0
+
+
+# ---------------------------------------------------------------- catalog
+
+_NAME = st.from_regex(r"[a-z][a-z0-9_]{0,12}", fullmatch=True)
+
+
+@given(tables=st.lists(_NAME, min_size=1, max_size=8, unique=True))
+def test_table_pattern_matches_exactly_the_requested_tables(tables):
+    """The compiled regex (reference cli.rb:137-142 semantics) accepts
+    exactly the listed names — no prefix/suffix leakage."""
+    pat = compile_table_pattern(tables)
+    for t in tables:
+        assert re.search(pat, t)
+        assert not re.search(pat, t + "x")
+        assert not re.search(pat, "x" + t)
+
+
+@given(
+    catalog=st.lists(_NAME, min_size=0, max_size=10, unique=True),
+    excludes=st.lists(_NAME, min_size=0, max_size=4, unique=True),
+)
+def test_exclude_filter_is_subtractive_and_order_preserving(catalog, excludes):
+    out = apply_table_filter(catalog, exclude=excludes)
+    assert out == [t for t in catalog if t not in set(excludes)]
+
+
+# ------------------------------------------------- cross-engine determinism
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10**7, max_value=10**7), min_size=1, max_size=50
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_decimal_sum_contract_matches_duckdb_exactly(cents, seed):
+    """The dsum contract (quantize terms to DECIMAL(27,6), sum exactly,
+    ROUND in decimal, cast double) yields the identical double in
+    DuckDB for ANY permutation of 2-decimal inputs — the portable-money
+    property every oracle relies on. (Pure-engine check: DuckDB vs
+    Python Decimal reference; the Spark side is pinned by the 69
+    oracle-gated queries.)"""
+    import random
+
+    vals = [c / 100.0 for c in cents]
+    rnd = random.Random(seed)
+    perm = vals[:]
+    rnd.shuffle(perm)
+    ref = float(sum(Decimal(str(v)).quantize(Decimal("0.000001")) for v in vals).quantize(Decimal("0.01")))
+    con = duckdb.connect()
+    for order in (vals, perm):
+        got = con.execute(
+            "SELECT CAST(ROUND(SUM(CAST(x AS DECIMAL(27,6))), 2) AS DOUBLE) FROM "
+            "(SELECT unnest(?) AS x)",
+            [order],
+        ).fetchone()[0]
+        assert got == ref
