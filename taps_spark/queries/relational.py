@@ -55,11 +55,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg. Group cardinality is tiny (≤ 9 groups) so the shuffle is
     negligible at any SF.
     """
+    from taps_spark.io.tables import parallelize_cpu
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # Filter FIRST (stays pushed into the scan), then widen: the
+    # decimal-quantized partial agg is the CPU cost here, and the
+    # single-row-group fixture file scans as one task. Conditional —
+    # no-op whenever the scan already has >= cores partitions (i.e.
+    # any real multi-file table), so the shuffle never appears at scale.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        parallelize_cpu(
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
