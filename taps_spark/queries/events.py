@@ -131,3 +131,110 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("event_type", F.col("n_events").desc(), "user_id")
     )
+
+
+FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t1
+  WHERE e.event_type = 'view'
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t2
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_signup_view,
+       (SELECT COUNT(*) FROM c) AS n_signup_view_click
+"""
+
+
+@query("events_funnel", oracle=FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → later view → later click):
+    per-stage first-occurrence times chained by strict event-time
+    order, counting users who completed each prefix.
+
+    Scale: three grouped mins, each shuffling ONLY the filtered event
+    slice on user_id; stage joins are user-level (tiny vs the event
+    log). The strict `>` chaining makes the funnel order-sensitive —
+    a user whose click precedes their post-signup view does NOT count
+    as stage 3 — which no unordered distinct-count can express.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_signup_view")))
+        .crossJoin(c.agg(F.count("*").alias("n_signup_view_click")))
+    )
+
+
+RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week FROM events
+)
+SELECT f.cohort_week,
+       CAST(DATE_DIFF('day', f.cohort_week, a.active_week) // 7 AS INT) AS week_offset,
+       COUNT(*) AS n_active
+FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("events_retention_cohorts", oracle=RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted in every later week they return — the standard growth
+    triangle.
+
+    Scale: one shuffle for first-seen (min per user), one distinct on
+    (user, week) — both partial-aggregated map-side; the cohort join
+    is user-level. date_trunc('week') buckets identically in Spark
+    and DuckDB (Monday start).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

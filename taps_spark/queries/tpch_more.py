@@ -400,3 +400,162 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("val").alias("total"), F.count("*").alias("n"))
         .orderBy("l_returnflag", "measure")
     )
+
+
+Q6_ORACLE = f"""
+SELECT COUNT(*) AS n_items,
+       {dsum_sql("l_extendedprice * l_discount")} AS forecast_revenue_delta
+FROM lineitem
+WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change (TPC-H Q6 analog): pure scan-side
+    conjunctive range predicates + ungrouped aggregate — the query
+    where pushdown IS the plan. All three filters reach the parquet
+    scan (PushedFilters); at 100 TB with date-partitioned layout the
+    shipdate range also prunes partitions."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "forecast_revenue_delta"
+            ),
+        )
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q13_order_count_distribution", oracle=Q13_ORACLE)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram including zero-order customers
+    (TPC-H Q13 analog): LEFT join so empty groups survive —
+    COUNT(o_orderkey) counts non-null keys only. Two-level aggregate:
+    big shuffle on custkey shrinks to |distinct counts| rows."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS r_suppkey,
+         {dsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON r_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue supplier(s) for a quarter (TPC-H Q15 analog):
+    aggregate → global-max scalar subquery → equality join back.
+    Decorrelated Spark shape: the 1-row max broadcast-joins against
+    the per-supplier revenue (no window over a global sort). Ties all
+    surface (= semantics), ordered by key."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-03-31"))
+        .groupBy(F.col("l_suppkey").alias("r_suppkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("r_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q21_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(l_shipdate > o_orderdate + INTERVAL 90 DAY) AS s_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_orderkey, l_suppkey
+),
+ord AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         SUM(CASE WHEN s_late THEN 1 ELSE 0 END) AS n_late_supp
+  FROM per_order GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order p
+JOIN ord USING (l_orderkey)
+JOIN supplier ON s_suppkey = p.l_suppkey
+WHERE p.s_late AND ord.n_supp >= 2 AND ord.n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@query("q21_sole_late_supplier", oracle=Q21_ORACLE)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late supplier on multi-supplier
+    orders (TPC-H Q21 analog; late = shipped >90 days after order
+    date). The exists/not-exists pair decorrelated into per-(order,
+    supplier) flags + per-order counts — one aggregation tree instead
+    of two correlated subqueries per row, the shape that survives
+    100 TB.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    per_order = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("s_late")
+        )
+    )
+    ord_stats = per_order.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("s_late"), 1).otherwise(0)).alias("n_late_supp"),
+    )
+    return (
+        per_order.join(ord_stats, "l_orderkey")
+        .filter(F.col("s_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
