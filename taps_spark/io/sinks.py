@@ -100,3 +100,49 @@ def checksum_frame(df: DataFrame, key_cols: list[str] | None = None) -> DataFram
         F.bit_xor(row_h).alias("xor_hash"),
         F.sum(row_h.cast("decimal(38,0)")).alias("sum_hash"),
     )
+
+
+def merge_upsert(
+    spark: SparkSession, updates: DataFrame, path: str, key_cols: list[str]
+) -> dict[str, int]:
+    """MERGE semantics onto a parquet target: rows matching an
+    updates key are replaced, new keys are inserted (the batch upsert
+    the reference can't express — its only repair is skip-duplicates,
+    lib/taps/data_stream.rb:217-226).
+
+    Parquet has no transaction log, so merge = anti-join survivors ∪
+    updates, staged to a sibling directory and atomically swapped
+    (writing in place would read and overwrite the same files). At
+    100 TB the same call shape maps onto Delta/Iceberg MERGE INTO,
+    where only touched files rewrite; with plain parquet, partition
+    the target and merge partition-by-partition.
+
+    Returns {"updated": n, "inserted": n}.
+    """
+    import os
+    import shutil
+
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        write_parquet(updates, path, mode="overwrite")
+        return {"updated": 0, "inserted": updates.count()}
+
+    keys = updates.select(*key_cols)
+    survivors = existing.join(keys, key_cols, "left_anti")
+    n_existing = existing.count()
+    n_survivors = survivors.count()
+    merged = survivors.unionByName(updates)
+
+    staged = path.rstrip("/") + "__staging"
+    write_parquet(merged, staged, mode="overwrite")
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
+    shutil.move(staged, path)
+    shutil.rmtree(old)
+    if not os.path.isdir(path):  # defensive; move must have landed
+        raise IOError(f"merge_upsert: target swap failed for {path}")
+    return {
+        "updated": n_existing - n_survivors,
+        "inserted": updates.count() - (n_existing - n_survivors),
+    }

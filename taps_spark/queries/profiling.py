@@ -1,0 +1,85 @@
+"""Profiling + deterministic-sampling query inventory — the
+pipeline-hygiene surface (generalizes the reference's only profile,
+the per-table row count, lib/taps/server.rb:160-169, to column level;
+sampling is the eval/holdout-split primitive for training corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taps_spark.io.tables import load_tables
+from taps_spark.operators.profiling import hash_sample, profile_table
+from taps_spark.queries import query
+
+# One UNION ALL branch per column; dtype strings are Spark's
+# simpleString values, hardcoded on the oracle side.
+_PROFILE_COL = """
+SELECT '{col}' AS "column", '{dtype}' AS dtype,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {min_expr} AS min_repr,
+       {max_expr} AS max_repr
+FROM orders
+"""
+
+
+def _branch(col: str, dtype: str, numeric: bool) -> str:
+    if numeric:
+        mn = f"CAST(CAST(MIN({col}) AS DECIMAL(18,4)) AS VARCHAR)"
+        mx = f"CAST(CAST(MAX({col}) AS DECIMAL(18,4)) AS VARCHAR)"
+    else:
+        mn = f"CAST(MIN({col}) AS VARCHAR)"
+        mx = f"CAST(MAX({col}) AS VARCHAR)"
+    return _PROFILE_COL.format(col=col, dtype=dtype, min_expr=mn, max_expr=mx)
+
+
+PROFILE_ORACLE = (
+    "\nUNION ALL\n".join(
+        [
+            _branch("o_orderkey", "bigint", True),
+            _branch("o_custkey", "bigint", True),
+            _branch("o_orderstatus", "string", False),
+            _branch("o_totalprice", "double", True),
+            _branch("o_orderdate", "timestamp_ntz", False),
+            _branch("o_orderpriority", "string", False),
+        ]
+    )
+    + '\nORDER BY "column"'
+)
+
+
+@query("profile_orders", oracle=PROFILE_ORACLE)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the orders table (nulls, distincts,
+    min/max) in ONE wide aggregation — one scan regardless of column
+    count. The pre/post-transfer validation scan a 100 TB copy runs
+    instead of eyeballing row counts. Numeric bounds render through
+    DECIMAL(18,4) so both engines format identically."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return profile_table(orders).orderBy("column")
+
+
+SAMPLE_ORACLE = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE ('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 < 10
+ORDER BY o_orderkey
+"""
+
+
+@query("sample_hash_10pct", oracle=SAMPLE_ORACLE)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample keyed on md5(o_orderkey): identical
+    row selection in any engine, on any cluster, under any
+    partitioning — unlike df.sample(), whose RNG walks partition
+    iteration order. The pinned-eval-split primitive; consistent
+    cross-table because the hash rides the key."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        hash_sample(orders, "o_orderkey", 10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_orderkey")
+    )

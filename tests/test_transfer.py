@@ -163,3 +163,34 @@ def test_ddl_passthrough_sql():
     assert "setval" in reset_sequence_sql("orders", "o_orderkey", "postgres")
     assert "AUTO_INCREMENT" in reset_sequence_sql("orders", "o_orderkey", "mysql")
     assert "sqlite_sequence" in reset_sequence_sql("orders", "o_orderkey", "sqlite")
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    from taps_spark.io.sinks import merge_upsert
+
+    path = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "val"]
+    )
+    stats = merge_upsert(spark, base, path, ["id"])
+    assert stats == {"updated": 0, "inserted": 3}
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], ["id", "name", "val"]
+    )
+    stats = merge_upsert(spark, updates, path, ["id"])
+    assert stats == {"updated": 1, "inserted": 1}
+
+    got = {r["id"]: (r["name"], r["val"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_is_idempotent_on_replay(spark, tmp_path):
+    from taps_spark.io.sinks import merge_upsert
+
+    path = str(tmp_path / "target")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "val"])
+    merge_upsert(spark, df, path, ["id"])
+    merge_upsert(spark, df, path, ["id"])  # replay: same keys, same rows
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2
