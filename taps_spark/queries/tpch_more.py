@@ -559,3 +559,108 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+Q8_ORACLE = """
+WITH sales AS (
+  SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+         n.n_name AS supp_nation,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS rev
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n ON n.n_nationkey = s_nationkey
+  WHERE r_name = 'AMERICA'
+)
+SELECT order_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                           ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+FROM sales
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@query("q8_market_share", oracle=Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's yearly share of supplier revenue into AMERICA-region
+    customers (TPC-H Q8 analog): 7-table join + conditional share
+    ratio. Share = exact decimal sums divided as doubles (identical
+    operands → identical IEEE quotient in both engines).
+
+    Scale: region filter prunes customers BEFORE the fact join (the
+    filter rides the customer-side dimension broadcasts); lineitem
+    shuffles once on orderkey; every dimension broadcasts.
+    """
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    amer = t["region"].filter(F.col("r_name") == "AMERICA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DECIMAL_T)
+    zero = F.lit(0).cast(DECIMAL_T)
+    nat3 = F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(amer), F.col("r_regionkey") == F.col("cn_region"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(nat3.cast("double") / total.cast("double"), 6).alias("mkt_share"))
+        .orderBy("order_year")
+    )
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS supp_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       {dsum_sql("p_retailprice * l_quantity * 0.01")} AS cost_proxy,
+       {dsum_sql("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01")} AS margin
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY supp_nation, ship_year
+ORDER BY supp_nation, ship_year
+"""
+
+
+@query("q9_nation_margin", oracle=Q9_ORACLE)
+def q9_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier-nation yearly revenue/cost/margin (TPC-H Q9
+    analog; the fixtures carry no partsupp supply cost, so cost is
+    proxied as 1% of retail price × quantity — the plan shape, a
+    fact-to-two-dimensions join with multi-measure rollup, is what's
+    exercised). All three measures share one decimal-exact pass."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = F.col("p_retailprice") * F.col("l_quantity") * 0.01
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"), F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            dsum(rev).alias("revenue"),
+            dsum(cost).alias("cost_proxy"),
+            dsum(rev - cost).alias("margin"),
+        )
+        .orderBy("supp_nation", "ship_year")
+    )
