@@ -36,7 +36,9 @@ def test_chunksizer_trained_floor_holds(times):
     cs = ChunkSizer()
     for t in times:
         cs.on_success(t)
-    if cs.num_chunksize >= cs.train_window:
+    # The floor applies to calls AFTER the training window closes (the
+    # 20th call itself still trains), so require at least 21 calls.
+    if len(times) > cs.train_window:
         assert cs.chunksize >= int(cs.avg_chunksize)
 
 
