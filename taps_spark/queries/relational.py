@@ -712,3 +712,84 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(27,6)")), 2).cast("double"))
         .orderBy("l_linestatus")
     )
+
+
+SETOPS_ALL_ORACLE = """
+WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT s_nationkey AS nationkey FROM supplier),
+     ia AS (SELECT * FROM c INTERSECT ALL SELECT * FROM s),
+     ea AS (SELECT * FROM c EXCEPT ALL SELECT * FROM s)
+SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n FROM ia GROUP BY nationkey
+UNION ALL
+SELECT 'except_all', nationkey, COUNT(*) FROM ea GROUP BY nationkey
+UNION ALL
+SELECT 'union_all', nationkey, COUNT(*) FROM (SELECT * FROM c UNION ALL SELECT * FROM s) GROUP BY nationkey
+ORDER BY op, nationkey
+"""
+
+
+@query("set_ops_all_variants", oracle=SETOPS_ALL_ORACLE)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL / UNION
+    ALL) over customer-vs-supplier nation bags — duplicate
+    multiplicities preserved per SQL bag semantics (intersect = min of
+    the two counts, except = difference floored at 0), rolled up per
+    key so the result stays small.
+
+    Scale: each ALL-variant is one hash shuffle on the value; no
+    distinct step, so no second aggregation pass."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+
+    def rollup(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("nationkey").agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("op"), "nationkey", "n"
+        )
+
+    return (
+        rollup(c.intersectAll(s), "intersect_all")
+        .unionByName(rollup(c.exceptAll(s), "except_all"))
+        .unionByName(rollup(c.unionAll(s), "union_all"))
+        .orderBy("op", "nationkey")
+    )
+
+
+ARRAY_NULL_ORACLE = """
+SELECT vec_id,
+       CAST(LEN(embedding) AS INT)                                   AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4)                        AS first_val,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4)                 AS max_val,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 4)                 AS min_val,
+       ROUND(list_sum(embedding::DOUBLE[]), 4)                       AS sum_val,
+       CAST(LEN(list_filter(embedding, x -> x > 0)) AS INT)          AS n_positive,
+       COALESCE(NULLIF(label, 0), -1)                                AS label_or_neg1
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@query("scalar_array_null_funcs", oracle=ARRAY_NULL_ORACLE)
+def scalar_array_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function + null-handling surface over the embedding
+    column: size / element_at / array_max / array_min / aggregate-sum
+    / filter-count, plus NULLIF→COALESCE. All map-only codegen'd
+    column expressions; float values pass through double before
+    rounding (ROUND on raw FLOAT is a no-op in DuckDB — cast first)."""
+    from taps_spark.operators.similarity import as_double
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = F.col("embedding")
+    dv = as_double(v)
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.element_at(v, 1).cast("double"), 4).alias("first_val"),
+        F.round(F.array_max(v).cast("double"), 4).alias("max_val"),
+        F.round(F.array_min(v).cast("double"), 4).alias("min_val"),
+        F.round(
+            F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sum_val"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.coalesce(F.nullif("label", F.lit(0)), F.lit(-1)).alias("label_or_neg1"),
+    ).orderBy("vec_id")
