@@ -164,3 +164,98 @@ def dedup_ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+LSH_VERIFIED_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+tsets AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / LEN(list_distinct(list_concat(ta.toks, tb.toks))) AS j
+  FROM cand
+  JOIN tsets ta ON ta.doc_id = doc_a
+  JOIN tsets tb ON tb.doc_id = doc_b
+)
+SELECT doc_a, COUNT(*) AS n_dups, MIN(doc_b) AS first_dup,
+       ROUND(MAX(j), 4) AS best_jaccard
+FROM verified
+WHERE j >= 0.5
+GROUP BY doc_a
+ORDER BY doc_a
+"""
+
+
+@query("dedup_lsh_verified_pairs", oracle=LSH_VERIFIED_ORACLE)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-duplicate pipeline in one query: MinHash
+    signatures → LSH band buckets → candidate pairs → exact token-set
+    Jaccard verification (≥ 0.5) — generation and verification
+    composed exactly as a 100 TB dedup job runs them.
+
+    Scale: all-pairs never materializes — pairs exist only inside
+    LSH buckets (quadratic ONLY in bucket size, bounded by banding);
+    verification joins token sets for candidate pairs alone. The
+    md5 hash family keeps every stage reproducible in the oracle.
+    """
+    from taps_spark.io.tables import parallelize_cpu
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    banded = sigs.withColumn("band", F.expr("seed div 2"))
+    band_sigs = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+            ),
+        ).alias("band_sig")
+    )
+    a = band_sigs.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = band_sigs.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    j = jaccard(F.col("toks_a"), F.col("toks_b"))
+    # Roll up per doc: pair-level output is quadratic in cluster size
+    # (exact-dup clusters make it explode); per-doc stats stay linear.
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(j >= 0.5)
+        .groupBy("doc_a")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_b").alias("first_dup"),
+            F.round(F.max(j), 4).alias("best_jaccard"),
+        )
+        .orderBy("doc_a")
+    )
