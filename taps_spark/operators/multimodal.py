@@ -106,3 +106,58 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
 
     # Homogeneous batches per modality keep kernel dispatch cheap.
     return assets.repartition("modality").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame_checksum", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 2000, max_frames: int = 5) -> DataFrame:
+    """Frame sampling for video assets: one output row per sampled
+    timestamp — the 1→N batch shape (mapInPandas expanding rows) that
+    real video pipelines use for keyframe extraction.
+
+    The frame DECODE is stubbed (no pyav in this container): frame
+    count derives from the stub duration, the frame 'content' hash
+    chains the payload checksum with the index — both deterministic,
+    so the whole pipeline is oracle-checkable. The Spark plumbing
+    (Arrow batches in, expanded typed batches out) is real.
+
+    Scale: map-only — no shuffle; at 100 TB the only knobs are batch
+    size (arrow maxRecordsPerBatch vs frame memory) and partitioning
+    by video length to even out task skew.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "ts_ms", "frame_checksum"]
+        for pdf in it:
+            rows = []
+            for aid, mod, payload in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                if mod != "video" or payload is None:
+                    continue
+                dur = _decode_stub("video", payload)["duration_ms"]
+                base = hashlib.md5(payload).hexdigest()
+                n_frames = min(max_frames, max(1, dur // every_ms))
+                for i in range(n_frames):
+                    rows.append(
+                        (
+                            aid,
+                            i,
+                            i * every_ms,
+                            hashlib.md5(f"{base}-{i}".encode()).hexdigest(),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            out["asset_id"] = out["asset_id"].astype("int64")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["ts_ms"] = out["ts_ms"].astype("int64")
+            yield out
+
+    return assets.mapInPandas(batches, FRAME_SCHEMA)

@@ -170,3 +170,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     assets = synthesize_assets(docs)
     return extract_features(assets).orderBy("asset_id")
+
+
+FRAMES_ORACLE = """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         OCTET_LENGTH(ENCODE(text)) AS n,
+         MD5(text) AS base
+  FROM documents WHERE doc_id % 3 = 2
+),
+d AS (SELECT asset_id, base, 1000 + (n * 17) % 600000 AS dur FROM v),
+f AS (
+  SELECT asset_id, base,
+         unnest(range(LEAST(5, GREATEST(1, dur // 2000)))) AS frame_idx
+  FROM d
+)
+SELECT asset_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 2000 AS BIGINT) AS ts_ms,
+       MD5(base || '-' || CAST(frame_idx AS VARCHAR)) AS frame_checksum
+FROM f
+ORDER BY asset_id, frame_idx
+"""
+
+
+@query("multimodal_frame_sample", oracle=FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through mapInPandas (1 asset row → N frame
+    rows): every 2 s up to 5 frames, deterministic stubbed decode so
+    the oracle reproduces frame count, timestamps, and chained
+    checksums exactly. See operators/multimodal.sample_frames."""
+    from taps_spark.operators.multimodal import sample_frames
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs)
+    return sample_frames(assets, every_ms=2000, max_frames=5).orderBy(
+        "asset_id", "frame_idx"
+    )
