@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from taps_spark.queries import query
+from taps_spark.queries.events import SLIDING_ORACLE as _SLIDING_ORACLE
 from taps_spark.queries.events import TUMBLING_ORACLE
 from taps_spark.streaming.jobs import stream_session_window_agg, stream_tumbling_agg
 
@@ -115,3 +116,13 @@ def events_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_foreach_batch_idempotent(spark, sf_dir).orderBy(
         "window_start", "event_type"
     )
+
+
+@query("events_stream_sliding", oracle=_SLIDING_ORACLE)
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation (15-min windows every
+    5 min) — same map-side window expansion as the batch twin, gated
+    by the same oracle."""
+    from taps_spark.streaming.jobs import stream_sliding_agg
+
+    return stream_sliding_agg(spark, sf_dir, 15, 5)

@@ -664,3 +664,56 @@ def q9_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "ship_year")
     )
+
+
+Q22_ORACLE = f"""
+WITH ab AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_dormant_rich,
+       {dsum_sql("c_acctbal")} AS total_bal
+FROM customer, ab
+WHERE c_acctbal > ab.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query("q22_dormant_rich_customers", oracle=Q22_ORACLE)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no URGENT orders, per
+    nation (TPC-H Q22 analog sans phone prefixes): scalar-average subquery
+    (exact decimal sum ÷ count, so the threshold is bit-identical in
+    both engines) + NOT EXISTS → left-anti join.
+
+    Scale: the 1-row average broadcasts; the anti join shuffles
+    customer/orders once on custkey; aggregation is map-side-combined
+    on the 25 nations.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DECIMAL_T)).cast("double") / F.count("*")).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_dormant_rich"), dsum("c_acctbal").alias("total_bal"))
+        .orderBy("c_nationkey")
+    )

@@ -232,3 +232,26 @@ def stream_session_window_agg(
         )
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_sliding_agg(
+    spark: SparkSession, sf_dir: str, width_minutes: int = 15, slide_minutes: int = 5
+) -> DataFrame:
+    """Streaming sliding windows (width/slide expansion happens
+    map-side inside the stateful agg): same bucketing as the batch
+    operator, so the batch oracle gates this plan too."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        ev.groupBy(
+            F.window("ts", f"{width_minutes} minutes", f"{slide_minutes} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
