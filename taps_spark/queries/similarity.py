@@ -69,7 +69,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_ann_ivf")  # rows-only: Lloyd iterations aren't ANSI-SQL
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via an IVF index (16 deterministic k-means
-    centroids, probe the 4 nearest lists): the second 100 TB ANN
+    centroids, one Lloyd refinement — iteration count is a plan-depth
+    knob, and one step from the deterministic init already separates
+    the lists; probe the 4 nearest): the second 100 TB ANN
     path — complements LSH with a data-adaptive partitioner, and in
     production the corpus is stored partitioned by centroid_id so a
     search prunes (nlist - nprobe)/nlist of the scan.
@@ -82,7 +84,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return topk_ivf(emb, queries, k=5, nlist=16, nprobe=4).orderBy("q_id", "rank")
+    return topk_ivf(emb, queries, k=5, nlist=16, nprobe=4, iters=1).orderBy("q_id", "rank")
 
 
 NORM_ORACLE = """
