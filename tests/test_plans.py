@@ -99,3 +99,28 @@ def test_q10_topk_avoids_full_global_sort(spark, sf_dir):
 def test_grouping_sets_is_one_expand_one_shuffle(spark, sf_dir):
     plan = formatted_plan(spark, "agg_grouping_sets", sf_dir)
     assert "Expand" in plan
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + a filter on the partition column must
+    prune at PLANNING time (PartitionFilters, not a post-scan filter)
+    — the layout decision that turns a 100 TB scan into a 1-year scan."""
+    from pyspark.sql import functions as F
+
+    from taps_spark.io.sinks import write_parquet
+    from taps_spark.io.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    target = str(tmp_path / "li_by_year")
+    write_parquet(li, target, mode="overwrite", partition_by=["ship_year"])
+
+    df = spark.read.parquet(target).filter(F.col("ship_year") == 1996)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    assert "PartitionFilters: [isnotnull(ship_year" in plan, plan[:2000]
+    # correctness: pruned read equals the filtered full read
+    expected = li.filter(F.col("ship_year") == 1996).count()
+    assert df.count() == expected
