@@ -793,3 +793,40 @@ def scalar_array_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
         F.coalesce(F.nullif("label", F.lit(0)), F.lit(-1)).alias("label_or_neg1"),
     ).orderBy("vec_id")
+
+
+SALTED_ORACLE = """
+SELECT user_id, c_name,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY user_id, c_name
+ORDER BY user_id
+"""
+
+
+@query("join_salted_skew", oracle=SALTED_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (events fact × customer dim on user_id, 8
+    salts) aggregated per user — the explicit hot-key defense, proved
+    result-identical to the plain join by the oracle: salting must be
+    invisible in the output, only in the partition histogram.
+
+    Scale: the fact side pays one narrow map (hash → salt); the dim
+    side replicates 8× (keep it the SMALL side); the hot key's rows
+    spread across 8 partitions instead of melting one executor.
+    """
+    from taps_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    ev = t["events"].select("user_id", "value")
+    cust = t["customer"].select(F.col("c_custkey"), "c_name")
+    joined = salted_join(
+        ev.withColumnRenamed("user_id", "c_custkey"), cust, on="c_custkey", num_salts=8
+    )
+    return (
+        joined.groupBy(F.col("c_custkey").alias("user_id"), "c_name")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("user_id")
+    )
