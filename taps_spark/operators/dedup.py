@@ -173,3 +173,57 @@ def simhash_candidates(sim: DataFrame, id_col: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node starts as its own component; each round, a node adopts the
+    smallest label among itself and its neighbors; converged when no
+    label changes. Returns DataFrame[node, component] with component =
+    the smallest node id in the component.
+
+    This is the cluster step that turns near-dup candidate PAIRS into
+    dedup GROUPS (keep min-id per component, drop the rest).
+
+    Scale: each round is one self-join-shaped aggregation (edges ⋈
+    labels → min per node) — O(diameter) rounds, and dedup-cluster
+    graphs have tiny diameters (near-cliques from LSH buckets), so
+    2-4 rounds in practice. localCheckpoint() truncates the lineage
+    each round or the plan doubles per iteration. For web-scale graphs
+    switch to the large-star/small-star variant; the driver loop is
+    identical.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage; plan doubles otherwise
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

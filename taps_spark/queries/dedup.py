@@ -259,3 +259,110 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a")
     )
+
+
+CC_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+tsets AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+edges AS (
+  SELECT src, dst FROM cand
+  JOIN tsets ta ON ta.doc_id = src
+  JOIN tsets tb ON tb.doc_id = dst
+  WHERE CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / LEN(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.9
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT component,
+       COUNT(*)  AS n_members,
+       MAX(node) AS max_member
+FROM comp
+GROUP BY component
+ORDER BY component
+"""
+
+
+@query("dedup_connected_components", oracle=CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs as a graph,
+    verified at Jaccard ≥ 0.9, resolved to connected components by iterative min-label propagation
+    (operators/dedup.connected_components) — the step that turns
+    pairwise candidates into dedup groups (keep component id = min
+    doc, drop the rest). The DuckDB oracle computes the same
+    components via WITH RECURSIVE transitive closure — viable at
+    fixture scale, quadratic blowup at real scale, which is exactly
+    why the Spark side iterates instead.
+    """
+    from taps_spark.io.tables import parallelize_cpu
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    banded = sigs.withColumn("band", F.expr("seed div 2"))
+    band_sigs = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+            ),
+        ).alias("band_sig")
+    )
+    a = band_sigs.select(F.col("doc_id").alias("src"), "band", "band_sig")
+    b = band_sigs.select(F.col("doc_id").alias("dst"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    # Verify candidates before clustering (unverified LSH buckets chain
+    # spurious collisions into one giant component — verification is
+    # what keeps components meaningful).
+    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    ta = tsets.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
+    tb = tsets.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
+    edges = (
+        cand.join(ta, "src")
+        .join(tb, "dst")
+        .filter(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.9)
+        .select("src", "dst")
+    )
+    from taps_spark.operators.dedup import connected_components
+
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"), F.max("node").alias("max_member"))
+        .orderBy("component")
+    )

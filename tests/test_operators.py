@@ -162,3 +162,24 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     exact = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in topk_bruteforce(emb, queries, k=5).collect()}
     full = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in topk_ivf(emb, queries, k=5, nlist=4, nprobe=4).collect()}
     assert exact == full
+
+
+def test_connected_components_chain_and_islands(spark):
+    from taps_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (one component), pair 10-11, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["src", "dst"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """A 12-node path needs ~log-diameter rounds of min propagation;
+    convergence (not max_iters) must terminate it."""
+    from taps_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
+    comps = {r["component"] for r in connected_components(edges).collect()}
+    assert comps == {0}
