@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from taps_spark.io.tables import load_tables
 from taps_spark.operators.multimodal import extract_features, synthesize_assets
-from taps_spark.operators.text import language_id, quality_features
+from taps_spark.operators.text import language_id, quality_features, tokens
 from taps_spark.queries import query
 
 TOKEN_STATS_ORACLE = """
@@ -206,4 +206,121 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthesize_assets(docs)
     return sample_frames(assets, every_ms=2000, max_frames=5).orderBy(
         "asset_id", "frame_idx"
+    )
+
+
+NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+bi AS (
+  SELECT lang, t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, UNNEST(range(1, LEN(t))) AS u(i)
+)
+SELECT lang, bigram, COUNT(*) AS n
+FROM bi
+GROUP BY lang, bigram
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bigram) <= 10
+ORDER BY lang, n DESC, bigram
+"""
+
+
+@query("text_ngram_top", oracle=NGRAM_ORACLE)
+def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigrams per language: sliding n-gram generation as a
+    pure column expression (transform over index sequence — no UDF,
+    no ml.feature.NGram needed), grouped counts, windowed top-k with
+    deterministic tiebreak.
+
+    Scale: bigram explode ≈ token count × 1; the (lang, bigram)
+    partial agg combines map-side so the shuffle carries distinct
+    bigrams only."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy("lang", F.desc("n"), "bigram")
+    )
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+df AS (SELECT tok, COUNT(*) AS doc_freq FROM toks GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS term_freq
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.term_freq * LN((n.n_docs + 1.0) / (df.doc_freq + 1.0)), 4) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+)
+WHERE rn <= 3 AND doc_id < 50
+ORDER BY doc_id, tfidf DESC, tok
+"""
+
+
+@query("text_tfidf_top_terms", oracle=TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1))), built from two aggregations + a broadcast join
+    — no MLlib, so the scoring is oracle-reproducible.
+
+    Scale: the doc-frequency table is vocabulary-sized (broadcast);
+    term frequencies shuffle once on (doc, token); per-doc top-k cuts
+    in the window. ln() on identical doubles agrees across engines
+    (pinned by this oracle, as with text_lang_id)."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("term_freq"))
+    df_tbl = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").alias("doc_freq")
+    )
+    n_docs = docs.select(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("term_freq") * F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .drop("rn")
+        .orderBy("doc_id", F.desc("tfidf"), "tok")
     )
