@@ -81,3 +81,26 @@ def hash_sample(df: DataFrame, id_col: str, rate_pct: int) -> DataFrame:
         "long"
     ) % 100
     return df.filter(bucket < rate_pct)
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates_pct: dict[str, int]
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates over the
+    same md5(id) buckets as `hash_sample`. Strata missing from
+    `rates_pct` are dropped (rate 0).
+
+    Unlike df.sampleBy (seeded RNG over partition order), the hash tie
+    means the SAME rows are chosen on any engine/cluster — and because
+    the bucket depends only on the id, raising a stratum's rate keeps
+    all previously sampled rows (nested samples for eval-set growth).
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % 100
+    rate = None
+    for stratum, pct in sorted(rates_pct.items()):
+        cond = F.when(F.col(strata_col) == stratum, F.lit(pct))
+        rate = cond if rate is None else rate.when(F.col(strata_col) == stratum, F.lit(pct))
+    rate = (rate.otherwise(F.lit(0)) if rate is not None else F.lit(0))
+    return df.filter(bucket < rate)

@@ -83,3 +83,35 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+STRATIFIED_ORACLE = """
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+      < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 10 WHEN 'fr' THEN 5 ELSE 0 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("sample_stratified", oracle=STRATIFIED_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (20% en / 10% de / 5% fr /
+    0% rest) on content-hash buckets: rebalancing a skewed corpus
+    without RNG — same rows selected anywhere, and nested under rate
+    increases (a 10% sample is a subset of the 20% sample), which
+    df.sampleBy cannot promise."""
+    from taps_spark.operators.profiling import stratified_hash_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sampled = stratified_hash_sample(docs, "doc_id", "lang", {"en": 20, "de": 10, "fr": 5})
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
