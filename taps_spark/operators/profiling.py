@@ -104,3 +104,16 @@ def stratified_hash_sample(
         rate = cond if rate is None else rate.when(F.col(strata_col) == stratum, F.lit(pct))
     rate = (rate.otherwise(F.lit(0)) if rate is not None else F.lit(0))
     return df.filter(bucket < rate)
+
+
+def redact_pattern(col, pattern: str = "[0-9]", repl: str = "#"):
+    """Mask every regex match in a string column (digit masking by
+    default — the account-number/phone scrubbing primitive). Global
+    replace in both engines: Spark's regexp_replace is global by
+    default; the oracle passes the 'g' flag. Patterns must stay in
+    the Java∩RE2 common subset (no lookaround).
+
+    Scale: map-only JVM regex — runs at scan speed, no shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, pattern, repl)

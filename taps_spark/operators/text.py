@@ -69,6 +69,55 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Array of space-joined word n-grams over whitespace tokens.
+
+    Guarded: Spark's `sequence(1, stop)` runs DESCENDING when
+    stop < 1 (doc shorter than n tokens), so the transform is wrapped
+    in a `when` that returns an empty array instead — matching the
+    oracle's empty generate_series.
+
+    Scale: map-only expression, no shuffle; output size is
+    len(tokens) per row, same order as the text itself.
+    """
+    toks_ = tokens(col)
+    n_grams = F.greatest(F.size(toks_) - (n - 1), F.lit(0))
+    return F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice(toks_, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals: type-token ratio (distinct
+    tokens / tokens) and top-token ratio (mode frequency / tokens) —
+    the cheap boilerplate/degenerate-text filters for pretraining
+    corpora.
+
+    Scale: computed entirely as array expressions — map-only, zero
+    shuffle, unlike the explode + groupBy(doc, token) formulation
+    whose token-level shuffle dwarfs the input at corpus scale. The
+    mode count is O(distinct × tokens) per row JVM-side, which wins
+    for natural documents (bounded distinct vocab); for degenerate
+    multi-megabyte single-doc inputs, chunk the doc upstream.
+    """
+    toks_ = tokens(text_col)
+    uniq = F.array_distinct(toks_)
+    n_tok = F.greatest(F.size(toks_), F.lit(1))
+    top_ct = F.array_max(
+        F.transform(uniq, lambda t: F.size(F.filter(toks_, lambda x: x == t)))
+    )
+    return df.select(
+        "*",
+        F.size(toks_).alias("token_ct"),
+        F.round(F.size(uniq) / n_tok, 4).alias("distinct_ratio"),
+        F.round(top_ct / n_tok, 4).alias("top_token_ratio"),
+    )
+
+
 def language_id(
     docs: DataFrame,
     id_col: str = "doc_id",

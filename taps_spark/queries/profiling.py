@@ -115,3 +115,41 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+REDACT_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(LEN(c_name) - LEN(regexp_replace(c_name, '[0-9]', '', 'g'))) AS BIGINT)
+         AS n_masked_chars,
+       MIN(regexp_replace(c_name, '[0-9]', '#', 'g')) AS sample_masked
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("pii_redact_digits", oracle=REDACT_ORACLE)
+def pii_redact_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: digit masking over customer names with a
+    per-segment audit rollup (rows touched, characters masked, one
+    sample). The redaction itself is a map-only regex at scan speed;
+    only the tiny audit aggregate shuffles."""
+    from taps_spark.operators.profiling import redact_pattern
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    masked = cust.select(
+        "c_mktsegment",
+        F.length("c_name").alias("orig_len"),
+        F.length(redact_pattern("c_name", "[0-9]", "")).alias("stripped_len"),
+        redact_pattern("c_name", "[0-9]", "#").alias("masked_name"),
+    )
+    return (
+        masked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("orig_len") - F.col("stripped_len")).cast("long").alias("n_masked_chars"),
+            F.min("masked_name").alias("sample_masked"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -324,3 +324,107 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id", F.desc("tfidf"), "tok")
     )
+
+
+REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(toks) AS INT) AS token_ct,
+       ROUND(CAST(LEN(list_distinct(toks)) AS DOUBLE) / GREATEST(LEN(toks), 1), 4)
+         AS distinct_ratio,
+       ROUND(CAST(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(toks),
+                                          s -> LEN(LIST_FILTER(toks, x -> x = s)))) AS DOUBLE)
+             / GREATEST(LEN(toks), 1), 4) AS top_token_ratio
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("text_repetition", oracle=REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition scoring — type-token ratio and
+    top-token (mode) ratio, the standard cheap filters for boilerplate
+    and degenerate generated text. Pure array expressions: map-only,
+    zero shuffle, so the filter runs at scan speed on any corpus SF."""
+    from taps_spark.operators.text import repetition_features
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return repetition_features(docs, "text").select(
+        "doc_id", "token_ct", "distinct_ratio", "top_token_ratio"
+    ).orderBy("doc_id")
+
+
+CONTAMINATION_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, bucket, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, GREATEST(LEN(toks) - 4, 0))) AS u(i)
+),
+dg AS (SELECT DISTINCT doc_id, bucket, gram FROM g),
+eval_grams AS (SELECT DISTINCT gram FROM dg WHERE bucket < 2),
+scored AS (
+  SELECT dg.doc_id,
+         COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM dg LEFT JOIN eval_grams eg USING (gram)
+  WHERE dg.bucket >= 2
+  GROUP BY dg.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_grams, 4) AS hit_ratio
+FROM scored
+WHERE n_hit > 0
+ORDER BY doc_id
+"""
+
+
+@query("text_contamination", oracle=CONTAMINATION_ORACLE)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: flags training documents sharing
+    any distinct word 5-gram with a held-out eval split (the same
+    deterministic md5 bucket used by `sample_hash_10pct`, rate 2%).
+
+    Scale: per-doc distinct grams are built map-side (array_distinct
+    before explode — no token-level shuffle for the dedup), and the
+    eval gram set — small by construction, eval suites don't grow with
+    the corpus — is BROADCAST, so the 100 TB train side never
+    shuffles: scan → explode → broadcast-probe → one doc-level agg."""
+    from taps_spark.operators.text import word_ngrams
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % 100
+    dg = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(F.array_distinct(word_ngrams("text", 5))).alias("gram"),
+    )
+    eval_grams = dg.filter(F.col("bucket") < 2).select("gram").distinct()
+    hits = (
+        dg.filter(F.col("bucket") >= 2)
+        .join(F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return (
+        hits.filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("hit_ratio"),
+        )
+        .orderBy("doc_id")
+    )

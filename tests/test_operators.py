@@ -183,3 +183,35 @@ def test_connected_components_converges_on_long_chain(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
     comps = {r["component"] for r in connected_components(edges).collect()}
     assert comps == {0}
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    # Spark's sequence(1, stop) runs DESCENDING for stop < 1; the
+    # operator must return [] (not grams of a reversed index walk)
+    # for docs shorter than n tokens.
+    from taps_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b c",), ("w1 w2 w3 w4",)], ["text"]
+    ).select(word_ngrams("text", 3).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == []
+    assert rows[1] == ["a b c"]
+    assert rows[2] == ["w1 w2 w3", "w2 w3 w4"]
+
+
+def test_stratified_sample_nests_under_rate_increase(spark):
+    # Raising a stratum's rate must keep every previously sampled row
+    # (the nested-eval-split property df.sampleBy cannot give).
+    from taps_spark.operators.profiling import stratified_hash_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    small = set(
+        r.doc_id
+        for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 10}).select("doc_id").collect()
+    )
+    big = set(
+        r.doc_id
+        for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 30}).select("doc_id").collect()
+    )
+    assert small <= big and len(big) > len(small)
