@@ -717,3 +717,158 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dormant_rich"), dsum("c_acctbal").alias("total_bal"))
         .orderBy("c_nationkey")
     )
+
+
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey AS b_partkey, MIN(supplycost) AS best_cost
+  FROM ps GROUP BY l_partkey
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name,
+       ROUND(s_acctbal, 2) AS acctbal, supplycost
+FROM ps
+JOIN best ON b_partkey = l_partkey AND supplycost = best_cost
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size <= 5
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+@query("q2_min_cost_supplier", oracle=Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per small part (TPC-H Q2 analog; lineitem
+    stands in for partsupp — the fixture has no partsupp table, see
+    FIXTURES.md §B). The correlated MIN subquery decorrelates into an
+    aggregate + equality join back; MIN over doubles is exact, so the
+    equality is engine-portable.
+
+    Scale: the part filter broadcast-semi-joins the lineitem scan
+    BEFORE any aggregation — the 100 TB fact table shrinks by the
+    part selectivity first; both aggs then shuffle on l_partkey-led
+    keys and the tiny best-cost side rides the same partitioning."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    small_parts = t["part"].filter(F.col("p_size") <= 5)
+    ps = (
+        t["lineitem"]
+        .join(F.broadcast(small_parts.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("supplycost").alias("best_cost")
+    )
+    return (
+        ps.join(
+            best,
+            (F.col("b_partkey") == F.col("l_partkey"))
+            & (F.col("supplycost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"), "supplycost",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+Q11_ORACLE = f"""
+WITH pv AS (
+  SELECT l_partkey, {dsum_sql("l_extendedprice * l_quantity")} AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM pv
+WHERE part_value > (SELECT {dsum_sql("part_value")} / 1500 FROM pv)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@query("q11_important_parts", oracle=Q11_ORACLE)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose inventory value exceeds 1/1500 of the corpus total
+    (TPC-H Q11 analog). Both the per-part values and the global
+    threshold go through the exact-decimal sum, so the > comparison
+    lands on bit-identical doubles in either engine — a double SUM of
+    the 2-dp values could differ in the last ulp and flip borderline
+    rows.
+
+    Scale: one shuffle on l_partkey; the global total is a 1-row
+    reduce of the already-aggregated per-part frame (reuses the agg
+    output, not a second fact-table scan) and broadcasts back."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    pv = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    thr = pv.agg((dsum("part_value") / 1500).alias("threshold"))
+    return (
+        pv.join(F.broadcast(thr), F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q20_ORACLE = """
+WITH sq AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_suppkey, l_partkey
+),
+tot AS (
+  SELECT l_partkey AS t_partkey, SUM(qty) AS total_qty
+  FROM sq GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM sq JOIN tot ON t_partkey = l_partkey
+  WHERE qty > 0.15 * total_qty
+)
+ORDER BY s_suppkey
+"""
+
+
+@query("q20_excess_share_suppliers", oracle=Q20_ORACLE)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers carrying >15% of any 'small%' part's shipped volume
+    (TPC-H Q20 analog): nested IN-subquery flattened to a left-semi
+    join chain. Quantities are integral doubles, so the share
+    comparison is exact cross-engine.
+
+    Scale: name-filtered parts broadcast-prune the fact scan first;
+    the per-(part,supplier) and per-part aggs share an l_partkey-led
+    shuffle; supplier is probed with a semi join (no row
+    multiplication, dedup for free)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    small = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    sq = (
+        t["lineitem"]
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = sq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    excess = (
+        sq.join(tot, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("qty") > 0.15 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
