@@ -126,3 +126,27 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.streaming.jobs import stream_sliding_agg
 
     return stream_sliding_agg(spark, sf_dir, 15, 5)
+
+
+DEDUP_STREAM_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_stream_dedup", oracle=DEDUP_STREAM_ORACLE)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state: the stream unioned
+    with itself (simulated at-least-once duplication) collapses back
+    to exactly the batch per-type totals via
+    dropDuplicatesWithinWatermark — state evicted at the watermark
+    horizon, unlike dropDuplicates whose state grows forever. Oracle
+    is the plain batch aggregate over the ORIGINAL (unduplicated)
+    table: dedup must be exactly lossless."""
+    from taps_spark.streaming.jobs import stream_dedup_within_watermark
+
+    return stream_dedup_within_watermark(spark, sf_dir).orderBy("event_type")

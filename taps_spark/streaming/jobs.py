@@ -255,3 +255,32 @@ def stream_sliding_agg(
         )
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the event stream unioned with a second
+    copy of itself (every event arrives twice), deduped on event_id by
+    dropDuplicatesWithinWatermark, then aggregated per type — the
+    at-least-once-ingest repair every streaming pipeline needs in
+    front of training-data capture.
+
+    dropDuplicatesWithinWatermark (not dropDuplicates) is the scale
+    choice: dedup state is EVICTED once the watermark passes an id's
+    event time, so state is bounded by (duplicate horizon × arrival
+    rate) instead of growing with the whole stream. Chained stateful
+    operators (dedup → windowless agg) require the watermark to be
+    declared upstream of both.
+    """
+    from taps_spark.queries.numeric import DECIMAL_T
+
+    doubled = (
+        read_events_stream(spark, sf_dir)
+        .unionByName(read_events_stream(spark, sf_dir))
+        .withWatermark("ts", "2 hours")
+    )
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DECIMAL_T)), 2).cast("double").alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete")
