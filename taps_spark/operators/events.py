@@ -91,3 +91,49 @@ def sliding_window_agg(
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), by, "n_events", "sum_value")
     )
+
+
+def gap_fill_daily(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series resample to a daily grid with forward fill — the
+    hypertable gap-fill op: per entity, one row per calendar day
+    between the entity's OWN first→last observation (timescaledb
+    gapfill bounds), day-aggregated value carried forward across gap
+    days (`last(..., ignoreNulls)` over an unbounded-preceding
+    frame) — so every output row has a fill value, no leading NULLs.
+
+    Scale: the spine is one exploded date sequence per entity derived
+    from the daily-grain aggregate itself (no driver loop, no cross
+    join). The heavy input collapses to daily grain
+    BEFORE the spine join, so the join and the fill window both run
+    on the small resampled frame, partitioned by entity.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = ev.groupBy(F.col(user_col), day.alias("day")).agg(
+        F.round(F.sum(value_col), 2).alias("day_value"),
+        F.count("*").alias("n_events"),
+    )
+    spine = (
+        daily.groupBy(user_col)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(user_col, F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, [user_col, "day"], "left")
+        .select(
+            user_col,
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+    )

@@ -238,3 +238,49 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+GAP_FILL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value
+  FROM events WHERE user_id < 10
+),
+daily AS (
+  SELECT user_id, day, ROUND(SUM(value), 2) AS day_value, COUNT(*) AS n_events
+  FROM ev GROUP BY user_id, day
+),
+bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT s.user_id,
+       STRFTIME(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       LAST_VALUE(d.day_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       d.day_value IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+ORDER BY s.user_id, s.day
+"""
+
+
+@query("events_gap_fill_daily", oracle=GAP_FILL_ORACLE)
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + forward fill (hypertable gapfill/locf): every
+    (user, day) cell on a per-user first→last date spine, day-aggregated value
+    carried across gap days, gap rows flagged. Input collapses to
+    daily grain before the spine join, so the fill runs on the small
+    resampled frame."""
+    from taps_spark.operators.events import gap_fill_daily
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(F.col("user_id") < 10)
+    filled = gap_fill_daily(ev)
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "filled_value",
+        "is_gap",
+    ).orderBy("user_id", "day")
