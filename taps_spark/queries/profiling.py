@@ -153,3 +153,41 @@ def pii_redact_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+SKEW_ORACLE = """
+WITH f AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM f)
+SELECT o_custkey, n,
+       ROUND(CAST(n AS DOUBLE) / (SELECT total FROM t) * 1000000, 1) AS ppm,
+       ROUND(CAST(n AS DOUBLE) * (SELECT n_keys FROM t) / (SELECT total FROM t), 3)
+         AS skew_x
+FROM f
+ORDER BY n DESC, o_custkey
+LIMIT 20
+"""
+
+
+@query("profile_skew_heavy_hitters", oracle=SKEW_ORACLE)
+def profile_skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: top-20 heaviest o_custkey values
+    with parts-per-million share and skew factor vs the uniform
+    expectation — the scan you run BEFORE a big join to decide
+    whether to salt (operators/skew.salted_join) or rely on AQE skew
+    splitting. One shuffle to key grain; the totals are a 1-row
+    reduce of the aggregated frame broadcast back; top-k is a
+    sort-limit (partial top-k map-side, no full sort)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    f = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    t = f.agg(F.sum("n").alias("total"), F.count("*").alias("n_keys"))
+    return (
+        f.crossJoin(F.broadcast(t))
+        .select(
+            "o_custkey",
+            "n",
+            F.round(F.col("n") / F.col("total") * 1000000, 1).alias("ppm"),
+            F.round(F.col("n") * F.col("n_keys") / F.col("total"), 3).alias("skew_x"),
+        )
+        .orderBy(F.desc("n"), "o_custkey")
+        .limit(20)
+    )

@@ -830,3 +830,44 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("user_id")
     )
+
+
+MAP_FUNCS_ORACLE = """
+SELECT event_id,
+       CAST(LEN(json_keys(props)) AS INT)                  AS n_keys,
+       json_keys(props)[1]                                 AS first_key,
+       CAST(json_extract(props, '$.k') AS INT)             AS k_value,
+       CAST(json_extract(props, '$.k') AS INT) % 10 = 0    AS k_div10,
+       '{"k":' || (CAST(json_extract(props, '$.k') AS INT) + 1) || '}' AS bumped_json,
+       CAST(LEN(json_keys(props)) + 1 AS INT)              AS n_keys_concat
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+@query("scalar_map_funcs", oracle=MAP_FUNCS_ORACLE)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: JSON → map<string,int> via
+    from_json, then map_keys / element_at / map_contains_key /
+    transform_values / map_concat / to_json. All map-only codegen'd
+    expressions — the map column never leaves the executor as an
+    object, only flattened scalars come back."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.filter(F.col("event_id") < 200)
+        .select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.size("m").alias("n_keys"),
+            F.element_at(F.map_keys("m"), 1).alias("first_key"),
+            F.element_at("m", F.lit("k")).alias("k_value"),
+            (F.element_at("m", F.lit("k")) % 10 == 0).alias("k_div10"),
+            F.to_json(F.transform_values("m", lambda k, v: v + 1)).alias("bumped_json"),
+            F.size(F.map_concat("m", F.create_map(F.lit("extra"), F.lit(1)))).alias(
+                "n_keys_concat"
+            ),
+        )
+        .orderBy("event_id")
+    )
