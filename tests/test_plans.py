@@ -124,3 +124,32 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     # correctness: pruned read equals the filtered full read
     expected = li.filter(F.col("ship_year") == 1996).count()
     assert df.count() == expected
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(spark, "text_contamination", sf_dir)
+    # The eval gram set is fixed-size; if it ever degrades to a
+    # sort-merge join the 100 TB train side shuffles on gram.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_profiler_uses_topk_not_global_sort(spark, sf_dir):
+    plan = formatted_plan(spark, "profile_skew_heavy_hitters", sf_dir)
+    assert "TakeOrderedAndProject" in plan, (
+        "top-20 heavy hitters must be a partial top-k, not a full sort"
+    )
+
+
+def test_q2_pushes_part_filter_before_agg(spark, sf_dir):
+    plan = formatted_plan(spark, "q2_min_cost_supplier", sf_dir)
+    # The p_size filter must prune the fact scan via broadcast semi
+    # join BEFORE the (partkey, suppkey) aggregation.
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_spine_has_no_cartesian(spark, sf_dir):
+    plan = formatted_plan(spark, "events_gap_fill_daily", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
