@@ -4,7 +4,7 @@ fixture — batch forms whose semantics match the streaming module's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from taps_spark.io.tables import load_tables
@@ -284,3 +284,68 @@ def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled_value",
         "is_gap",
     ).orderBy("user_id", "day")
+
+
+ANOMALY_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         SUM(value)       OVER win AS s,
+         SUM(value*value) OVER win AS sq,
+         COUNT(*)         OVER win AS n
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT user_id, event_id, value,
+         (sq - s*s/n) / (n-1) AS var,
+         value - s/n AS dev
+  FROM w WHERE n >= 6
+)
+SELECT user_id, event_id, ROUND(value, 2) AS value,
+       ROUND(ABS(dev) / SQRT(var), 2) AS z
+FROM scored
+WHERE var > 1e-9 AND ABS(dev) / SQRT(var) > 2.5
+ORDER BY user_id, event_id
+"""
+
+
+@query("events_anomaly_zscore", oracle=ANOMALY_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    its user's TRAILING 12-event window (current row excluded — no
+    self-contamination), flagged above 2.5σ. Variance comes from
+    explicit sum/sum-of-squares so both engines run the identical
+    float expression; windows with ~zero variance are excluded with a
+    1e-9 guard because an exact-0 variance is sign-unstable in float
+    across engines.
+
+    Scale: one shuffle on user_id; the window frame is O(1) state per
+    row. The anomaly filter drops ~95% of rows before the final sort."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-12, -1)
+    )
+    w = ev.select(
+        "user_id", "event_id", "value",
+        F.sum("value").over(win).alias("s"),
+        F.sum(F.col("value") * F.col("value")).over(win).alias("sq"),
+        F.count("*").over(win).alias("n"),
+    ).filter(F.col("n") >= 6)
+    scored = w.select(
+        "user_id", "event_id", "value",
+        ((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+        (F.col("value") - F.col("s") / F.col("n")).alias("dev"),
+    )
+    z = F.abs(F.col("dev")) / F.sqrt(F.col("var"))
+    return (
+        scored.filter((F.col("var") > 1e-9) & (z > 2.5))
+        .select(
+            "user_id", "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 2).alias("z"),
+        )
+        .orderBy("user_id", "event_id")
+    )

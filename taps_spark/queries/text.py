@@ -428,3 +428,57 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+QUALITY_GATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, LEN(toks) AS token_ct,
+         CAST(LEN(LIST_FILTER(toks, s -> s IN ('the','a','of','and','to','in','is')))
+              AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio
+  FROM t
+)
+SELECT CASE WHEN token_ct < 40 THEN 'too_short'
+            WHEN stop_ratio < 0.08 THEN 'low_fluency'
+            ELSE 'keep' END AS verdict,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM q
+GROUP BY verdict
+ORDER BY verdict
+"""
+
+
+@query("text_quality_gate", oracle=QUALITY_GATE_ORACLE)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable corpus quality gate: every document routed to a
+    keep/drop verdict (first failing rule wins — too_short, then
+    low_fluency) with per-verdict audit counts. The filter itself is
+    map-only expression logic at scan speed; only the 3-row audit
+    aggregate shuffles. In a real pipeline the same CASE column
+    drives a partitioned write (keep/quarantine) with zero extra
+    passes."""
+    from taps_spark.operators.text import STOPWORDS, stopword_count, token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = token_count("text")
+    sr = stopword_count("text") / F.greatest(tc, F.lit(1))
+    verdict = (
+        F.when(tc < 40, "too_short")
+        .when(sr < 0.08, "low_fluency")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("doc_id", "lang", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("verdict")
+    )
