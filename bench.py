@@ -47,6 +47,8 @@ HEADLINE = [
     "q18_large_orders",
     "window_function_family",
     "agg_grouping_sets",
+    "text_contamination",
+    "events_anomaly_zscore",
 ]
 
 

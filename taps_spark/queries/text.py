@@ -397,16 +397,16 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval gram set — small by construction, eval suites don't grow with
     the corpus — is BROADCAST, so the 100 TB train side never
     shuffles: scan → explode → broadcast-probe → one doc-level agg."""
-    from taps_spark.operators.text import word_ngrams
+    from taps_spark.operators.text import with_word_ngrams
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
         "long"
     ) % 100
-    dg = docs.select(
+    dg = with_word_ngrams(docs, "text", 5).select(
         "doc_id",
         bucket.alias("bucket"),
-        F.explode(F.array_distinct(word_ngrams("text", 5))).alias("gram"),
+        F.explode(F.array_distinct("grams")).alias("gram"),
     )
     eval_grams = dg.filter(F.col("bucket") < 2).select("gram").distinct()
     hits = (
