@@ -220,3 +220,56 @@ def q_validation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("custkey_overflow"),
         F.count("*").alias("n_rows"),
     )
+
+
+FK_ORPHAN_ORACLE = """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT COUNT(*) FROM customer)
+ORDER BY relation
+"""
+
+
+@query("validate_fk_orphans", oracle=FK_ORPHAN_ORACLE)
+def validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity scan after a bulk copy: orphan counts per
+    FK relation via LEFT-ANTI joins (the check the reference's
+    per-table transfer cannot do, since it never joins —
+    lib/taps/operation.rb:273-286 moves tables independently and
+    trusts the source). Parent keys broadcast where small; each child
+    table is scanned once, key-only (column pruning to the FK)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, rel: str) -> DataFrame:
+        anti = child.select(ckey).join(
+            F.broadcast(parent.select(pkey)), F.col(ckey) == F.col(pkey), "left_anti"
+        )
+        # two 1-row aggregates cross-joined — no eager .count() action
+        return (
+            anti.agg(F.count("*").alias("n_orphans"))
+            .crossJoin(child.agg(F.count("*").alias("n_child_rows")))
+            .select(F.lit(rel).alias("relation"), "n_orphans", "n_child_rows")
+        )
+
+    return (
+        orphans(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey", "lineitem->orders")
+        .unionByName(
+            orphans(t["orders"], "o_custkey", t["customer"], "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            orphans(t["customer"], "c_nationkey", t["nation"], "n_nationkey", "customer->nation")
+        )
+        .orderBy("relation")
+    )
