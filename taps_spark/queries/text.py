@@ -482,3 +482,52 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+MIX_PLAN_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CAST(SUM(LEN(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS toks,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(toks) AS total, COUNT(*) AS n_sources FROM s)
+SELECT source, toks, n_docs,
+       ROUND(CAST(toks AS DOUBLE) / (SELECT total FROM t), 4) AS current_share,
+       ROUND(LEAST(1.0, (CAST((SELECT total FROM t) AS DOUBLE) / (SELECT n_sources FROM t))
+                        / toks), 4) AS sample_rate
+FROM s
+ORDER BY source
+"""
+
+
+@query("text_mix_plan", oracle=MIX_PLAN_ORACLE)
+def text_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing planner: per-source token counts,
+    current corpus share, and the downsampling rate that equalizes
+    token share across sources (capped at 1.0 — undersized sources
+    keep everything). Feed the rates to `stratified_hash_sample`
+    (strata = source) for a deterministic, nested rebalance. One
+    token-count aggregate; the totals are a broadcast 1-row reduce of
+    the per-source frame — the plan never rescans documents."""
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    s = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("toks"),
+        F.count("*").alias("n_docs"),
+    )
+    t = s.agg(F.sum("toks").alias("total"), F.count("*").alias("n_sources"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "toks",
+            "n_docs",
+            F.round(F.col("toks") / F.col("total"), 4).alias("current_share"),
+            F.round(
+                F.least(F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("toks")), 4
+            ).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
