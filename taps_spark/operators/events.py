@@ -137,3 +137,46 @@ def gap_fill_daily(
             F.col("day_value").isNull().alias("is_gap"),
         )
     )
+
+
+def hypertable_rollup(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-resolution continuous-aggregate rollup (the hypertable
+    pattern): aggregate once at the fine grain (hourly), then derive
+    the coarse grain (daily) FROM the hourly partials — never
+    re-scanning raw rows — exactly how timescaledb continuous
+    aggregates / Druid rollup segments compose resolutions.
+
+    The hourly partial keeps its value sum in unrounded DECIMAL so the
+    daily re-aggregation is exact (see queries/numeric.py); rounding
+    happens once, at the output grain. Daily also exposes what only a
+    partial-preserving rollup can answer cheaply: the peak hour's
+    event count and the number of active hours.
+
+    Scale: raw rows are touched once; the hourly frame is ~rows/3600
+    and every coarser grain aggregates the frame above it, so a
+    year of 100 TB telemetry rolls up through a few-GB intermediate.
+    One shuffle per grain on (bucket, key) — both tiny.
+    """
+    from taps_spark.queries.numeric import DECIMAL_T
+
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour_start"),
+        F.col(key_col),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast(DECIMAL_T)).alias("sum_v"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "hour_start"), "yyyy-MM-dd").alias("day"),
+        F.col(key_col),
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_v"), 2).cast("double").alias("sum_value"),
+        F.max("n_events").alias("peak_hour_events"),
+        F.count("*").cast("int").alias("n_active_hours"),
+    )

@@ -161,3 +161,114 @@ def sample_frames(assets: DataFrame, every_ms: int = 2000, max_frames: int = 5) 
             yield out
 
     return assets.mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def sample_audio_windows(
+    assets: DataFrame, window_ms: int = 1000, max_windows: int = 8
+) -> DataFrame:
+    """Audio windowing for audio assets: one output row per fixed-size
+    PCM window (1→N mapInPandas expansion), each carrying a per-window
+    energy statistic — the shape a real loudness/VAD pipeline has.
+
+    The audio DECODE is stubbed (no soundfile/librosa in this
+    container): duration comes from the stub decoder and the per-window
+    'rms' derives deterministically from the payload checksum chained
+    with the window index, so the whole pipeline is oracle-checkable.
+    The Spark plumbing (Arrow batches in, expanded typed batches out)
+    is real.
+
+    Scale: map-only — no shuffle; window count per asset bounds output
+    amplification, and repartitioning by duration evens task skew.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "window_idx", "start_ms", "rms"]
+        for pdf in it:
+            rows = []
+            for aid, mod, payload in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                if mod != "audio" or payload is None:
+                    continue
+                dur = _decode_stub("audio", payload)["duration_ms"]
+                base = hashlib.md5(payload).hexdigest()
+                n_win = min(max_windows, max(1, dur // window_ms))
+                for i in range(n_win):
+                    h = hashlib.md5(f"{base}-w{i}".encode()).hexdigest()
+                    # int/int→double division: identical IEEE op in
+                    # Spark, DuckDB, and here → bit-identical results.
+                    rms = int(h[:8], 16) % 10000 / 10000.0
+                    rows.append((aid, i, i * window_ms, rms))
+            out = pd.DataFrame(rows, columns=cols)
+            out["asset_id"] = out["asset_id"].astype("int64")
+            out["window_idx"] = out["window_idx"].astype("int32")
+            out["start_ms"] = out["start_ms"].astype("int64")
+            out["rms"] = out["rms"].astype("float64")
+            yield out
+
+    return assets.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("new_width", T.IntegerType(), False),
+        T.StructField("new_height", T.IntegerType(), False),
+        T.StructField("resized_checksum", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving image resize for image assets: long side →
+    `target` px, short side scaled by exact integer math (floor), the
+    standard thumbnail/model-input prep step.
+
+    The pixel RESAMPLE is stubbed (no PIL in this container): source
+    dimensions come from the stub decoder and the resized 'content'
+    hash chains the payload checksum with the output dims — both
+    deterministic, so dimension math and plumbing are oracle-gated.
+
+    Scale: map-only; in a real pipeline this is the kernel whose Arrow
+    batch size is bounded by decoded-pixel memory, not row count.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "width", "height", "new_width", "new_height", "resized_checksum"]
+        for pdf in it:
+            rows = []
+            for aid, mod, payload in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                if mod != "image" or payload is None:
+                    continue
+                d = _decode_stub("image", payload)
+                w, h = d["width"], d["height"]
+                if w >= h:
+                    nw, nh = target, (h * target) // w
+                else:
+                    nw, nh = (w * target) // h, target
+                checksum = hashlib.md5(payload).hexdigest()
+                rows.append(
+                    (
+                        aid, w, h, nw, nh,
+                        hashlib.md5(f"{checksum}-{nw}x{nh}".encode()).hexdigest(),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["asset_id"] = out["asset_id"].astype("int64")
+            for c in ("width", "height", "new_width", "new_height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return assets.mapInPandas(batches, RESIZE_SCHEMA)

@@ -349,3 +349,37 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+HYPERTABLE_ORACLE = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour_start,
+         event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(27,6))) AS sum_v
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT STRFTIME(DATE_TRUNC('day', hour_start), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(sum_v), 2) AS DOUBLE) AS sum_value,
+       CAST(MAX(n_events) AS BIGINT) AS peak_hour_events,
+       CAST(COUNT(*) AS INT) AS n_active_hours
+FROM hourly
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("events_hypertable_rollup", oracle=HYPERTABLE_ORACLE)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly→daily continuous-aggregate rollup: the coarse grain is
+    computed FROM the fine grain's decimal partials (raw rows scanned
+    once), surfacing per-day totals plus peak-hour count and active
+    hours — the hypertable/materialized-rollup pattern. See
+    operators/events.hypertable_rollup."""
+    from taps_spark.operators.events import hypertable_rollup
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return hypertable_rollup(ev).orderBy("day", "event_type")

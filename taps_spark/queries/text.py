@@ -209,6 +209,86 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WINDOWS_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         OCTET_LENGTH(ENCODE(text)) AS n,
+         MD5(text) AS base
+  FROM documents WHERE doc_id % 3 = 1
+),
+d AS (SELECT asset_id, base, 1000 + (n * 13) % 60000 AS dur FROM a),
+w AS (
+  SELECT asset_id, base,
+         unnest(range(LEAST(8, GREATEST(1, dur // 1000)))) AS window_idx
+  FROM d
+)
+SELECT asset_id,
+       CAST(window_idx AS INT) AS window_idx,
+       CAST(window_idx * 1000 AS BIGINT) AS start_ms,
+       CAST(('0x' || SUBSTR(MD5(base || '-w' || CAST(window_idx AS VARCHAR)), 1, 8))
+            AS BIGINT) % 10000 / 10000.0 AS rms
+FROM w
+ORDER BY asset_id, window_idx
+"""
+
+
+@query("multimodal_audio_windows", oracle=AUDIO_WINDOWS_ORACLE)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing through mapInPandas (1 asset row → N window
+    rows): 1 s windows up to 8 per asset, each with a deterministic
+    stubbed per-window energy, so the oracle reproduces window count,
+    offsets, and values exactly. See operators/multimodal.sample_audio_windows."""
+    from taps_spark.operators.multimodal import sample_audio_windows
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs)
+    return sample_audio_windows(assets, window_ms=1000, max_windows=8).orderBy(
+        "asset_id", "window_idx"
+    )
+
+
+RESIZE_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         OCTET_LENGTH(ENCODE(text)) AS n,
+         MD5(text) AS checksum
+  FROM documents WHERE doc_id % 3 = 0
+),
+d AS (
+  SELECT asset_id, checksum,
+         CAST(64 + n % 512 AS INT) AS width,
+         CAST(64 + (n * 7) % 512 AS INT) AS height
+  FROM a
+),
+r AS (
+  SELECT asset_id, checksum, width, height,
+         CAST(CASE WHEN width >= height THEN 224
+                   ELSE (width * 224) // height END AS INT) AS new_width,
+         CAST(CASE WHEN width >= height THEN (height * 224) // width
+                   ELSE 224 END AS INT) AS new_height
+  FROM d
+)
+SELECT asset_id, width, height, new_width, new_height,
+       MD5(checksum || '-' || CAST(new_width AS VARCHAR) || 'x'
+           || CAST(new_height AS VARCHAR)) AS resized_checksum
+FROM r
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_image_resize", oracle=RESIZE_ORACLE)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize plumbing (long side → 224 px,
+    exact integer math; pixel resample stubbed deterministically so
+    dimension math + checksum chain are oracle-gated). See
+    operators/multimodal.resize_images."""
+    from taps_spark.operators.multimodal import resize_images
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs)
+    return resize_images(assets, target=224).orderBy("asset_id")
+
+
 NGRAM_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
