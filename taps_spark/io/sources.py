@@ -40,6 +40,17 @@ def read_json(
     return spark.read.options(**options).schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: the other columnar interchange format (predicate pushdown
+    + column pruning like parquet); schema travels in the footer."""
+    tune(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 

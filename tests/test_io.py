@@ -62,3 +62,12 @@ def test_json_round_trip(spark, sf_dir, tmp_path):
     sources.write_json(customer, path)
     back = sources.read_json(spark, path, customer.schema)
     assert compare(customer, back).ok
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    sources.write_orc(orders, path)
+    back = sources.read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert compare(orders, back).ok

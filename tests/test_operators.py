@@ -215,3 +215,74 @@ def test_stratified_sample_nests_under_rate_increase(spark):
         for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 30}).select("doc_id").collect()
     )
     assert small <= big and len(big) > len(small)
+
+
+def test_image_resize_dimension_math(spark):
+    """Aspect-fit integer math: square → 224×224, landscape/portrait
+    scale the short side by exact floor division, never below 1."""
+    from taps_spark.operators.multimodal import resize_images
+
+    rows = [
+        (1, "image", b"x" * 100, None),   # dims derive from payload len
+        (2, "audio", b"y" * 100, None),   # non-image: dropped
+        (3, "image", None, None),         # null payload: dropped
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary, meta map<string,string>"
+    )
+    out = {r["asset_id"]: r for r in resize_images(assets, target=224).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    w, h = r["width"], r["height"]
+    if w >= h:
+        assert r["new_width"] == 224 and r["new_height"] == (h * 224) // w
+    else:
+        assert r["new_height"] == 224 and r["new_width"] == (w * 224) // h
+    assert r["new_width"] >= 1 and r["new_height"] >= 1
+
+
+def test_audio_windows_cap_and_determinism(spark):
+    """Window expansion honors the max-window cap, offsets step by
+    window_ms, and per-window energy is deterministic across runs."""
+    from taps_spark.operators.multimodal import sample_audio_windows
+
+    assets = spark.createDataFrame(
+        [(7, "audio", b"z" * 5000, None)],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    first = sample_audio_windows(assets, window_ms=1000, max_windows=3).collect()
+    again = sample_audio_windows(assets, window_ms=1000, max_windows=3).collect()
+    assert len(first) <= 3
+    assert [r["start_ms"] for r in first] == [i * 1000 for i in range(len(first))]
+    assert all(0.0 <= r["rms"] < 1.0 for r in first)
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+
+def test_hypertable_rollup_matches_single_level(spark):
+    """Two-level rollup (hourly partials → daily) must equal a direct
+    raw→daily aggregation — the invariant that makes partial reuse safe."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from taps_spark.operators.events import hypertable_rollup
+    from taps_spark.queries.numeric import dsum
+
+    base = datetime.datetime(2024, 3, 1, 0, 30)
+    rows = [
+        (i, base + datetime.timedelta(minutes=37 * i), i % 3, "click" if i % 2 else "view",
+         round(0.01 * i, 2), None)
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+              "value double, props string"
+    )
+    rolled = hypertable_rollup(ev)
+    direct = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    r = {(x["day"], x["event_type"]): (x["n_events"], x["sum_value"]) for x in rolled.collect()}
+    d = {(x["day"], x["event_type"]): (x["n_events"], x["sum_value"]) for x in direct.collect()}
+    assert r == d
