@@ -49,6 +49,8 @@ HEADLINE = [
     "agg_grouping_sets",
     "text_contamination",
     "events_anomaly_zscore",
+    "events_hypertable_rollup",
+    "multimodal_audio_windows",
 ]
 
 

@@ -203,7 +203,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.operators.multimodal import sample_frames
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    assets = synthesize_assets(docs)
+    assets = synthesize_assets(docs).filter(F.col("modality") == "video")
     return sample_frames(assets, every_ms=2000, max_frames=5).orderBy(
         "asset_id", "frame_idx"
     )
@@ -241,7 +241,11 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.operators.multimodal import sample_audio_windows
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    assets = synthesize_assets(docs)
+    # Pre-filter to the audio third so only audio payloads cross the
+    # Arrow boundary (the stub kernel is cheap — a repartition here
+    # measurably LOSES at local scale; real decoders would want
+    # io/tables.parallelize_cpu).
+    assets = synthesize_assets(docs).filter(F.col("modality") == "audio")
     return sample_audio_windows(assets, window_ms=1000, max_windows=8).orderBy(
         "asset_id", "window_idx"
     )
@@ -285,7 +289,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.operators.multimodal import resize_images
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    assets = synthesize_assets(docs)
+    assets = synthesize_assets(docs).filter(F.col("modality") == "image")
     return resize_images(assets, target=224).orderBy("asset_id")
 
 
