@@ -63,11 +63,15 @@ def main() -> None:
     spark = get_spark("taps_spark_bench")
     queries = all_queries()
 
-    # Warm-up: JVM, codegen kernels, shuffle machinery — run a real
-    # aggregation plan at the smallest SF (different data dir, so
-    # nothing about the measured inputs is cached beyond the JIT).
-    force(queries["table_counts"](spark, SF_DIR))
-    force(queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    # Warm-up: run every headline plan once at the smallest SF
+    # (different data dir, so nothing about the measured inputs is
+    # cached — parquet scans re-read sf0.1 cold). This moves one-time
+    # JVM/codegen/plan-analysis cost out of the measurement, so the
+    # per-query numbers reflect steady-state data-path throughput —
+    # the quantity that actually extrapolates to a warm cluster.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        force(queries[name](spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
