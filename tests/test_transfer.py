@@ -194,3 +194,18 @@ def test_merge_upsert_is_idempotent_on_replay(spark, tmp_path):
     merge_upsert(spark, df, path, ["id"])  # replay: same keys, same rows
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 2
+
+
+def test_transfer_meters_rows_during_write(spark, sf_dir, tmp_path, target_dir):
+    """Progress metering (§2a-23): non-keyed appends report exact rows
+    moved, observed during the write action itself — no count job."""
+    op = TransferOperation(
+        source=ParquetEndpoint(sf_dir),
+        target=ParquetEndpoint(target_dir),
+        manifest=TransferManifest.load(str(tmp_path / "m.json")),
+        table_pattern="(^region$|^nation$)",
+        verify=False,
+    )
+    os.makedirs(target_dir, exist_ok=True)
+    result = op.run(spark)
+    assert result.transferred == {"region": 5, "nation": 25}
