@@ -254,3 +254,35 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+#: One dialect-portable ANSI statement — executed VERBATIM by both
+#: Spark SQL (over temp views) and the DuckDB oracle, proving the
+#: engine's raw-SQL entry point gives the same answers as the
+#: DataFrame API (same Catalyst planning underneath).
+SQL_INTERFACE_STMT = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, order_year
+"""
+
+
+@query("sql_interface_revenue", oracle=SQL_INTERFACE_STMT)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL entry point: fixture tables registered as temp views,
+    then `spark.sql` runs the SAME statement the oracle runs — the
+    engine's second query surface next to the DataFrame API. Catalyst
+    plans it identically (broadcasts, pushdown), so everything
+    tests/test_plans.py asserts about DataFrame plans holds here too."""
+    tables = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(SQL_INTERFACE_STMT)
