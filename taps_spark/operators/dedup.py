@@ -227,3 +227,44 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash from an md5-derived token hash family — same
+    vote/assemble pipeline as simhash64 but ENGINE-PORTABLE (md5 of
+    the token, first 15 hex chars → 60-bit int), so a SQL oracle can
+    reproduce the fingerprints bit-for-bit. Production keeps
+    simhash64 (xxhash64 is ~5× cheaper than md5); this variant exists
+    to correctness-gate the SimHash math itself.
+
+    Same scale shape: distinct tokens hashed once, posexplode to
+    (id, pos, bit), map-side-combined vote shuffle, one shifted sum.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bits = toks.select(
+        F.col(id_col),
+        F.posexplode(F.expr("transform(sequence(0,59), i -> (shiftright(h, i) & 1))")).alias(
+            "pos", "bit"
+        ),
+    )
+    votes = bits.groupBy(id_col, "pos").agg((F.sum("bit") * 2 - F.count("*")).alias("vote"))
+    out = votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, pos)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    return out.select(
+        id_col,
+        "simhash",
+        *[
+            F.expr(f"shiftright(simhash, {15 * i}) & 32767").cast("int").alias(f"band{i}")
+            for i in range(4)
+        ],
+    )

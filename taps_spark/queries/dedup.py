@@ -366,3 +366,47 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"), F.max("node").alias("max_member"))
         .orderBy("component")
     )
+
+
+SIMHASH_PORTABLE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, i.pos, (h >> i.pos) & 1 AS bit
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS pos) i
+),
+votes AS (
+  SELECT doc_id, pos, 2 * SUM(bit) - COUNT(*) AS vote FROM bits GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY 1
+)
+SELECT doc_id, simhash,
+       CAST((simhash >> 0)  & 32767 AS INT) AS band0,
+       CAST((simhash >> 15) & 32767 AS INT) AS band1,
+       CAST((simhash >> 30) & 32767 AS INT) AS band2,
+       CAST((simhash >> 45) & 32767 AS INT) AS band3
+FROM sh
+ORDER BY doc_id
+"""
+
+
+@query("dedup_simhash_portable", oracle=SIMHASH_PORTABLE_ORACLE)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated SimHash: md5-derived 60-bit hash family so DuckDB
+    reproduces every fingerprint and band bit-for-bit — the
+    correctness gate for the SimHash math that the fast xxhash64
+    variant (dedup_simhash) shares. See operators/dedup.simhash_portable."""
+    from taps_spark.operators.dedup import simhash_portable
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return simhash_portable(docs, "doc_id", "text").orderBy("doc_id")
