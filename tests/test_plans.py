@@ -153,3 +153,35 @@ def test_gap_fill_spine_has_no_cartesian(spark, sf_dir):
     plan = formatted_plan(spark, "events_gap_fill_daily", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_expansion_is_map_only(spark, sf_dir):
+    """Audio windowing and frame sampling are 1→N expansions — at
+    100 TB they must stay map-only (no Exchange below the final sort,
+    which only the query-level orderBy adds for oracle determinism)."""
+    from taps_spark.io.tables import load_tables
+    from taps_spark.operators.multimodal import (
+        sample_audio_windows,
+        synthesize_assets,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = sample_audio_windows(synthesize_assets(docs))
+    qe = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    assert "Exchange" not in plan, "audio windowing must not shuffle"
+    assert "MapInPandas" in plan
+
+
+def test_hypertable_rollup_two_shuffles_and_pruned_scan(spark, sf_dir):
+    """Continuous-aggregate rollup: exactly one shuffle per grain
+    (hourly, daily) and a scan pruned to (ts, event_type, value)."""
+    plan = formatted_plan(spark, "events_hypertable_rollup", sf_dir)
+    # 2 grain shuffles + at most 1 for the output sort/collect.
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l
+    )
+    assert n_exchanges <= 3, plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema and "user_id" not in read_schema
