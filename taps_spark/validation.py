@@ -43,6 +43,21 @@ def not_null(col: str) -> Rule:
     return Rule(f"{col}_not_null", F.col(col).isNull())
 
 
+def coerce_invalid_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Reference parity for malformed datetimes → NULL: taps sets
+    `convert_invalid_date_time = :nil` (lib/taps/config.rb:4,
+    lib/taps/data_stream.rb:229-231) so MySQL zero-dates and garbage
+    strings load as NULL instead of failing the transfer.
+
+    Spark analog: `try_to_timestamp` parses string columns
+    permissively — unparseable values become NULL, never an error —
+    all JVM-side, one map pass, no shuffle."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.try_to_timestamp(F.col(c)))
+    return out
+
+
 def violation_counts(df: DataFrame, rules: list[Rule]) -> dict[str, int]:
     """One distributed aggregate: conditional count per rule."""
     if not rules:

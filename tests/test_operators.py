@@ -286,3 +286,17 @@ def test_hypertable_rollup_matches_single_level(spark):
     r = {(x["day"], x["event_type"]): (x["n_events"], x["sum_value"]) for x in rolled.collect()}
     d = {(x["day"], x["event_type"]): (x["n_events"], x["sum_value"]) for x in direct.collect()}
     assert r == d
+
+
+def test_invalid_timestamps_coerce_to_null(spark):
+    """Malformed datetimes load as NULL, matching the reference's
+    convert_invalid_date_time = :nil behavior (never an error)."""
+    from taps_spark.validation import coerce_invalid_timestamps
+
+    df = spark.createDataFrame(
+        [("2024-03-01 10:00:00",), ("0000-00-00 00:00:00",), ("not a date",), (None,)],
+        "ts string",
+    )
+    got = [r["ts"] for r in coerce_invalid_timestamps(df, ["ts"]).collect()]
+    assert got[0] is not None
+    assert got[1] is None and got[2] is None and got[3] is None
