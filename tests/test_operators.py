@@ -300,3 +300,22 @@ def test_invalid_timestamps_coerce_to_null(spark):
     got = [r["ts"] for r in coerce_invalid_timestamps(df, ["ts"]).collect()]
     assert got[0] is not None
     assert got[1] is None and got[2] is None and got[3] is None
+
+
+def test_simhash_portable_is_token_set_invariant(spark):
+    """SimHash works on the distinct-token SET: reordering or
+    repeating tokens must not change the fingerprint."""
+    from taps_spark.operators.dedup import simhash_portable
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),
+            (3, "alpha alpha beta beta gamma gamma delta"),
+            (4, "alpha beta gamma epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_portable(df, "doc_id", "text").collect()}
+    assert sig[1] == sig[2] == sig[3]
+    assert sig[4] != sig[1]
