@@ -410,3 +410,41 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
     return simhash_portable(docs, "doc_id", "text").orderBy("doc_id")
+
+
+INCREMENTAL_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+existing AS (SELECT fp FROM fp WHERE doc_id % 2 = 0),
+incoming AS (SELECT doc_id, source, fp FROM fp WHERE doc_id % 2 = 1)
+SELECT i.doc_id, i.source
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+ORDER BY i.doc_id
+"""
+
+
+@query("dedup_incremental", oracle=INCREMENTAL_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (odd doc_ids stand in for
+    the incoming crawl) is anti-joined by content fingerprint against
+    the already-ingested corpus (even doc_ids) — the op every
+    continuously-crawling pipeline runs before appending.
+
+    Scale: fingerprints are 16-byte hashes, so the anti-join shuffles
+    hashes, never text; at 100 TB the 'existing' side is a bucketed
+    fingerprint table so only the incoming batch shuffles."""
+    from taps_spark.operators.text import fingerprint
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
+    existing = fp.filter(F.col("doc_id") % 2 == 0).select("fp")
+    incoming = fp.filter(F.col("doc_id") % 2 == 1)
+    return (
+        incoming.join(existing, "fp", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

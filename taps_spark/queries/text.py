@@ -615,3 +615,63 @@ def text_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+PACK_ORACLE = """
+WITH tc AS (
+  SELECT doc_id, lang,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM tc
+),
+packed AS (
+  SELECT lang, CAST((cum_tok - n_tok) // 2048 AS INT) AS pack_id, n_tok
+  FROM cum
+)
+SELECT lang, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
+@query("text_pack_sequences", oracle=PACK_ORACLE)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per language, documents
+    (in stable doc_id order) are binned into ~2048-token packs by
+    start-offset binning — pack_id = floor(tokens-before / budget) —
+    the deterministic, shuffle-light cousin of greedy first-fit
+    packing. Output = per-pack document and token counts.
+
+    Scale: one window (partitioned by lang — re-key to (lang, shard)
+    if a language dominates) + one tiny grouped agg; token counts
+    travel, text never does."""
+    from pyspark.sql import Window
+
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tc = docs.select("doc_id", "lang", token_count("text").cast("long").alias("n_tok"))
+    packed = (
+        tc.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .select(
+            "lang",
+            F.expr("CAST((cum_tok - n_tok) DIV 2048 AS INT)").alias("pack_id"),
+            "n_tok",
+        )
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    )
