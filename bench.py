@@ -51,6 +51,8 @@ HEADLINE = [
     "events_anomaly_zscore",
     "events_hypertable_rollup",
     "multimodal_audio_windows",
+    "dedup_incremental",
+    "pipeline_corpus_prep",
 ]
 
 

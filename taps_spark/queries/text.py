@@ -675,3 +675,83 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
         .orderBy("lang", "pack_id")
     )
+
+
+CORPUS_PREP_ORACLE = """
+WITH feat AS (
+  SELECT doc_id, lang, text,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS token_ct,
+         CAST(LEN(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS punct_ct
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, lang, text, CAST(token_ct AS BIGINT) AS n_tok
+  FROM feat WHERE token_ct >= 5 AND punct_ct <= token_ct
+),
+keep_first AS (
+  SELECT doc_id, lang, n_tok,
+         ROW_NUMBER() OVER (
+           PARTITION BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+           ORDER BY doc_id) AS rn
+  FROM gated
+),
+cum AS (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM keep_first WHERE rn = 1
+)
+SELECT lang,
+       CAST((cum_tok - n_tok) // 2048 AS INT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+FROM cum
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("pipeline_corpus_prep", oracle=CORPUS_PREP_ORACLE)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-prep pipeline as ONE DataFrame plan: integer
+    quality gate (token_ct >= 5, punct <= tokens) → exact dedup
+    keep-first by content fingerprint → per-language token-budget
+    sequence packing. The chain Catalyst sees whole: the gate stays a
+    pushable filter under both windows, text is dropped before any
+    shuffle, and the only wide ops are the two windows + final agg —
+    the shape a real pretraining prep job has.
+
+    Scale: gate is map-only; the dedup window shuffles 16-byte
+    fingerprints + token counts (never text); packing re-keys by lang
+    (shard a dominant lang into (lang, hash-bucket) at 100 TB)."""
+    from pyspark.sql import Window
+
+    from taps_spark.operators.text import fingerprint, token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = token_count("text")
+    gated = docs.select(
+        "doc_id", "lang",
+        tc.cast("long").alias("n_tok"),
+        fingerprint("text").alias("fp"),
+        F.regexp_count("text", F.lit(r"[.,;:!?]")).alias("punct_ct"),
+    ).filter((F.col("n_tok") >= 5) & (F.col("punct_ct") <= F.col("n_tok")))
+    w_dedup = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tok")
+    )
+    w_pack = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = kept.withColumn("cum_tok", F.sum("n_tok").over(w_pack)).select(
+        "lang",
+        F.expr("CAST((cum_tok - n_tok) DIV 2048 AS INT)").alias("pack_id"),
+        "n_tok",
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    )
