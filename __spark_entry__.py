@@ -9,6 +9,9 @@ determinism contract).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,12 +26,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _coverage_counts() -> dict[str, int]:
+    """Count green driver-correctness rows per query across past rounds.
+
+    The driver gates a bounded prefix of `queries()` each round, so we
+    rotate: queries with the fewest green rows in CORRECTNESS_r*.json
+    sort first, giving every registered query a hard-signal row across
+    consecutive rounds.  Deterministic given the committed artifacts.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            # Green = full oracle match, or the best a rows-only query
+            # can achieve (err == "no_oracle" with a row count).
+            ok = (row.get("rows_match") and row.get("err") is None) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def _rotated(names: list[str]) -> list[str]:
+    counts = _coverage_counts()
+    # Stable sort: registry order breaks ties, least-covered first.
+    return sorted(names, key=lambda n: counts.get(n, 0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One entry per implemented operator from SURVEY.md §2,
+    least-correctness-covered first (see _coverage_counts)."""
+    qs = all_queries()
+    return {name: qs[name] for name in _rotated(list(qs))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query; omitted keys get the
-    driver's weaker rows-only check."""
-    return all_oracles()
+    driver's weaker rows-only check.  Same rotation as queries()."""
+    qs = all_queries()
+    oracles = all_oracles()
+    return {n: oracles[n] for n in _rotated(list(qs)) if n in oracles}

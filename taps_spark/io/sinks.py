@@ -14,8 +14,31 @@ Reference parity:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet target, returning None ONLY when the path does
+    not exist yet. Any other failure (corrupt footer, permission,
+    transient FS error) re-raises: treating it as "sink empty" would
+    silently drop or re-duplicate data downstream."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                    break
+                except Exception:  # pragma: no cover - defensive
+                    continue
+        if cond == "PATH_NOT_FOUND" or (cond is None and "PATH_NOT_FOUND" in str(e)):
+            return None
+        raise
 
 
 def write_parquet(
@@ -43,10 +66,8 @@ def append_idempotent(
     exactly-once-per-key. Returns the number of appended rows
     (one count action; the write reuses the cached frame).
     """
-    try:
-        existing = spark.read.parquet(path).select(*key_cols)
-    except Exception:
-        existing = None
+    target = _read_parquet_if_exists(spark, path)
+    existing = None if target is None else target.select(*key_cols)
     out = df if existing is None else df.join(existing, key_cols, "left_anti")
     out = out.cache()
     try:
@@ -122,9 +143,8 @@ def merge_upsert(
     import os
     import shutil
 
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    existing = _read_parquet_if_exists(spark, path)
+    if existing is None:
         write_parquet(updates, path, mode="overwrite")
         return {"updated": 0, "inserted": updates.count()}
 

@@ -226,6 +226,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loop exhausted max_iters with labels still moving: the
+        # result is NOT a fixed point, so returning it silently would
+        # hand back wrong component ids.
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iters} iterations "
+            "(labels still changing) — raise max_iters or use large-star/small-star"
+        )
     return labels
 
 

@@ -32,7 +32,16 @@ def salted_join(
     `small` is replicated num_salts× (keep it the dimension side);
     `large` pays only a narrow map. Output columns = normal join
     output (salt column dropped).
+
+    Only inner/left/left_semi/left_anti are supported: replicating the
+    small side N× would emit N copies of every unmatched small-side
+    row under right/full outer, which is silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — replicated small side "
+            "would duplicate unmatched rows under right/full outer joins"
+        )
     salts = large.sparkSession.range(num_salts).select(F.col("id").cast("int").alias("__salt"))
     big = large.withColumn(
         "__salt",

@@ -35,11 +35,20 @@ class ChunkSizer:
     _history: list[int] = field(default_factory=list)
 
     def on_success(self, elapsed: float, idle: float = 0.0) -> int:
-        """Feed one round-trip time; returns the next chunk size."""
+        """Feed one round-trip time; returns the next chunk size.
+
+        Mirrors calc_new_chunksize exactly: a success immediately after
+        a disconnect keeps the reset size unchanged (no timing
+        adjustment — a reset 10 must not instantly double), and the
+        slow branch is ceil(size/3) like Ruby's (chunksize/3).ceil.
+        """
+        if self.retries > 0:
+            self.retries = 0
+            return self.chunksize
         diff = max(elapsed - idle, 1e-9)
         size = self.chunksize
         if diff > self.hard_slow:
-            size = int(size / 3)
+            size = -(-size // 3)  # ceil division
         elif diff > self.target_high:
             size -= 100
         elif diff < self.target_low:

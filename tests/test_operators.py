@@ -4,6 +4,7 @@ oracle-gated ones."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from taps_spark.io.tables import load_table
@@ -162,6 +163,26 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     exact = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in topk_bruteforce(emb, queries, k=5).collect()}
     full = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in topk_ivf(emb, queries, k=5, nlist=4, nprobe=4).collect()}
     assert exact == full
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    from taps_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(df, df, "k", how=how)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from taps_spark.operators.dedup import connected_components
+
+    # A 6-node chain needs ~3 doubling rounds; max_iters=1 cannot
+    # reach the fixed point and must raise rather than return wrong
+    # component labels.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(edges, max_iters=1)
 
 
 def test_connected_components_chain_and_islands(spark):

@@ -72,6 +72,34 @@ def test_append_idempotent_prevents_duplicates(spark, sf_dir, target_dir):
     assert spark.read.parquet(path).count() == 45
 
 
+def test_sink_read_errors_are_not_treated_as_empty(spark, tmp_path):
+    """A corrupt (non-parquet) target must RAISE, not be treated as an
+    empty sink: append_idempotent would re-duplicate every row and
+    merge_upsert would overwrite the whole target with just the
+    updates."""
+    import pytest
+
+    bad = tmp_path / "corrupt_target"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet data")
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(Exception):
+        sinks.append_idempotent(spark, df, str(bad), ["id"])
+    with pytest.raises(Exception):
+        sinks.merge_upsert(spark, df, str(bad), ["id"])
+    # Corrupt contents survived untouched (no silent overwrite).
+    assert (bad / "part-00000.parquet").read_bytes() == b"this is not parquet data"
+
+
+def test_missing_sink_path_still_treated_as_empty(spark, tmp_path):
+    """PATH_NOT_FOUND stays the bootstrap path: first write works."""
+    path = str(tmp_path / "fresh_target")
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    assert sinks.append_idempotent(spark, df, path, ["id"]) == 1
+    stats = sinks.merge_upsert(spark, df, str(tmp_path / "fresh2"), ["id"])
+    assert stats == {"updated": 0, "inserted": 1}
+
+
 def test_checksum_verify_detects_corruption(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     assert compare(nation, nation).ok
@@ -104,6 +132,8 @@ def test_chunksizer_matches_reference_controller():
     lib/taps/chunksize.rb:37-51 / spec/chunksize_spec.rb."""
     # slow (>3s) → size/3
     assert ChunkSizer(chunksize=3000).on_success(4.0) == 1000
+    # ... with CEILING division, like Ruby's (chunksize/3).ceil
+    assert ChunkSizer(chunksize=1000).on_success(4.0) == 334
     # mildly slow (>1.1s) → −100
     assert ChunkSizer(chunksize=1000).on_success(1.5) == 900
     # fast (<0.8s) → ×2
@@ -121,6 +151,14 @@ def test_chunksizer_matches_reference_controller():
     assert not cs.exhausted
     cs.on_disconnect()
     assert cs.exhausted
+    # success right after a disconnect keeps the reset size unchanged
+    # (reference calc_new_chunksize: retries > 0 → chunksize) — a
+    # reset 10 must not immediately double
+    cs3 = ChunkSizer(chunksize=5000)
+    assert cs3.on_disconnect() == 10
+    assert cs3.on_success(0.1) == 10
+    assert cs3.retries == 0
+    assert cs3.on_success(0.1) == 20  # next success adapts again
     # trained average acts as a floor after the window
     cs2 = ChunkSizer(chunksize=1000, train_window=2)
     cs2.on_success(1.0)  # 1100, avg 1100
