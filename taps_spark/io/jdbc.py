@@ -19,9 +19,12 @@ PARALLEL, which is why the engine's floor throughput is ~numPartitions
 single-partition read (documented, like the reference's cliff) or to
 caller-supplied predicate ranges.
 
-No live database exists in the test environment, so `plan_jdbc_scan`
-returns the exact reader options (asserted in unit tests) and
-`read_jdbc` applies them when a URL is available.
+The live path is exercised end-to-end against embedded Apache Derby
+(shipped on Spark's classpath): `JdbcEndpoint` lists tables from the
+database catalog, gathers TableStats with one aggregate pushdown,
+reads through `plan_jdbc_scan`'s partitioned options, writes with
+batched inserts, and executes index/sequence DDL over a real JDBC
+connection (tests/test_jdbc_live.py).
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -99,23 +103,245 @@ def read_jdbc(spark: SparkSession, url: str, plan: JdbcScanPlan, **extra: str) -
     return reader.load()
 
 
+def jdbc_dialect(url: str) -> str:
+    """Dialect tag from a JDBC URL (jdbc:derby:... → 'derby')."""
+    parts = url.split(":", 2)
+    if len(parts) < 2 or parts[0] != "jdbc":
+        raise ValueError(f"not a JDBC url: {url}")
+    return parts[1]
+
+
+def quote_ident(name: str, dialect: str = "derby") -> str:
+    """Quote a COLUMN identifier for raw SQL against a Spark-written
+    table. Spark's JDBC writer quotes column names in CREATE TABLE
+    (they stay lowercase, case-sensitive) but passes the table name
+    through unquoted — so raw SQL must quote columns and leave table
+    names bare to resolve against what Spark actually created."""
+    q = "`" if dialect == "mysql" else '"'
+    return f"{q}{name}{q}"
+
+
+#: Catalog query per dialect: one column, the user-table names.
+_CATALOG_SQL = {
+    "derby": "SELECT TABLENAME AS table_name FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+    "postgresql": (
+        "SELECT tablename AS table_name FROM pg_catalog.pg_tables "
+        "WHERE schemaname NOT IN ('pg_catalog', 'information_schema')"
+    ),
+    "mysql": "SELECT table_name FROM information_schema.tables WHERE table_schema = DATABASE()",
+    "sqlite": "SELECT name AS table_name FROM sqlite_master WHERE type = 'table'",
+}
+
+
+def list_jdbc_tables(spark: SparkSession, url: str) -> list[str]:
+    """Table discovery from the live catalog (reference #1,
+    lib/taps/server.rb:142-158 fetches the schema's table list)."""
+    sql = _CATALOG_SQL.get(jdbc_dialect(url))
+    if sql is None:
+        raise ValueError(f"no catalog query for dialect {jdbc_dialect(url)!r}")
+    df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"({sql}) cat")
+        .load()
+    )
+    return sorted(r[0].lower() for r in df.collect())
+
+
+def fetch_table_stats(spark: SparkSession, url: str, table: str, pk: str | None) -> TableStats:
+    """One aggregate pushdown per table — the Spark analog of the
+    reference's table_count + max(pk) round trips
+    (lib/taps/server.rb:160-169, lib/taps/data_stream.rb:329-340)."""
+    d = jdbc_dialect(url)
+    if pk is None:
+        q = f'(SELECT COUNT(*) AS "n" FROM {table}) s'
+        row = spark.read.format("jdbc").option("url", url).option("dbtable", q).load().head()
+        return TableStats(n_rows=int(row["n"]))
+    pkq = quote_ident(pk, d)
+    q = (
+        f'(SELECT COUNT(*) AS "n", MIN({pkq}) AS "lo", MAX({pkq}) AS "hi" '
+        f"FROM {table}) s"
+    )
+    row = spark.read.format("jdbc").option("url", url).option("dbtable", q).load().head()
+    if row["lo"] is None:  # empty table
+        return TableStats(n_rows=0, pk=pk)
+    return TableStats(n_rows=int(row["n"]), pk=pk, pk_min=int(row["lo"]), pk_max=int(row["hi"]))
+
+
+def execute_jdbc_sql(spark: SparkSession, url: str, *statements: str) -> None:
+    """Run passthrough DDL/DML (index creation, sequence resets) on
+    the live database through a real JDBC connection — DataFrames
+    cannot express these, and the reference runs them as raw SQL too
+    (lib/taps/schema.rb:32-80). Statements run in order on one
+    connection; any failure raises with the offending statement."""
+    jvm = spark._jvm  # JDBC drivers on Spark's classpath auto-register
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            try:
+                st.execute(sql)
+            except Exception as e:
+                raise RuntimeError(f"JDBC DDL failed: {sql!r}: {e}") from e
+    finally:
+        conn.close()
+
+
+def query_jdbc_single_column(spark: SparkSession, url: str, sql: str) -> list:
+    """Run a scalar/one-column query over a real JDBC connection
+    (catalog probes in tests; not a data-plane path)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.createStatement().executeQuery(sql)
+        out = []
+        while rs.next():
+            out.append(rs.getObject(1))
+        return out
+    finally:
+        conn.close()
+
+
+class JdbcEndpoint:
+    """A live SQL database as a transfer endpoint (the reference's
+    whole reason to exist: lib/taps/operation.rb:129-131 Sequel.connect;
+    keyset reads lib/taps/data_stream.rb:279-312).
+
+    Reads are partitioned through `plan_jdbc_scan` (keyset ranges in
+    parallel when an integer PK is declared in `pk_cols`); writes are
+    batched multi-row inserts. DDL (indexes, sequence resets) executes
+    over a real JDBC connection via `apply_ddl`.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        pk_cols: dict[str, str] | None = None,
+        target_rows_per_partition: int = 1_000_000,
+        max_partitions: int = 512,
+        batchsize: int = 10_000,
+    ) -> None:
+        self.url = url
+        self.pk_cols = pk_cols or {}
+        self.target_rows_per_partition = target_rows_per_partition
+        self.max_partitions = max_partitions
+        self.batchsize = batchsize
+
+    def tables(self) -> list[str]:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("JdbcEndpoint.tables() needs an active SparkSession")
+        return list_jdbc_tables(spark, self.url)
+
+    def plan(self, spark: SparkSession, table: str) -> JdbcScanPlan:
+        stats = fetch_table_stats(spark, self.url, table, self.pk_cols.get(table))
+        return plan_jdbc_scan(
+            table,
+            stats,
+            target_rows_per_partition=self.target_rows_per_partition,
+            max_partitions=self.max_partitions,
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return read_jdbc(spark, self.url, self.plan(spark, table))
+
+    def read_range(
+        self, spark: SparkSession, table: str, pk: str, lower_exclusive: int
+    ) -> DataFrame:
+        """Keyset continuation: rows with pk > watermark, still
+        partitioned — the reference's resume cursor
+        (lib/taps/data_stream.rb:15-25) pushed down as a predicate."""
+        stats = fetch_table_stats(spark, self.url, table, pk)
+        if stats.n_rows == 0 or stats.pk_max is None or stats.pk_max <= lower_exclusive:
+            return self.read(spark, table).limit(0)
+        remaining = TableStats(
+            n_rows=stats.n_rows,
+            pk=pk,
+            pk_min=max(stats.pk_min or 0, lower_exclusive + 1),
+            pk_max=stats.pk_max,
+        )
+        plan = plan_jdbc_scan(
+            table,
+            remaining,
+            target_rows_per_partition=self.target_rows_per_partition,
+            max_partitions=self.max_partitions,
+        )
+        df = read_jdbc(spark, self.url, plan)
+        # Partition bounds only split ranges; they do not filter. The
+        # explicit predicate is pushed into every partition's query.
+        return df.filter(F.col(pk) > F.lit(lower_exclusive))
+
+    def write(
+        self, spark: SparkSession, table: str, df: DataFrame, key_cols: list[str] | None
+    ) -> int:
+        if key_cols and table.lower() in self.tables():
+            # Idempotent append: anti-join the keys already present
+            # (pruned to key columns at the source). Existence is
+            # checked via the catalog — a read error on a live table
+            # must raise, not silently re-append (see ADVICE round 1).
+            d = jdbc_dialect(self.url)
+            cols = ", ".join(quote_ident(c, d) for c in key_cols)
+            existing = (
+                spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", f"(SELECT {cols} FROM {table}) k")
+                .load()
+            )
+            df = df.join(existing, key_cols, "left_anti")
+        from taps_spark.io.sinks import write_jdbc
+        from taps_spark.transfer.progress import ProgressMeter
+
+        meter = ProgressMeter()
+        write_jdbc(
+            meter.instrument(f"__jdbc_{table}", df),
+            self.url,
+            table,
+            mode="append",
+            batchsize=self.batchsize,
+        )
+        return meter.harvest(f"__jdbc_{table}")
+
+    def apply_ddl(self, spark: SparkSession, *statements: str) -> None:
+        execute_jdbc_sql(spark, self.url, *statements)
+
+
 # --------------------------------------------------------------------------
 # DDL passthrough (not expressible as DataFrame ops)
 # --------------------------------------------------------------------------
 
 
-def create_index_sql(table: str, columns: list[str], unique: bool = False) -> str:
+def create_index_sql(
+    table: str, columns: list[str], unique: bool = False, dialect: str | None = None
+) -> str:
     """Deferred secondary-index DDL (reference #13: indexes applied
     AFTER data load as a bulk-load optimization,
-    lib/taps/schema.rb:32-58, ordering at lib/taps/operation.rb:245-256)."""
+    lib/taps/schema.rb:32-58, ordering at lib/taps/operation.rb:245-256).
+
+    With `dialect` set, column names are quoted to resolve against
+    Spark-written tables (see quote_ident); the table name stays bare.
+    """
     idx = f"idx_{table}_{'_'.join(columns)}"
     u = "UNIQUE " if unique else ""
-    return f'CREATE {u}INDEX {idx} ON {table} ({", ".join(columns)})'
+    cols = (
+        ", ".join(quote_ident(c, dialect) for c in columns) if dialect else ", ".join(columns)
+    )
+    return f"CREATE {u}INDEX {idx} ON {table} ({cols})"
 
 
-def reset_sequence_sql(table: str, pk: str, dialect: str = "postgres") -> str:
+def reset_sequence_sql(
+    table: str, pk: str, dialect: str = "postgres", next_value: int | None = None
+) -> str:
     """Auto-increment resync after bulk load (reference #14:
-    reset_db_sequences, lib/taps/schema.rb:74-80)."""
+    reset_db_sequences, lib/taps/schema.rb:74-80). Derby cannot
+    compute the restart point in SQL, so callers pass `next_value`
+    (max(pk)+1) explicitly for that dialect."""
+    if dialect == "derby":
+        if next_value is None:
+            raise ValueError("derby RESTART WITH needs an explicit next_value")
+        return (
+            f"ALTER TABLE {table} ALTER COLUMN {quote_ident(pk, dialect)} "
+            f"RESTART WITH {next_value}"
+        )
     if dialect == "postgres":
         return (
             f"SELECT setval(pg_get_serial_sequence('{table}', '{pk}'), "

@@ -5,9 +5,12 @@ Reference parity (#17): taps serializes whole-operation state to
 operation, skipping completed tables (lib/taps/operation.rb:69-123,
 lib/taps/cli.rb:175-193). The Spark engine keeps the same semantics
 with a JSON manifest of completed tables + per-table row counts and
-checksums; idempotent sinks (io/sinks.append_idempotent) make the
-"partially transferred table" case safe to simply re-run, so the
-reference's mid-table cursor state (offset/last-pk) is unnecessary.
+checksums. Mid-table state (the reference's offset/last-pk cursor,
+lib/taps/data_stream.rb:15-25) is a per-table PK high-watermark:
+chunked transfers record the last fully-written pk after every chunk,
+and a resumed run reads only `pk > watermark` — pushed down to the
+source scan — instead of re-reading from row 0. Idempotent sinks
+(io/sinks.append_idempotent) keep even a mid-chunk crash safe.
 """
 
 from __future__ import annotations
@@ -23,13 +26,18 @@ from typing import Any
 class TransferManifest:
     path: str
     completed: dict[str, dict[str, Any]] = field(default_factory=dict)
+    watermarks: dict[str, int] = field(default_factory=dict)
 
     @classmethod
     def load(cls, path: str) -> "TransferManifest":
         if os.path.exists(path):
             with open(path) as f:
                 data = json.load(f)
-            return cls(path=path, completed=data.get("completed", {}))
+            return cls(
+                path=path,
+                completed=data.get("completed", {}),
+                watermarks={k: int(v) for k, v in data.get("watermarks", {}).items()},
+            )
         return cls(path=path)
 
     def is_complete(self, table: str) -> bool:
@@ -37,6 +45,18 @@ class TransferManifest:
 
     def mark_complete(self, table: str, **info: Any) -> None:
         self.completed[table] = info
+        # A completed table needs no cursor; drop it so a re-run that
+        # forces re-transfer starts clean.
+        self.watermarks.pop(table, None)
+        self._flush()
+
+    def watermark(self, table: str) -> int | None:
+        """Last pk value fully written for an in-flight table, or
+        None (reference cursor state, lib/taps/data_stream.rb:15-25)."""
+        return self.watermarks.get(table)
+
+    def set_watermark(self, table: str, pk_value: int) -> None:
+        self.watermarks[table] = int(pk_value)
         self._flush()
 
     def _flush(self) -> None:
@@ -46,7 +66,12 @@ class TransferManifest:
         fd, tmp = tempfile.mkstemp(dir=d, prefix=".manifest_")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"completed": self.completed}, f, indent=2, default=str)
+                json.dump(
+                    {"completed": self.completed, "watermarks": self.watermarks},
+                    f,
+                    indent=2,
+                    default=str,
+                )
             os.replace(tmp, self.path)
         except BaseException:
             if os.path.exists(tmp):
