@@ -32,30 +32,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(da, db) / F.sqrt(dot(da, da) * dot(db, db))
 
 
-def topk_bruteforce(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    qid_col: str = "q_id",
-    qvec_col: str = "q_vec",
-) -> DataFrame:
-    """Exact cosine top-k: every query against every candidate.
+def _topk_reduce(scored: DataFrame, qid_col: str, id_col: str, k: int) -> DataFrame:
+    """Exact per-query top-k over a scored (qid, id, _score) frame.
 
-    Scale: broadcast(queries) × corpus — the corpus is scanned once,
-    partial top-k happens inside each partition's window sort; only
-    (|queries| × k)-ish rows survive to the final shuffle.
+    Expressed as row_number-over-window + rank filter ON PURPOSE:
+    Spark ≥3.5 compiles this to WindowGroupLimit in Partial mode
+    BEFORE the exchange — each input partition keeps only its local
+    top-k per query map-side, so the shuffle ships ≤ k×partitions
+    rows per query instead of the whole scored candidate set. That is
+    the per-partition partial top-k a manual salted two-stage
+    (groupBy shard → slice(sort(collect_list))) would build by hand,
+    with one fewer shuffle; tests/test_plans.py pins the
+    WindowGroupLimit(Partial) shape so a regression (or a Spark
+    behavior change) fails CI rather than melting at corpus scale.
     """
-    scored = (
-        emb.join(F.broadcast(queries))
-        .filter(F.col(id_col) != F.col(qid_col))
-        .select(
-            F.col(qid_col),
-            F.col(id_col),
-            cosine(F.col(qvec_col), F.col(vec_col)).alias("_score"),
-        )
-    )
     w = Window.partitionBy(qid_col).orderBy(F.col("_score").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -67,6 +57,34 @@ def topk_bruteforce(
             F.col("rank").alias("rank"),
         )
     )
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "q_id",
+    qvec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k: every query against every candidate.
+
+    Scale: broadcast(queries) × corpus — the corpus is scanned once;
+    the scored pairs reduce map-side via WindowGroupLimit(Partial)
+    (see _topk_reduce), so the shuffle carries ≤ k×partitions rows
+    per query, never the whole candidate set.
+    """
+    scored = (
+        emb.join(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            cosine(F.col(qvec_col), F.col(vec_col)).alias("_score"),
+        )
+    )
+    return _topk_reduce(scored, qid_col, id_col, k)
 
 
 def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
@@ -117,11 +135,15 @@ def train_ivf_centroids(
     DataFrame[centroid_id int, cv array<double>].
     """
     dv = emb.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
-    w = Window.orderBy("_id")
-    cents = (
-        dv.orderBy("_id")
-        .limit(nlist)
-        .select(F.row_number().over(w).alias("centroid_id"), F.col("v").alias("cv"))
+    # Rank the nlist seed vectors WITHOUT a global unpartitioned
+    # window (that pattern serializes on one reducer as nlist grows):
+    # sort the nlist ids into one broadcast array and take each row's
+    # 1-based position in it.
+    seeds = dv.orderBy("_id").limit(nlist)
+    seed_ids = seeds.agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+    cents = seeds.join(F.broadcast(seed_ids)).select(
+        F.array_position(F.col("_ids"), F.col("_id")).cast("int").alias("centroid_id"),
+        F.col("v").alias("cv"),
     )
     for _ in range(iters):
         assigned = assign_nearest_centroid(dv, cents, vec_col="v")
@@ -213,17 +235,7 @@ def topk_ivf(
             (dot(F.col("qv"), F.col("v")) / F.sqrt(dot(F.col("qv"), F.col("qv")) * dot(F.col("v"), F.col("v")))).alias("_score"),
         )
     )
-    w = Window.partitionBy(qid_col).orderBy(F.col("_score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            qid_col,
-            F.col(id_col).alias("neighbor_id"),
-            F.round("_score", 4).alias("score"),
-            F.col("rank").alias("rank"),
-        )
-    )
+    return _topk_reduce(scored, qid_col, id_col, k)
 
 
 def topk_lsh(
@@ -255,14 +267,4 @@ def topk_lsh(
             cosine(F.col(qvec_col), F.col(vec_col)).alias("_score"),
         )
     )
-    w = Window.partitionBy(qid_col).orderBy(F.col("_score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            qid_col,
-            F.col(id_col).alias("neighbor_id"),
-            F.round("_score", 4).alias("score"),
-            F.col("rank").alias("rank"),
-        )
-    )
+    return _topk_reduce(scored, qid_col, id_col, k)

@@ -248,13 +248,28 @@ def validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FK relation via LEFT-ANTI joins (the check the reference's
     per-table transfer cannot do, since it never joins —
     lib/taps/operation.rb:273-286 moves tables independently and
-    trusts the source). Parent keys broadcast where small; each child
-    table is scanned once, key-only (column pruning to the FK)."""
+    trusts the source). Each child table is scanned once, key-only
+    (column pruning to the FK).
+
+    Broadcast is SIZE-GATED: only true dimension parents (nation,
+    region — bounded row counts at any scale) carry an explicit
+    broadcast hint. Fact-sized parents (orders, customer) get no hint:
+    at 100 TB a forced broadcast of orders' key set would OOM the
+    executors, while unhinted AQE picks shuffled left-anti (or its own
+    runtime broadcast when the key set turns out small)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
 
-    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, rel: str) -> DataFrame:
+    def orphans(
+        child: DataFrame,
+        ckey: str,
+        parent: DataFrame,
+        pkey: str,
+        rel: str,
+        small_parent: bool = False,
+    ) -> DataFrame:
+        pk = parent.select(pkey)
         anti = child.select(ckey).join(
-            F.broadcast(parent.select(pkey)), F.col(ckey) == F.col(pkey), "left_anti"
+            F.broadcast(pk) if small_parent else pk, F.col(ckey) == F.col(pkey), "left_anti"
         )
         # two 1-row aggregates cross-joined — no eager .count() action
         return (
@@ -269,7 +284,14 @@ def validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphans(t["orders"], "o_custkey", t["customer"], "c_custkey", "orders->customer")
         )
         .unionByName(
-            orphans(t["customer"], "c_nationkey", t["nation"], "n_nationkey", "customer->nation")
+            orphans(
+                t["customer"],
+                "c_nationkey",
+                t["nation"],
+                "n_nationkey",
+                "customer->nation",
+                small_parent=True,
+            )
         )
         .orderBy("relation")
     )

@@ -174,6 +174,40 @@ def test_multimodal_expansion_is_map_only(spark, sf_dir):
     assert "MapInPandas" in plan
 
 
+def test_topk_similarity_reduces_before_shuffle(spark, sf_dir):
+    """Exact top-k must keep only k rows per (query, input-partition)
+    MAP-SIDE — Spark's WindowGroupLimit in Partial mode — so the
+    window shuffle never carries the whole scored candidate set. If
+    this shape regresses, brute-force top-k melts at corpus scale."""
+    plan = formatted_plan(spark, "similarity_topk_bruteforce", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
+    args = [l.strip() for l in plan.splitlines() if "row_number(), 5," in l]
+    assert any(a.endswith("Partial") for a in args), plan
+    assert any(a.endswith("Final") for a in args), plan
+
+
+def test_fk_orphans_broadcast_is_size_gated(spark, sf_dir):
+    """validate_fk_orphans must broadcast only bounded dimension
+    parents (nation); fact-sized parents (orders, customer) carry NO
+    broadcast hint — at 100 TB a forced broadcast of those key sets
+    OOMs. With auto-broadcast disabled, the unhinted anti-joins must
+    fall back to shuffle while nation stays broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(spark, "validate_fk_orphans", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # Exactly one broadcast anti-join (customer->nation, hinted);
+    # the other two relations shuffle (SortMergeJoin/ShuffledHashJoin).
+    n_bcast_anti = plan.count("BroadcastHashJoin LeftAnti")
+    n_shuffle_anti = plan.count("SortMergeJoin LeftAnti") + plan.count(
+        "ShuffledHashJoin LeftAnti"
+    )
+    assert n_bcast_anti == 1, plan
+    assert n_shuffle_anti == 2, plan
+
+
 def test_hypertable_rollup_two_shuffles_and_pruned_scan(spark, sf_dir):
     """Continuous-aggregate rollup: exactly one shuffle per grain
     (hourly, daily) and a scan pruned to (ts, event_type, value)."""
