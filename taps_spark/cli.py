@@ -1,0 +1,162 @@
+"""Command-line surface (reference bin/taps + lib/taps/cli.rb parity).
+
+    python -m taps_spark pull <local_url> <remote_url> [options]
+    python -m taps_spark push <local_url> <remote_url> [options]
+    python -m taps_spark version
+
+Reference argument order is preserved (lib/taps/cli.rb:124: `taps
+pull <local_database_url> <remote_url>`): pull copies remote → local,
+push copies local → remote. A URL starting with `jdbc:` becomes a
+live JdbcEndpoint; anything else is a parquet directory endpoint.
+
+Option mapping (lib/taps/cli.rb:133-143):
+    -s/--skip-schema      accepted; schema creation is implicit in the
+                          first write, so this only skips DDL phases
+    -i/--indexes-first    indexes before data (operation.rb:36)
+    -r/--resume FILE      reuse a manifest; without it an existing
+                          manifest file is replaced (fresh run)
+    -c/--chunksize N      pk-range chunk size (floor 10, cli.rb:136)
+    -f/--filter REGEX     table-name regex filter
+    -t/--tables A,B,C     shortcut → (^A$|^B$|^C$)
+    -e/--exclude-tables   exclusion list
+The reference's `server` subcommand has no Spark analog (executors
+reach both endpoints directly; there is no HTTP relay to run) — the
+CLI says so instead of pretending.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _endpoint(url: str, keys: dict[str, list[str]]):
+    from taps_spark.io.jdbc import JdbcEndpoint
+    from taps_spark.transfer.operation import ParquetEndpoint
+
+    if url.startswith("jdbc:"):
+        pk_cols = {t: cols[0] for t, cols in keys.items() if len(cols) == 1}
+        return JdbcEndpoint(url, pk_cols=pk_cols)
+    return ParquetEndpoint(url)
+
+
+def _parse_keys(spec: str | None) -> dict[str, list[str]]:
+    """--keys 'orders:o_orderkey,lineitem:l_orderkey+l_linenumber'"""
+    out: dict[str, list[str]] = {}
+    if not spec:
+        return out
+    for part in spec.split(","):
+        table, _, cols = part.partition(":")
+        if not cols:
+            raise SystemExit(f"--keys entry needs table:col form, got {part!r}")
+        out[table.strip()] = [c.strip() for c in cols.split("+")]
+    return out
+
+
+def _add_transfer_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("local_url")
+    p.add_argument("remote_url")
+    p.add_argument("-s", "--skip-schema", action="store_true")
+    p.add_argument("-i", "--indexes-first", action="store_true")
+    p.add_argument("-r", "--resume", metavar="FILE", default=None)
+    p.add_argument("-c", "--chunksize", type=int, default=None)
+    p.add_argument("-f", "--filter", dest="table_filter", default=None)
+    p.add_argument("-t", "--tables", default=None)
+    p.add_argument("-e", "--exclude-tables", default=None)
+    p.add_argument("--keys", default=None, help="table:col[+col2][,table:col] idempotency keys")
+    p.add_argument("--manifest", default="taps_spark_manifest.json")
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
+
+
+def _run_transfer(args: argparse.Namespace, direction: str) -> int:
+    from taps_spark.session import get_spark
+    from taps_spark.transfer.manifest import TransferManifest
+    from taps_spark.transfer.operation import TransferOperation
+
+    keys = _parse_keys(args.keys)
+    local = _endpoint(args.local_url, keys)
+    remote = _endpoint(args.remote_url, keys)
+    # Reference semantics: pull = remote → local, push = local → remote.
+    source, target = (remote, local) if direction == "pull" else (local, remote)
+
+    manifest_path = args.resume or args.manifest
+    if not args.resume and os.path.exists(manifest_path):
+        os.unlink(manifest_path)  # fresh run unless --resume (cli.rb:175-193)
+    manifest = TransferManifest.load(manifest_path)
+
+    pattern = args.table_filter
+    if args.tables:
+        names = [t.strip() for t in args.tables.split(",") if t.strip()]
+        pattern = "(" + "|".join(f"^{t}$" for t in names) + ")"  # cli.rb:140-142
+    exclude = (
+        [t.strip() for t in args.exclude_tables.split(",")] if args.exclude_tables else None
+    )
+    chunk_rows = None
+    if args.chunksize is not None:
+        chunk_rows = max(args.chunksize, 10)  # reference floor, cli.rb:136
+
+    spark = get_spark("taps_spark_cli")
+    if args.debug:
+        spark.sparkContext.setLogLevel("INFO")
+    op = TransferOperation(
+        source=source,
+        target=target,
+        manifest=manifest,
+        table_pattern=pattern,
+        exclude_tables=exclude,
+        key_cols=keys,
+        verify=not args.no_verify,
+        indexes_first=args.indexes_first,
+        chunk_rows=chunk_rows,
+    )
+    result = op.run(spark)
+    print(
+        json.dumps(
+            {
+                "direction": direction,
+                "transferred": result.transferred,
+                "skipped": result.skipped,
+                "verified": result.verified,
+                "phases": result.phases,
+                "resumed_from": result.resumed_from,
+                "manifest": manifest_path,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="taps_spark")
+    sub = parser.add_subparsers(dest="command")
+
+    for verb in ("pull", "push"):
+        _add_transfer_args(sub.add_parser(verb))
+    sub.add_parser("version")
+    sub.add_parser("server")
+
+    args = parser.parse_args(argv)
+    if args.command in ("pull", "push"):
+        return _run_transfer(args, args.command)
+    if args.command == "version":
+        from taps_spark.version import __version__
+
+        print(f"taps_spark {__version__}")
+        return 0
+    if args.command == "server":
+        print(
+            "taps_spark has no server mode: Spark executors read and write "
+            "both endpoints directly, so there is no HTTP relay to run "
+            "(reference lib/taps/server.rb maps onto the engine itself).",
+            file=sys.stderr,
+        )
+        return 2
+    parser.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

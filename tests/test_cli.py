@@ -1,0 +1,117 @@
+"""CLI surface tests (reference bin/taps + lib/taps/cli.rb parity).
+
+The option-mapping tests run main() in-process (sharing the session
+SparkSession via getActiveSession is not possible — get_spark creates
+or reuses the process-global session, which pytest already holds, so
+in-process calls are cheap). One subprocess test proves the real
+`python -m taps_spark` entry point end to end in a fresh interpreter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from taps_spark.cli import _parse_keys, main
+
+
+def test_parse_keys():
+    assert _parse_keys(None) == {}
+    assert _parse_keys("orders:o_orderkey") == {"orders": ["o_orderkey"]}
+    assert _parse_keys("a:x+y,b:z") == {"a": ["x", "y"], "b": ["z"]}
+    with pytest.raises(SystemExit):
+        _parse_keys("tablewithoutcol")
+
+
+def test_version_subcommand(capsys):
+    assert main(["version"]) == 0
+    assert capsys.readouterr().out.startswith("taps_spark ")
+
+
+def test_server_subcommand_explains(capsys):
+    assert main(["server"]) == 2
+    assert "no server mode" in capsys.readouterr().err
+
+
+def test_pull_with_table_shortcut_and_resume(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """pull remote→local with -t filter; second run with -r resumes
+    (skips completed tables). Mirrors cli.rb pull/clientresumexfer."""
+    monkeypatch.chdir(tmp_path)
+    lake = str(tmp_path / "lake")
+    rc = main(
+        [
+            "pull", lake, sf_dir,
+            "-t", "nation,region",
+            "--keys", "nation:n_nationkey,region:r_regionkey",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["transferred"] == {"nation": 25, "region": 5}
+    assert sorted(out["verified"]) == ["nation", "region"]
+    assert os.path.exists(tmp_path / "taps_spark_manifest.json")
+
+    # --resume skips both tables.
+    rc = main(
+        [
+            "pull", lake, sf_dir,
+            "-t", "nation,region",
+            "-r", "taps_spark_manifest.json",
+        ]
+    )
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out)
+    assert sorted(out2["skipped"]) == ["nation", "region"]
+    assert out2["transferred"] == {}
+
+
+def test_push_with_exclude_and_chunksize(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """push local→remote honoring -e and -c (chunked data phase with
+    the reference's floor-10 chunksize, cli.rb:136)."""
+    monkeypatch.chdir(tmp_path)
+    remote = str(tmp_path / "remote_lake")
+    rc = main(
+        [
+            "push", sf_dir, remote,
+            "-f", "^(nation|region|supplier)$",
+            "-e", "supplier",
+            "-c", "3",  # floors to 10
+            "--keys", "nation:n_nationkey,region:r_regionkey",
+            "--no-verify",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert set(out["transferred"]) == {"nation", "region"}
+    # nation: 25 rows / floor-10 chunk size → 3 chunks recorded.
+    assert out["phases"] == ["schema", "data"]
+    assert spark.read.parquet(f"{remote}/nation.parquet").count() == 25
+
+
+def test_subprocess_entry_point(sf_dir, tmp_path):
+    """The real `python -m taps_spark` in a fresh interpreter."""
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "taps_spark", "pull",
+            str(tmp_path / "lake"), sf_dir,
+            "-t", "region",
+            "--keys", "region:r_regionkey",
+            "--manifest", str(tmp_path / "m.json"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["transferred"] == {"region": 5}
+    assert out["verified"] == ["region"]
