@@ -276,3 +276,147 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for i in range(4)
         ],
     )
+
+
+# --------------------------------------------------------------- embeddings
+
+
+def embedding_nn_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, exact baseline:
+    for every vector, its nearest neighbor by cosine plus a `dropped`
+    flag — dropped iff some SMALLER-id vector is within `threshold`
+    (the keep-min rule, applied per vector so output stays linear in
+    corpus size even when a near-dup cluster is large).
+
+    Scale: this is the verification kernel; it scores all pairs, so
+    run it only behind a blocking stage — embedding_lsh_band_stats
+    holds the banded-LSH blocking that bounds candidates at 100 TB.
+    The per-query reduction rides WindowGroupLimit(Partial) exactly
+    like similarity.topk_bruteforce.
+    """
+    from taps_spark.operators.similarity import as_double, cosine
+    from pyspark.sql import Window
+
+    a = emb.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    scored = (
+        a.join(F.broadcast(b))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("c").desc(), F.col("id_b"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    low = scored.groupBy("id_a").agg(
+        F.max(F.when(F.col("id_b") < F.col("id_a"), F.col("c"))).alias("maxlow")
+    )
+    return (
+        nn.join(low, "id_a")
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("nn_id"),
+            F.round("c", 4).alias("nn_cos"),
+            F.coalesce(F.col("maxlow") >= F.lit(threshold), F.lit(False)).alias("dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _portable_sign(band: int, plane: int, pos: Column) -> Column:
+    """Deterministic ±1 hyperplane weight from md5 parity of
+    "band_plane_pos" — reproducible in any engine with md5 (the
+    portable twin of similarity.hyperplane_bucket's xxhash64 weights)."""
+    key = F.concat_ws("_", F.lit(str(band)), F.lit(str(plane)), pos.cast("string"))
+    parity = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 2
+    return F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1))
+
+
+def embedding_lsh_band_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    planes: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Banded hyperplane-LSH blocking for embedding near-dup at scale,
+    reported as per-band statistics: bucket counts, the largest
+    bucket, candidate-pair volume, and how many candidates verify at
+    cosine ≥ threshold. OR-amplification across `bands` bands of
+    `planes` sign bits each is the recall dial (more bands → higher
+    recall, more candidates).
+
+    Engine-portable on purpose: projections run on 1e3-QUANTIZED
+    integer components with md5-parity ±1 weights, so the bucket
+    assignment is exact integer math — no float-summation-order
+    divergence between engines — and a SQL oracle reproduces every
+    bucket bit-for-bit. (Production would precompute the weight
+    matrix and use xxhash64, as hyperplane_bucket does.)
+
+    Scale: pair enumeration happens per (band, bucket) equi-join —
+    quadratic only in bucket size, linear overall; stats aggregate
+    per band, so output size is O(bands).
+    """
+    from functools import reduce
+
+    from taps_spark.operators.similarity import as_double, cosine
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("q"),
+    )
+    def _signed_term(band: int, plane: int):
+        # Closure factory: PySpark HOF lambdas must take exactly the
+        # declared operands (default args count toward arity).
+        return lambda x, i: _portable_sign(band, plane, i) * x
+
+    per_band = []
+    for band in range(bands):
+        bucket = F.lit(0).cast("long")
+        for plane in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.sequence(F.lit(0), F.size("q") - 1),
+                    _signed_term(band, plane),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << plane)).otherwise(F.lit(0))
+        per_band.append(base.select(F.lit(band).alias("band"), bucket.alias("bucket"), "id", "v"))
+    allb = reduce(lambda x, y: x.unionByName(y), per_band)
+
+    sizes = allb.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    stats = sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).alias("n_candidate_pairs"),
+    )
+    left = allb.select("band", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = allb.select("band", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    verified = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_verified_pairs"))
+    )
+    return (
+        stats.join(verified, "band", "left")
+        .select(
+            "band",
+            "n_buckets",
+            "max_bucket",
+            "n_candidate_pairs",
+            F.coalesce("n_verified_pairs", F.lit(0)).alias("n_verified_pairs"),
+        )
+        .orderBy("band")
+    )

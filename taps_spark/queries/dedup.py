@@ -448,3 +448,108 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+EMB_NN_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+           / SQRT(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS c
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT id_a, id_b, c,
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+  FROM s
+),
+low AS (
+  SELECT id_a, MAX(c) FILTER (id_b < id_a) AS maxlow FROM s GROUP BY id_a
+)
+SELECT nn.id_a AS vec_id, nn.id_b AS nn_id, ROUND(nn.c, 4) AS nn_cos,
+       COALESCE(low.maxlow >= 0.4, FALSE) AS dropped
+FROM nn JOIN low ON nn.id_a = low.id_a
+WHERE nn.rn = 1
+ORDER BY vec_id
+"""
+
+
+@query("dedup_embedding_cosine", oracle=EMB_NN_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (exact baseline): nearest neighbor
+    per vector + keep-min `dropped` flag at cosine ≥ 0.4 — the
+    semantic-dedup pass run after lexical dedup in LLM corpus prep.
+
+    Scale: all-pairs verification kernel; the blocking that bounds it
+    at 100 TB lives in dedup_embedding_lsh (banded hyperplane LSH).
+    Per-query reduction is WindowGroupLimit(Partial), same as
+    similarity_topk_bruteforce."""
+    from taps_spark.operators.dedup import embedding_nn_dedup
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return embedding_nn_dedup(emb, threshold=0.4)
+
+
+EMB_LSH_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         [CAST(ROUND(x * 1000) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS q
+  FROM embeddings
+),
+w AS (
+  SELECT b.band, p.plane, i.pos,
+         CASE WHEN ('0x' || SUBSTR(MD5(b.band || '_' || p.plane || '_' || i.pos), 1, 15))::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS wgt
+  FROM (SELECT unnest(range(4)) AS band) b
+  CROSS JOIN (SELECT unnest(range(4)) AS plane) p
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) i
+),
+proj AS (
+  SELECT v.vec_id, w.band, w.plane, SUM(w.wgt * v.q[w.pos + 1]) AS proj
+  FROM v CROSS JOIN w
+  GROUP BY 1, 2, 3
+),
+bucketed AS (
+  SELECT vec_id, band,
+         SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+sizes AS (
+  SELECT band, bucket, COUNT(*) AS n FROM bucketed GROUP BY 1, 2
+),
+stats AS (
+  SELECT band, COUNT(*) AS n_buckets, MAX(n) AS max_bucket,
+         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+  FROM sizes GROUP BY band
+),
+verified AS (
+  SELECT a.band, COUNT(*) AS n_verified_pairs
+  FROM bucketed a
+  JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE list_dot_product(va.e, vb.e)
+          / SQRT(list_dot_product(va.e, va.e) * list_dot_product(vb.e, vb.e)) >= 0.4
+  GROUP BY 1
+)
+SELECT CAST(stats.band AS INT) AS band, n_buckets, max_bucket, n_candidate_pairs,
+       COALESCE(n_verified_pairs, 0) AS n_verified_pairs
+FROM stats LEFT JOIN verified ON stats.band = verified.band
+ORDER BY band
+"""
+
+
+@query("dedup_embedding_lsh", oracle=EMB_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH blocking for embedding near-dup — the
+    100 TB path: candidates exist only inside (band, bucket) groups,
+    verified at cosine ≥ 0.4; output is per-band stats (linear).
+
+    Bucket math runs on 1e3-quantized integer components with
+    md5-parity weights so the oracle reproduces every bucket exactly
+    (no float-sum-order divergence); see
+    operators/dedup.embedding_lsh_band_stats."""
+    from taps_spark.operators.dedup import embedding_lsh_band_stats
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return embedding_lsh_band_stats(emb, bands=4, planes=4, threshold=0.4)
