@@ -219,3 +219,44 @@ def test_hypertable_rollup_two_shuffles_and_pruned_scan(spark, sf_dir):
     assert n_exchanges <= 3, plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key co-locate: the join plan
+    has NO Exchange on either side (SortMergeJoin reads bucketed
+    scans directly). This is the bucketing contract a 100 TB
+    fact-fact join relies on."""
+    from taps_spark.io.sources import read_table, write_bucketed
+    from taps_spark.io.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", ["o_orderkey"], num_buckets=8,
+        )
+        joined = read_table(spark, "b_orders").join(
+            read_table(spark, "b_lineitem"), "o_orderkey"
+        )
+        qe = joined._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = qe.explainString(mode)
+        body = plan.split("===== Subqueries")[0]
+        exchanges = [
+            l for l in body.splitlines()
+            if "Exchange" in l and "BroadcastExchange" not in l
+        ]
+        assert not exchanges, plan
+        assert "SortMergeJoin" in body or "ShuffledHashJoin" in body, plan
+        # Sanity: result matches the plain (shuffled) join.
+        n_plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
