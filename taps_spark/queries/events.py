@@ -383,3 +383,53 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return hypertable_rollup(ev).orderBy("day", "event_type")
+
+
+@query("events_hll_sketch_union")  # rows-only: HLL binary is engine-specific
+def events_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB pattern for
+    "distinct users per type over any date range" without rescanning:
+    build one HLL sketch per (event_type, day) partial (the state a
+    rollup table would persist), then hll_union_agg merges partials
+    per type and estimates.
+
+    Two shuffles total: partial sketches (map-side combined — the
+    sketch IS the combine state, bytes per group not rows), then the
+    tiny union over #days sketches per type. The exact
+    count_distinct rides along to expose the estimation error;
+    tests/test_operators.py pins the error bound and proves
+    union-of-partials ≡ one-shot sketch.
+
+    Rows-only by design: Apache DataSketches HLL binaries have no
+    DuckDB oracle; semantics are pinned in pytest instead.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("day_exact"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
+            F.count("*").alias("n_days"),
+        )
+        .join(
+            ev.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("exact_distinct_users")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "est_distinct_users",
+            "exact_distinct_users",
+            F.round(
+                F.abs(F.col("est_distinct_users") - F.col("exact_distinct_users"))
+                / F.col("exact_distinct_users"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )

@@ -340,3 +340,30 @@ def test_simhash_portable_is_token_set_invariant(spark):
     sig = {r["doc_id"]: r["simhash"] for r in simhash_portable(df, "doc_id", "text").collect()}
     assert sig[1] == sig[2] == sig[3]
     assert sig[4] != sig[1]
+
+
+def test_hll_sketch_union_accuracy_and_merge_consistency(spark, sf_dir):
+    """The mergeable-sketch contract: (1) union of daily partial
+    sketches estimates within 5% of exact distinct; (2) merging
+    partials equals sketching the whole column in one pass."""
+    from taps_spark.io.tables import load_tables
+    from taps_spark.queries.events import events_hll_sketch_union
+
+    out = events_hll_sketch_union(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["rel_error"] <= 0.05, r
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    merged = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    m = {r["event_type"]: r["est"] for r in merged.collect()}
+    d = {r["event_type"]: r["est"] for r in direct.collect()}
+    assert m == d
