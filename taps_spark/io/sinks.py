@@ -166,3 +166,57 @@ def merge_upsert(
         "updated": n_existing - n_survivors,
         "inserted": updates.count() - (n_existing - n_survivors),
     }
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> dict[str, int]:
+    """MERGE onto a hive-partitioned parquet target, rewriting ONLY
+    the partitions the updates touch — the pattern that makes upsert
+    viable at 100 TB (a whole-table rewrite is not).
+
+    Mechanics: collect the updates' distinct partition values (a
+    small driver list — partitions, not rows), read just those
+    partitions (partition-pruned scan), anti-join out replaced keys,
+    and write survivors ∪ updates back with dynamic partition
+    overwrite — untouched partitions' files are never read or
+    rewritten. Same call shape as Delta/Iceberg MERGE INTO with
+    partition predicates.
+
+    Returns {"updated": n, "inserted": n, "partitions": n}.
+    """
+    target = _read_parquet_if_exists(spark, path)
+    if target is None:
+        write_parquet(updates, path, mode="overwrite", partition_by=[partition_col])
+        return {"updated": 0, "inserted": updates.count(), "partitions": 0}
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    touched = target.filter(F.col(partition_col).isin(parts))
+    survivors = touched.join(updates.select(*key_cols), key_cols, "left_anti")
+    n_touched = touched.count()
+    n_survivors = survivors.count()
+    merged = survivors.unionByName(updates.select(*touched.columns))
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # overwrite + dynamic mode replaces ONLY partitions present in
+        # `merged`; all other partitions' files stay untouched.
+        (
+            merged.write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    n_updates = updates.count()
+    return {
+        "updated": n_touched - n_survivors,
+        "inserted": n_updates - (n_touched - n_survivors),
+        "partitions": len(parts),
+    }

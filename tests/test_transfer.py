@@ -247,3 +247,47 @@ def test_transfer_meters_rows_during_write(spark, sf_dir, tmp_path, target_dir):
     os.makedirs(target_dir, exist_ok=True)
     result = op.run(spark)
     assert result.transferred == {"region": 5, "nation": 25}
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-pruned MERGE: updates touching one partition must
+    leave every other partition's files physically untouched (same
+    inode set) while update/insert semantics hold."""
+    import os
+
+    from taps_spark.io.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "ptarget")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")],
+        ["id", "val", "part"],
+    )
+    stats = merge_upsert_partitioned(spark, base, path, ["id"], "part")
+    assert stats == {"updated": 0, "inserted": 4, "partitions": 0}
+
+    def files_of(part):
+        d = os.path.join(path, f"part={part}")
+        return {
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    p2_before, p3_before = files_of("p2"), files_of("p3")
+
+    updates = spark.createDataFrame(
+        [(1, "A", "p1"), (9, "new", "p1")], ["id", "val", "part"]
+    )
+    stats = merge_upsert_partitioned(spark, updates, path, ["id"], "part")
+    assert stats == {"updated": 1, "inserted": 1, "partitions": 1}
+
+    # Untouched partitions: identical files, identical mtimes.
+    assert files_of("p2") == p2_before
+    assert files_of("p3") == p3_before
+
+    got = {
+        (r["id"], r["val"], r["part"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "A", "p1"), (2, "b", "p1"), (9, "new", "p1"),
+                   (3, "c", "p2"), (4, "d", "p3")}
