@@ -251,3 +251,30 @@ def test_jdbc_read_range_pushdown(spark, seeded):
     assert rows == [20, 21, 22, 23, 24]
     # Past-the-end watermark → empty continuation.
     assert ep.read_range(spark, "nation", "n_nationkey", 24).count() == 0
+
+
+@pytest.mark.parametrize("fail_after", [2, 3])
+def test_midtable_resume_any_crash_point(spark, sf_dir, tmp_path, fail_after):
+    """Crash after N chunks (any N) → resume transfers exactly the
+    complement; total content is exact with zero duplicates."""
+    src = ParquetEndpoint(sf_dir)
+    lake = str(tmp_path / f"lake{fail_after}")
+    mpath = str(tmp_path / f"m{fail_after}.json")
+    flaky = _FailAfterFirstChunk(ParquetEndpoint(lake), fail_after=fail_after)
+    op = TransferOperation(
+        source=src, target=flaky, manifest=TransferManifest.load(mpath),
+        table_pattern="^nation$", key_cols={"nation": ["n_nationkey"]},
+        chunk_rows=7, verify=False,
+    )
+    with pytest.raises(RuntimeError):
+        op.run(spark)
+    written = sum(flaky.rows_per_write)
+    r2 = TransferOperation(
+        source=src, target=ParquetEndpoint(lake), manifest=TransferManifest.load(mpath),
+        table_pattern="^nation$", key_cols={"nation": ["n_nationkey"]},
+        chunk_rows=7,
+    ).run(spark)
+    assert r2.transferred["nation"] == 25 - written
+    out = spark.read.parquet(f"{lake}/nation.parquet")
+    assert out.count() == 25
+    assert out.select("n_nationkey").distinct().count() == 25
