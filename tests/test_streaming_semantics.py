@@ -113,3 +113,37 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_stream_checkpoint_restart_processes_only_new_data(spark, tmp_path):
+    """Resume parity for streams: a restarted query with the SAME
+    checkpoint continues from the committed source offsets — already
+    -processed input is never re-emitted (the streaming form of the
+    reference's --resume cursor, lib/taps/data_stream.rb:15-25)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(0, 5).select(F.col("id")).write.parquet(str(src / "batch1.parquet"))
+
+    def run_once():
+        stream = spark.readStream.schema("id long").parquet(str(src) + "/*")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 5
+
+    spark.range(5, 10).select(F.col("id")).write.parquet(str(src / "batch2.parquet"))
+    run_once()  # restart from checkpoint
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 10, "restart must process ONLY the new file"
+    assert sorted(r["id"] for r in out.collect()) == list(range(10))
