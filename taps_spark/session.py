@@ -29,6 +29,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas exchange (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs over Arrow batches too — the default pickle
+    # row-at-a-time exchange (BatchEvalPythonUDTF) is the slow path.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects outright; read nanos as LongType and convert to
     # microsecond timestamps in the loader (io/tables.py).

@@ -260,3 +260,24 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_no_scale_killers_in_any_registered_plan(spark, sf_dir):
+    """Global hygiene gate over EVERY registered batch query's
+    physical plan: no CartesianProduct anywhere, and no pickle-based
+    row-at-a-time Python exchange (BatchEvalPython) — Python must
+    enter plans only through Arrow (ArrowEvalPython*, MapInPandas,
+    FlatMapGroupsInPandas*). One regression here is the difference
+    between hours and weeks at 100 TB."""
+    violations = {}
+    for name, rq in REGISTRY.items():
+        if name.startswith("events_stream"):
+            continue  # streaming plans materialize only on query start
+        df = rq.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        hits = [k for k in ("CartesianProduct", "BatchEvalPython") if k in plan]
+        if hits:
+            violations[name] = hits
+    assert not violations, violations
