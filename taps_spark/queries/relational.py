@@ -871,3 +871,96 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+RANGE_FRAME_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(SUM(price) OVER (
+         PARTITION BY o_custkey ORDER BY d
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS spend_30d
+FROM o
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("window_time_range_frame", oracle=RANGE_FRAME_ORACLE)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-DAY customer spend via a RANGE window frame keyed
+    on days-since-epoch — a VALUE-based frame (all orders within 30
+    days, however many rows that is), vs the ROWS frame in
+    window_moving_avg. Peers at the same day aggregate identically
+    regardless of tie order, so the result is deterministic.
+
+    Money sums run in DECIMAL(18,2) (see queries/numeric.py rules) —
+    double accumulation diverges across engines on .xx5 ties."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("price").over(w), 2).cast("double").alias("spend_30d"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+NULL_SAFE_JOIN_ORACLE = """
+WITH a AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer
+),
+b AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS nk
+  FROM supplier
+)
+SELECT COALESCE(a.nk, -1) AS nationkey, COUNT(*) AS n_pairs
+FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+GROUP BY 1
+ORDER BY nationkey
+"""
+
+
+@query("join_null_safe", oracle=NULL_SAFE_JOIN_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other — the semantics plain equality silently drops.
+    The NULL bucket is the canonical skew hazard at scale (every
+    null-keyed row lands in one partition under a plain shuffle);
+    eqNullSafe keeps it a single hash key, which AQE's skew-join
+    split or an upstream salt then handles — the engine still plans a
+    normal hash join, not a cross-product."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    a = t["customer"].select(
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk")
+    )
+    b = t["supplier"].select(
+        F.when(F.col("s_suppkey") % 5 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk_b")
+    )
+    return (
+        a.join(b, a["nk"].eqNullSafe(b["nk_b"]))
+        .groupBy("nk")
+        .agg(F.count("*").alias("n_pairs"))
+        # -1 encodes the matched-NULL bucket: an integer output column
+        # keeps both engines' pandas dtype int64 (a NULL would force
+        # float64 + NaN, the one value hash functions disagree on).
+        .select(F.coalesce(F.col("nk"), F.lit(-1)).alias("nationkey"), "n_pairs")
+        .orderBy("nationkey")
+    )
