@@ -367,3 +367,35 @@ def test_hll_sketch_union_accuracy_and_merge_consistency(spark, sf_dir):
     m = {r["event_type"]: r["est"] for r in merged.collect()}
     d = {r["event_type"]: r["est"] for r in direct.collect()}
     assert m == d
+
+
+def test_ivf_partitioned_storage_prunes_probe_scan(spark, sf_dir, tmp_path):
+    """The IVF production layout: corpus written partitioned by
+    centroid_id → a probe restricted to nprobe centroids reads ONLY
+    those partitions (PartitionFilters at planning time), which is
+    the (nlist - nprobe)/nlist scan saving the operator docstring
+    promises at 100 TB."""
+    from taps_spark.operators.similarity import (
+        as_double,
+        assign_nearest_centroid,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, nlist=8, iters=1)
+    corpus = assign_nearest_centroid(
+        emb.select(F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("v")),
+        cents,
+    )
+    path = str(tmp_path / "ivf_corpus")
+    corpus.withColumn("v", F.col("v").cast("array<double>")).write.partitionBy(
+        "centroid_id"
+    ).parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("centroid_id").isin([1, 3]))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = probe._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1].split("]")[0]
+    # Pruned read returns exactly the two lists' members.
+    expected = corpus.filter(F.col("centroid_id").isin([1, 3])).count()
+    assert probe.count() == expected > 0
