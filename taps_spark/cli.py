@@ -32,14 +32,14 @@ import os
 import sys
 
 
-def _endpoint(url: str, keys: dict[str, list[str]]):
+def _endpoint(url: str, keys: dict[str, list[str]], compress: bool = True):
     from taps_spark.io.jdbc import JdbcEndpoint
     from taps_spark.transfer.operation import ParquetEndpoint
 
     if url.startswith("jdbc:"):
         pk_cols = {t: cols[0] for t, cols in keys.items() if len(cols) == 1}
         return JdbcEndpoint(url, pk_cols=pk_cols)
-    return ParquetEndpoint(url)
+    return ParquetEndpoint(url, codec="zstd" if compress else "uncompressed")
 
 
 def _parse_keys(spec: str | None) -> dict[str, list[str]]:
@@ -60,6 +60,7 @@ def _add_transfer_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("remote_url")
     p.add_argument("-s", "--skip-schema", action="store_true")
     p.add_argument("-i", "--indexes-first", action="store_true")
+    p.add_argument("-g", "--disable-compression", action="store_true")
     p.add_argument("-r", "--resume", metavar="FILE", default=None)
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-f", "--filter", dest="table_filter", default=None)
@@ -77,8 +78,9 @@ def _run_transfer(args: argparse.Namespace, direction: str) -> int:
     from taps_spark.transfer.operation import TransferOperation
 
     keys = _parse_keys(args.keys)
-    local = _endpoint(args.local_url, keys)
-    remote = _endpoint(args.remote_url, keys)
+    compress = not args.disable_compression  # cli.rb:136 (-g)
+    local = _endpoint(args.local_url, keys, compress)
+    remote = _endpoint(args.remote_url, keys, compress)
     # Reference semantics: pull = remote → local, push = local → remote.
     source, target = (remote, local) if direction == "pull" else (local, remote)
 

@@ -57,7 +57,7 @@ def write_parquet(
 
 
 def append_idempotent(
-    spark: SparkSession, df: DataFrame, path: str, key_cols: list[str]
+    spark: SparkSession, df: DataFrame, path: str, key_cols: list[str], codec: str = "zstd"
 ) -> int:
     """Append only rows whose key is not already present at the sink.
 
@@ -73,7 +73,7 @@ def append_idempotent(
     try:
         n = out.count()
         if n:
-            write_parquet(out, path, mode="append")
+            write_parquet(out, path, mode="append", codec=codec)
         return n
     finally:
         out.unpersist()

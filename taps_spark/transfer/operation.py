@@ -59,9 +59,13 @@ class Endpoint(Protocol):
 @dataclass
 class ParquetEndpoint:
     """Directory-of-parquet endpoint (the fixture layout; also the
-    natural lakehouse landing zone at scale)."""
+    natural lakehouse landing zone at scale). `codec` maps the
+    reference's --disable-compression (cli.rb:136, Rack::Deflater
+    transport gzip) onto the columnar codec: 'zstd' default,
+    'uncompressed' when disabled."""
 
     root: str
+    codec: str = "zstd"
 
     def tables(self) -> list[str]:
         from taps_spark.catalog import discover_tables
@@ -80,8 +84,10 @@ class ParquetEndpoint:
         self, spark: SparkSession, table: str, df: DataFrame, key_cols: list[str] | None
     ) -> int:
         if key_cols:
-            return sinks.append_idempotent(spark, df, self._path(table), key_cols)
-        df.write.mode("append").parquet(self._path(table))
+            return sinks.append_idempotent(
+                spark, df, self._path(table), key_cols, codec=self.codec
+            )
+        df.write.mode("append").option("compression", self.codec).parquet(self._path(table))
         return -1
 
 

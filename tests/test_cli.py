@@ -115,3 +115,20 @@ def test_subprocess_entry_point(sf_dir, tmp_path):
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["transferred"] == {"region": 5}
     assert out["verified"] == ["region"]
+
+
+def test_disable_compression_flag(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """-g writes uncompressed parquet (reference cli.rb:136 maps the
+    transport-gzip toggle onto the columnar codec)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.chdir(tmp_path)
+    lake = str(tmp_path / "lake")
+    assert main(["pull", lake, sf_dir, "-t", "region", "-g",
+                 "--keys", "region:r_regionkey"]) == 0
+    capsys.readouterr()
+    f = glob.glob(f"{lake}/region.parquet/*.parquet")[0]
+    meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
+    assert meta.compression in ("UNCOMPRESSED", "NONE")
