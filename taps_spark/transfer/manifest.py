@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -27,6 +28,9 @@ class TransferManifest:
     path: str
     completed: dict[str, dict[str, Any]] = field(default_factory=dict)
     watermarks: dict[str, int] = field(default_factory=dict)
+    # Concurrent table transfers (TransferOperation.parallelism > 1)
+    # mutate and flush from worker threads; one lock serializes both.
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
 
     @classmethod
     def load(cls, path: str) -> "TransferManifest":
@@ -44,11 +48,12 @@ class TransferManifest:
         return table in self.completed
 
     def mark_complete(self, table: str, **info: Any) -> None:
-        self.completed[table] = info
-        # A completed table needs no cursor; drop it so a re-run that
-        # forces re-transfer starts clean.
-        self.watermarks.pop(table, None)
-        self._flush()
+        with self._lock:
+            self.completed[table] = info
+            # A completed table needs no cursor; drop it so a re-run
+            # that forces re-transfer starts clean.
+            self.watermarks.pop(table, None)
+            self._flush()
 
     def watermark(self, table: str) -> int | None:
         """Last pk value fully written for an in-flight table, or
@@ -56,8 +61,9 @@ class TransferManifest:
         return self.watermarks.get(table)
 
     def set_watermark(self, table: str, pk_value: int) -> None:
-        self.watermarks[table] = int(pk_value)
-        self._flush()
+        with self._lock:
+            self.watermarks[table] = int(pk_value)
+            self._flush()
 
     def _flush(self) -> None:
         """Atomic write (tmp + rename) — a crash mid-flush must never

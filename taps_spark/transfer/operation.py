@@ -134,6 +134,14 @@ class TransferOperation:
     #: enable chunked data phase with mid-table resume when the table
     #: has a single integer pk in key_cols; None = whole-table writes
     chunk_rows: int | None = None
+    #: tables transferred concurrently (Spark actions are thread-safe;
+    #: the scheduler interleaves their stages). 1 = the reference's
+    #: sequential order; >1 is where "per-table parallelism ×
+    #: per-partition parallelism" actually happens on a big cluster.
+    parallelism: int = 1
+    #: per-run scratch (distinct keys per table; GIL-atomic setitem)
+    _resumed_from: dict[str, int] = field(default_factory=dict, init=False, repr=False)
+    _chunks: dict[str, int] = field(default_factory=dict, init=False, repr=False)
 
     def run(self, spark: SparkSession) -> TransferResult:
         result = TransferResult()
@@ -192,33 +200,59 @@ class TransferOperation:
     # --------------------------------------------------------- data plane
 
     def _data_phase(self, spark: SparkSession, tables: list[str], result: TransferResult) -> None:
-        from taps_spark.transfer.progress import ProgressMeter
-
         result.phases.append("data")
-        meter = ProgressMeter()
+        todo = []
         for table in tables:
             if self.manifest.is_complete(table):
                 result.skipped.append(table)
-                continue
-            pk = self._single_int_pk(table)
-            if self.chunk_rows and pk is not None:
-                n = self._transfer_chunked(spark, table, pk, result)
             else:
-                n = self._transfer_whole(spark, table, meter)
-            if self.verify:
-                try:
-                    verify_or_raise(
-                        self.source.read(spark, table),
-                        self.target.read(spark, table),
-                        table,
-                    )
-                    result.verified.append(table)
-                except CorruptedData:
-                    # Leave the table out of the manifest: the next
-                    # run re-reads and (idempotently) repairs it.
-                    raise
+                todo.append(table)
+        if self.parallelism > 1 and len(todo) > 1:
+            # Concurrent Spark actions from a thread pool: each table's
+            # read→write job interleaves on the scheduler, so small
+            # tables don't serialize behind big ones. Per-table results
+            # merge on the main thread; the manifest is internally
+            # locked for the chunked path's worker-thread watermarks.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.parallelism) as pool:
+                futures = {
+                    t: pool.submit(self._transfer_one, spark, t) for t in todo
+                }
+                outcomes = {t: f.result() for t, f in futures.items()}
+        else:
+            outcomes = {t: self._transfer_one(spark, t) for t in todo}
+        for table in todo:  # deterministic merge order
+            n, verified = outcomes[table]
+            if verified:
+                result.verified.append(table)
             self.manifest.mark_complete(table, rows=n)
             result.transferred[table] = n
+            if table in self._resumed_from:
+                result.resumed_from[table] = self._resumed_from[table]
+            if table in self._chunks:
+                result.chunks[table] = self._chunks[table]
+
+    def _transfer_one(self, spark: SparkSession, table: str) -> tuple[int, bool]:
+        """Move one table and verify it; safe to run on a worker
+        thread (no shared mutable state except the locked manifest)."""
+        from taps_spark.transfer.progress import ProgressMeter
+
+        pk = self._single_int_pk(table)
+        if self.chunk_rows and pk is not None:
+            n = self._transfer_chunked(spark, table, pk)
+        else:
+            n = self._transfer_whole(spark, table, ProgressMeter())
+        if self.verify:
+            # CorruptedData propagates: the table is left out of the
+            # manifest, and the next (idempotent) run repairs it.
+            verify_or_raise(
+                self.source.read(spark, table),
+                self.target.read(spark, table),
+                table,
+            )
+            return n, True
+        return n, False
 
     def _single_int_pk(self, table: str) -> str | None:
         cols = self.key_cols.get(table)
@@ -237,9 +271,7 @@ class TransferOperation:
             n = meter.harvest(table)
         return n
 
-    def _transfer_chunked(
-        self, spark: SparkSession, table: str, pk: str, result: TransferResult
-    ) -> int:
+    def _transfer_chunked(self, spark: SparkSession, table: str, pk: str) -> int:
         """Chunked data plane with a per-chunk manifest watermark.
 
         Chunks are pk-RANGE slices (keyset semantics, not offsets —
@@ -252,7 +284,7 @@ class TransferOperation:
         if table in self.rules:
             df = enforce(df, self.rules[table])
         if wm is not None:
-            result.resumed_from[table] = wm
+            self._resumed_from[table] = wm
             df = df.filter(F.col(pk) > F.lit(wm))
 
         stats = df.agg(
@@ -265,7 +297,7 @@ class TransferOperation:
         lo, hi = int(stats["lo"]), int(stats["hi"])
         n_chunks = max(1, math.ceil(int(stats["n"]) / self.chunk_rows))
         step = max(1, math.ceil((hi - lo + 1) / n_chunks))
-        result.chunks[table] = n_chunks
+        self._chunks[table] = n_chunks
 
         total = 0
         for chunk_lo in range(lo, hi + 1, step):

@@ -291,3 +291,49 @@ def test_merge_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_pa
     }
     assert got == {(1, "A", "p1"), (2, "b", "p1"), (9, "new", "p1"),
                    (3, "c", "p2"), (4, "d", "p3")}
+
+
+def test_parallel_table_transfer_matches_sequential(spark, sf_dir, tmp_path):
+    """parallelism=3 moves tables on concurrent Spark actions and
+    produces exactly the sequential result (same rows, same manifest,
+    same verification set); worker threads provably overlap."""
+    import threading
+
+    seen_threads = set()
+
+    class Spy(ParquetEndpoint):
+        def write(self, spark_, table, df, key_cols):
+            seen_threads.add(threading.current_thread().name)
+            return super().write(spark_, table, df, key_cols)
+
+    mpath = str(tmp_path / "m.json")
+    op = TransferOperation(
+        source=ParquetEndpoint(sf_dir),
+        target=Spy(str(tmp_path / "lake")),
+        manifest=TransferManifest.load(mpath),
+        table_pattern="(^region$|^nation$|^supplier$|^customer$)",
+        key_cols={
+            "region": ["r_regionkey"], "nation": ["n_nationkey"],
+            "supplier": ["s_suppkey"], "customer": ["c_custkey"],
+        },
+        parallelism=3,
+    )
+    r = op.run(spark)
+    assert set(r.transferred) == {"region", "nation", "supplier", "customer"}
+    assert set(r.verified) == set(r.transferred)
+    assert len(seen_threads) > 1, "expected >1 worker thread"
+    m = TransferManifest.load(mpath)
+    assert all(m.is_complete(t) for t in r.transferred)
+    counts = {t: spark.read.parquet(f"{tmp_path}/lake/{t}.parquet").count()
+              for t in r.transferred}
+    assert counts == {"region": 5, "nation": 25,
+                      "supplier": counts["supplier"], "customer": counts["customer"]}
+    assert counts["supplier"] > 0 and counts["customer"] > 0
+    # A re-run (fresh op, same manifest) skips everything.
+    r2 = TransferOperation(
+        source=ParquetEndpoint(sf_dir), target=ParquetEndpoint(str(tmp_path / "lake")),
+        manifest=TransferManifest.load(mpath),
+        table_pattern="(^region$|^nation$|^supplier$|^customer$)",
+        parallelism=3,
+    ).run(spark)
+    assert set(r2.skipped) == set(r.transferred)
