@@ -68,6 +68,8 @@ def _add_transfer_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-e", "--exclude-tables", default=None)
     p.add_argument("--keys", default=None, help="table:col[+col2][,table:col] idempotency keys")
     p.add_argument("--manifest", default="taps_spark_manifest.json")
+    p.add_argument("-j", "--jobs", type=int, default=1,
+                   help="tables transferred concurrently (engine extension)")
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("-d", "--debug", action="store_true")
 
@@ -113,6 +115,7 @@ def _run_transfer(args: argparse.Namespace, direction: str) -> int:
         verify=not args.no_verify,
         indexes_first=args.indexes_first,
         chunk_rows=chunk_rows,
+        parallelism=max(args.jobs, 1),
     )
     result = op.run(spark)
     print(
