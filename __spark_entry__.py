@@ -45,11 +45,16 @@ def _coverage_counts() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            # Green = full oracle match, or the best a rows-only query
-            # can achieve (err == "no_oracle" with a row count).
-            ok = (row.get("rows_match") and row.get("err") is None) or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
+            # Green = FULL oracle match (rows + schema + hash), or the
+            # best a rows-only query can achieve (err == "no_oracle"
+            # with a row count). A partial match (rows ok, hash bad)
+            # is a FAILURE and must keep priority for re-gating.
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ) or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
             if ok:
                 counts[name] = counts.get(name, 0) + 1
     return counts
