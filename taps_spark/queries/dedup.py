@@ -553,3 +553,66 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return embedding_lsh_band_stats(emb, bands=4, planes=4, threshold=0.4)
+
+
+CROSS_SOURCE_ORACLE = """
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT source, MD5(array_to_string(toks[i:i+4], ' ')) AS fp
+  FROM t, UNNEST(generate_series(1, GREATEST(LEN(toks) - 4, 0))) AS u(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_shingles
+FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("dedup_cross_source_overlap", oracle=CROSS_SOURCE_ORACLE)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct word 5-gram shingles appear in both — the
+    curation signal for which crawls/dumps mirror each other before
+    choosing what to drop or down-weight in a training mix (shingle
+    granularity catches partial mirrors that exact-content dedup
+    misses).
+
+    Scale: shingles are built and md5-hashed map-side, so the one
+    shuffle is keyed by the 32-byte gram fingerprint (collect_set of
+    the low-cardinality source label combines map-side; document text
+    never shuffles). Unordered source pairs are then expanded
+    JVM-side from each fingerprint's sorted source set — no gram
+    self-join, no second scan. The final pair rollup is |sources|^2
+    rows at most.
+    """
+    from taps_spark.operators.text import with_word_ngrams
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = with_word_ngrams(docs, "text", 5).select(
+        "source", F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    srcs_per_fp = (
+        grams.select(F.md5("gram").alias("fp"), "source")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+    )
+    pairs = srcs_per_fp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )

@@ -755,3 +755,55 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
         .orderBy("lang", "pack_id")
     )
+
+
+QUANTILE_GATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS token_ct
+  FROM documents
+),
+m AS (SELECT lang, quantile_cont(token_ct, 0.5) AS lang_median FROM t GROUP BY lang)
+SELECT t.doc_id, t.lang, t.token_ct,
+       ROUND(m.lang_median, 4) AS lang_median,
+       CAST(CASE WHEN t.token_ct >= m.lang_median THEN 1 ELSE 0 END AS INT) AS keep
+FROM t JOIN m ON t.lang = m.lang
+ORDER BY t.doc_id
+"""
+
+
+@query("text_quality_quantile_gate", oracle=QUANTILE_GATE_ORACLE)
+def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile quality gate: keep documents at or above
+    their language's exact median token count — the relative
+    (distribution-aware) counterpart to `text_quality_gate`'s absolute
+    thresholds, standard practice when per-language length profiles
+    differ wildly in a pretraining mix.
+
+    Scale: exact `percentile` aggregates per language with map-side
+    partial buffers keyed by distinct token counts (bounded domain →
+    tiny state), so there is no per-language global sort and no giant
+    window; thresholds come back as a broadcast join (few-row dim).
+    At 100 TB swap `percentile` for `percentile_approx` and the plan
+    shape is unchanged.
+    """
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = docs.select(
+        "doc_id", "lang", token_count("text").cast("int").alias("token_ct")
+    )
+    med = scored.groupBy("lang").agg(
+        F.expr("percentile(token_ct, 0.5D)").alias("lang_median")
+    )
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "token_ct",
+            F.round("lang_median", 4).alias("lang_median"),
+            (F.col("token_ct") >= F.col("lang_median")).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

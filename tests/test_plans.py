@@ -281,3 +281,27 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf_dir):
         if hits:
             violations[name] = hits
     assert not violations, violations
+
+
+def test_cross_source_overlap_has_no_self_join(spark, sf_dir):
+    """dedup_cross_source_overlap must expand source pairs JVM-side
+    from each gram's collected source set — a gram-keyed SELF-JOIN
+    would shuffle the shingle set twice and explode on hot grams. The
+    plan must contain no join at all and exactly two aggregate
+    exchanges (gram rollup + |sources|^2 pair rollup)."""
+    plan = formatted_plan(spark, "dedup_cross_source_overlap", sf_dir)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+    n_hash_exchanges = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning(")
+    )
+    assert n_hash_exchanges == 2, plan
+
+
+def test_quantile_gate_broadcasts_thresholds(spark, sf_dir):
+    """The per-language median thresholds are a few-row dimension and
+    must come back as a broadcast join — no giant per-language sort
+    window over the corpus, no shuffle of the document side."""
+    plan = formatted_plan(spark, "text_quality_quantile_gate", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
