@@ -237,6 +237,93 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 30
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014) — the web-scale alternative to min-label
+    propagation. Returns DataFrame[node, component], component = the
+    smallest node id, identical semantics to `connected_components`.
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its closed neighborhood; small-star: every node folds its
+    smaller neighbors (and itself) onto their minimum. The edge set
+    contracts to per-component stars in O(log² n) rounds REGARDLESS
+    of graph diameter — min-label propagation needs O(diameter)
+    rounds, which melts on chain-shaped duplicate graphs (doc A ~ B ~
+    C ~ ... chains from sliding near-dup windows).
+
+    Scale: each half-round is one groupBy-min plus a join back on the
+    SAME key (co-partitioned, single exchange feeds both), and edges
+    only ever shrink. Convergence is an exact set comparison via
+    count + order-independent hash-sum aggregate (one tiny job per
+    round). localCheckpoint() truncates lineage per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["x"], row["s"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    sig = _signature(e)
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: not converged after {max_iters} rounds "
+            "(edge set still changing)"
+        )
+    # Converged edge set is a forest of stars: v is always the
+    # component root (minimum id); roots label themselves.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
 def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash from an md5-derived token hash family — same
     vote/assemble pipeline as simhash64 but ENGINE-PORTABLE (md5 of

@@ -314,20 +314,9 @@ ORDER BY component
 """
 
 
-@query("dedup_connected_components", oracle=CC_ORACLE)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs as a graph,
-    verified at Jaccard ≥ 0.9, resolved to connected components by iterative min-label propagation
-    (operators/dedup.connected_components) — the step that turns
-    pairwise candidates into dedup groups (keep component id = min
-    doc, drop the rest). The DuckDB oracle computes the same
-    components via WITH RECURSIVE transitive closure — viable at
-    fixture scale, quadratic blowup at real scale, which is exactly
-    why the Spark side iterates instead.
-    """
-    from taps_spark.io.tables import parallelize_cpu
-
-    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+def _lsh_verified_edges(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs verified at Jaccard ≥ 0.9 — the
+    shared near-dup GRAPH both component algorithms cluster."""
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
     banded = sigs.withColumn("band", F.expr("seed div 2"))
     band_sigs = banded.groupBy("doc_id", "band").agg(
@@ -352,20 +341,55 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
     ta = tsets.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
     tb = tsets.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
-    edges = (
+    return (
         cand.join(ta, "src")
         .join(tb, "dst")
         .filter(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.9)
         .select("src", "dst")
     )
-    from taps_spark.operators.dedup import connected_components
 
-    comp = connected_components(edges)
+
+def _component_rollup(comp: DataFrame) -> DataFrame:
     return (
         comp.groupBy("component")
         .agg(F.count("*").alias("n_members"), F.max("node").alias("max_member"))
         .orderBy("component")
     )
+
+
+@query("dedup_connected_components", oracle=CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs as a graph,
+    verified at Jaccard ≥ 0.9, resolved to connected components by iterative min-label propagation
+    (operators/dedup.connected_components) — the step that turns
+    pairwise candidates into dedup groups (keep component id = min
+    doc, drop the rest). The DuckDB oracle computes the same
+    components via WITH RECURSIVE transitive closure — viable at
+    fixture scale, quadratic blowup at real scale, which is exactly
+    why the Spark side iterates instead.
+    """
+    from taps_spark.io.tables import parallelize_cpu
+    from taps_spark.operators.dedup import connected_components
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return _component_rollup(connected_components(_lsh_verified_edges(docs)))
+
+
+@query("dedup_connected_components_star", oracle=CC_ORACLE)
+def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup clusters as `dedup_connected_components`, but
+    resolved by alternating large-star/small-star contraction
+    (operators/dedup.connected_components_star) — O(log² n) rounds
+    independent of graph diameter, the algorithm you actually run on
+    a web-scale duplicate graph where propagation's O(diameter) loop
+    on chained near-dups would never finish. Both paths share one
+    oracle: the answers must be identical.
+    """
+    from taps_spark.io.tables import parallelize_cpu
+    from taps_spark.operators.dedup import connected_components_star
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return _component_rollup(connected_components_star(_lsh_verified_edges(docs)))
 
 
 SIMHASH_PORTABLE_ORACLE = """

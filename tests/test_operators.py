@@ -399,3 +399,35 @@ def test_ivf_partitioned_storage_prunes_probe_scan(spark, sf_dir, tmp_path):
     # Pruned read returns exactly the two lists' members.
     expected = corpus.filter(F.col("centroid_id").isin([1, 3])).count()
     assert probe.count() == expected > 0
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """large-star/small-star must produce byte-identical components to
+    min-label propagation on a graph mixing the shapes that stress
+    each: a chain (diameter), a clique (density), an isolated pair,
+    and a star already rooted at its max (forces reorientation)."""
+    from taps_spark.operators.dedup import connected_components, connected_components_star
+
+    chain = [(i, i + 1) for i in range(10)]
+    clique = [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    pair = [(200, 201)]
+    rooted_high = [(310, 300), (310, 301), (310, 302)]
+    edges = spark.createDataFrame(chain + clique + pair + rooted_high, ["src", "dst"])
+    a = sorted(map(tuple, connected_components(edges, max_iters=30).collect()))
+    b = sorted(map(tuple, connected_components_star(edges).collect()))
+    assert a == b
+    comps = {c for _, c in b}
+    assert comps == {0, 100, 200, 300}
+
+
+def test_connected_components_star_converges_on_long_chain(spark):
+    """The scale differentiator: a 120-node chain converges in
+    O(log² n) star rounds — far under the 15-round cap that distance
+    propagation (O(diameter) = 120 rounds) could never meet."""
+    from taps_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(120)], ["src", "dst"])
+    comp = connected_components_star(edges, max_iters=15)
+    rows = comp.collect()
+    assert len(rows) == 121
+    assert {r["component"] for r in rows} == {0}
