@@ -433,3 +433,94 @@ def events_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+COUNTMIN_ORACLE = """
+WITH e AS (SELECT user_id FROM events),
+x AS (
+  SELECT user_id, s.seed,
+         ('0x' || SUBSTRING(MD5(CAST(s.seed AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 256 AS bucket
+  FROM e CROSS JOIN (SELECT unnest(range(4)) AS seed) s
+),
+sketch AS (
+  SELECT seed, bucket, COUNT(*) AS c FROM x GROUP BY seed, bucket
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_ct FROM e GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact_ct,
+         ROW_NUMBER() OVER (ORDER BY exact_ct DESC, user_id) AS rn
+  FROM exact
+),
+probe AS (
+  SELECT t.user_id, t.exact_ct, s.seed,
+         ('0x' || SUBSTRING(MD5(CAST(s.seed AS VARCHAR) || '|' || CAST(t.user_id AS VARCHAR)), 1, 12))::BIGINT % 256 AS bucket
+  FROM top t CROSS JOIN (SELECT unnest(range(4)) AS seed) s
+  WHERE t.rn <= 10
+)
+SELECT p.user_id, CAST(p.exact_ct AS BIGINT) AS exact_ct,
+       CAST(MIN(sk.c) AS BIGINT) AS cm_est,
+       CAST(MIN(sk.c) - p.exact_ct AS BIGINT) AS overcount
+FROM probe p JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+GROUP BY p.user_id, p.exact_ct
+ORDER BY exact_ct DESC, user_id
+"""
+
+
+@query("events_countmin_heavy_hitters", oracle=COUNTMIN_ORACLE)
+def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: build a depth-4 × width-256
+    count-min sketch over the event stream's user ids (the mergeable
+    frequency sibling of `events_hll_sketch_union`'s distinct-count
+    sketch), then read back the sketch estimate for the true top-10
+    users next to their exact counts — exposing the sketch's
+    one-sided overcount (cm_est ≥ exact, within εN with probability
+    1-δ). The md5 hash family makes every counter value
+    engine-portable, so the whole sketch is oracle-checked exactly.
+
+    Scale: the sketch build shuffles at most depth × width = 1024
+    counter groups regardless of input size (map-side combined —
+    that bounded state IS the point of a sketch: partials from any
+    partitioning merge by addition), and the probe side joins the
+    tiny sketch broadcast. The exact-count sidecar exists only to
+    audit the estimate; a production rollup would persist the 1024
+    counters alone.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select("user_id")
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("seed")
+
+    def bucket(seed_col, key_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", seed_col, key_col)), 1, 12), 16, 10
+            ).cast("long")
+            % 256
+        )
+
+    x = ev.select("user_id", seeds).select(
+        "user_id", "seed", bucket(F.col("seed"), F.col("user_id")).alias("bucket")
+    )
+    sketch = x.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
+
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_ct"))
+    w = Window.orderBy(F.col("exact_ct").desc(), "user_id")
+    top = exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    probe = top.select("user_id", "exact_ct", seeds).select(
+        "user_id",
+        "exact_ct",
+        "seed",
+        bucket(F.col("seed"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("user_id", "exact_ct")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "user_id",
+            "exact_ct",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_ct")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_ct").desc(), "user_id")
+    )
