@@ -524,3 +524,92 @@ def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.col("exact_ct").desc(), "user_id")
     )
+
+
+INTERP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value
+  FROM events WHERE user_id < 10
+),
+daily AS (
+  SELECT user_id, day, ROUND(SUM(value), 2) AS day_value
+  FROM ev GROUP BY user_id, day
+),
+bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.day, d.day_value
+  FROM spine s LEFT JOIN daily d USING (user_id, day)
+),
+f AS (
+  SELECT user_id, day, day_value,
+    LAST_VALUE(day_value IGNORE NULLS) OVER wf AS pv,
+    LAST_VALUE(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS pd,
+    FIRST_VALUE(day_value IGNORE NULLS) OVER wb AS nv,
+    FIRST_VALUE(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS nd
+  FROM j
+  WINDOW wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wb AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day,
+       ROUND(CASE WHEN day_value IS NOT NULL THEN day_value
+                  ELSE pv + (nv - pv) * ((day - pd) / (nd - pd)) END, 4) AS interp_value,
+       day_value IS NULL AS is_gap
+FROM f
+ORDER BY user_id, day
+"""
+
+
+@query("events_gap_fill_interpolate", oracle=INTERP_ORACLE)
+def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + LINEAR interpolation across gaps — the
+    `interpolate()` half of timescaledb's time_bucket_gapfill
+    (`events_gap_fill_daily` is the locf half): each missing day gets
+    prev + (next − prev) × day-fraction between its two nearest
+    observed days. Spine bounds are each user's own first→last
+    observed day, so every gap has both neighbors by construction.
+
+    Scale: identical shape to the locf variant — input collapses to
+    daily grain before the spine join, and the forward/backward
+    neighbor scans are two frames over ONE sort order (single window
+    exchange, no self-join against observed rows).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(F.col("user_id") < 10)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_value")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    pv = F.last("day_value", ignorenulls=True).over(wf)
+    pd_ = F.last(known_day, ignorenulls=True).over(wf)
+    nv = F.first("day_value", ignorenulls=True).over(wb)
+    nd = F.first(known_day, ignorenulls=True).over(wb)
+    interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
+        pv + (nv - pv) * (F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_))
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(interp, 4).alias("interp_value"),
+        F.col("day_value").isNull().alias("is_gap"),
+    ).orderBy("user_id", "day")

@@ -1,0 +1,127 @@
+"""Local full-registry correctness sweep — the driver's oracle gate,
+uncapped.
+
+The external driver samples at most ~50 registry entries per round for
+CORRECTNESS_r{N}.json; this script runs EVERY registered query against
+its DuckDB oracle at the driver's scale (sf0.01) with the driver's
+comparison semantics (column names sorted, order-insensitive exact
+values) and writes CORRECTNESS_LOCAL.json so each round carries hard
+evidence for the whole registry, not just the sampled slice.
+
+Usage: python tools/local_correctness.py [sf_dir] [out_path]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            try:
+                if v is None or pd.isna(v):
+                    vals.append("NULL")
+                    continue
+            except (TypeError, ValueError):
+                pass
+            if isinstance(v, float) and math.isnan(v):
+                vals.append("NULL")
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_LOCAL.json"
+
+    from pyspark.sql import SparkSession
+
+    # Plain session on purpose: the external driver builds a conf-less
+    # one, so engine tuning must happen inside the queries themselves.
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("local_correctness")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    results, n_pass, n_rows_only, n_fail = {}, 0, 0, 0
+    t0 = time.time()
+    for name, fn in qs.items():
+        if name.startswith("events_stream"):
+            # Streaming plans only materialize on query start; their
+            # batch twins (same oracles) cover the semantics here.
+            results[name] = {"status": "streaming_skipped_batch_twin_gated"}
+            continue
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            if name not in osql:
+                results[name] = {"status": "rows_only", "rows": len(spdf)}
+                n_rows_only += 1
+                continue
+            ddf = con.execute(osql[name]).fetch_df()
+            cols_ok = sorted(spdf.columns) == sorted(ddf.columns)
+            cols = sorted(spdf.columns)
+            values_ok = cols_ok and _norm(
+                spdf[cols].itertuples(index=False, name=None)
+            ) == _norm(ddf[cols].itertuples(index=False, name=None))
+            status = "pass" if (cols_ok and values_ok) else "FAIL"
+            results[name] = {
+                "status": status,
+                "rows": len(spdf),
+                "oracle_rows": len(ddf),
+                "schema_match": cols_ok,
+                "values_match": values_ok,
+            }
+            n_pass += status == "pass"
+            n_fail += status == "FAIL"
+        except Exception as ex:  # noqa: BLE001 — record, keep sweeping
+            results[name] = {"status": "FAIL", "error": f"{type(ex).__name__}: {ex}"[:300]}
+            n_fail += 1
+
+    artifact = {
+        "sf_dir": sf_dir,
+        "n_queries": len(qs),
+        "n_pass": n_pass,
+        "n_rows_only": n_rows_only,
+        "n_fail": n_fail,
+        "wall_seconds": round(time.time() - t0, 1),
+        "results": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in artifact.items() if k != "results"}))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
