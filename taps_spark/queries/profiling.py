@@ -191,3 +191,47 @@ def profile_skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "o_custkey")
         .limit(20)
     )
+
+
+HISTOGRAM_ORACLE = """
+WITH b AS (
+  -- width_bucket(x, 0, 110000, 22): DuckDB has no width_bucket, but
+  -- every fixture price sits strictly inside the range, where the
+  -- function reduces to floor(x / width) + 1 exactly.
+  SELECT CAST(FLOOR(l_extendedprice / 5000) + 1 AS BIGINT) AS bucket
+  FROM lineitem
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST((bucket - 1) * 5000 AS BIGINT) AS lo,
+       CAST(bucket * 5000 AS BIGINT)       AS hi,
+       CAST(COUNT(*) AS BIGINT)            AS n_rows
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("profile_value_histogram", oracle=HISTOGRAM_ORACLE)
+def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram over lineitem prices (width_bucket,
+    22 × 5000-wide buckets) — the profiling primitive behind skew
+    detection, range-partition planning, and CBO-style column stats.
+
+    Scale: bucket assignment is a map-side expression; the shuffle
+    carries at most #buckets groups (map-side combined), independent
+    of input size. The scan reads exactly one column.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    bucket = F.width_bucket("l_extendedprice", F.lit(0), F.lit(110000), F.lit(22))
+    return (
+        li.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "bucket",
+            ((F.col("bucket") - 1) * 5000).cast("long").alias("lo"),
+            (F.col("bucket") * 5000).cast("long").alias("hi"),
+            "n_rows",
+        )
+        .orderBy("bucket")
+    )
