@@ -1,0 +1,82 @@
+"""Physical data layout for scan efficiency: clustered parquet writes.
+
+At 100 TB the fastest scan is the one that never happens. Parquet
+footers carry min/max statistics per row group; Spark's parquet reader
+prunes row groups whose stat range can't satisfy a pushed filter. That
+pruning is only selective if the data is CLUSTERED on the filter
+column — a random row order makes every row-group range span the whole
+domain and no row group is ever skipped.
+
+`write_clustered` produces that layout declaratively:
+  repartitionByRange(cluster_col)   → files own disjoint value ranges
+  sortWithinPartitions(cluster_col) → row groups inside a file are
+                                      tight sub-ranges
+so a pushed range predicate touches only the files and row groups that
+can contain matches. Time-series tables cluster on the event time
+(the hypertable chunk layout); fact tables on their dominant filter
+key.
+
+Reference: taps streams rows in primary-key order
+(lib/taps/data_stream.rb:29-33 order_by) — the same idea applied to a
+cursor; here ordering buys stat-based skipping instead of resumability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+    codec: str = "zstd",
+) -> None:
+    """Write parquet clustered on `cluster_cols`: range-partitioned
+    across files, sorted within each file, so parquet min/max stats
+    prune both files and row groups for filters on those columns.
+
+    `num_files` sizes the range shuffle (default: current shuffle
+    partition setting). `partition_by` adds directory-level partition
+    pruning ON TOP of stat-based skipping (partition columns must not
+    overlap cluster columns).
+    """
+    if partition_by and set(partition_by) & set(cluster_cols):
+        raise ValueError("partition_by and cluster_cols must be disjoint")
+    clustered = (
+        df.repartitionByRange(num_files, *cluster_cols)
+        if num_files
+        else df.repartitionByRange(*cluster_cols)
+    ).sortWithinPartitions(*cluster_cols)
+    writer = clustered.write.mode("overwrite").option("compression", codec)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def file_stat_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) of `column` from parquet footer statistics —
+    the evidence for whether a clustered layout actually enables
+    skipping (disjoint ranges) or not (every file spans the domain).
+    Driver-side metadata read only; no data pages are touched."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None or s.min < lo else lo
+                    hi = s.max if hi is None or s.max > hi else hi
+        if lo is not None:
+            ranges.append((lo, hi))
+    return ranges

@@ -71,3 +71,43 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     back = sources.read_orc(spark, path)
     assert back.schema == orders.schema
     assert compare(orders, back).ok
+
+
+def test_clustered_write_enables_stat_skipping(spark, sf_dir, tmp_path):
+    """write_clustered must produce parquet files owning DISJOINT
+    l_shipdate ranges (footer min/max stats), while a plain unsorted
+    multi-file write makes every file span ~the whole domain — the
+    difference between a range filter touching 1 file and all of them
+    at 100 TB."""
+    from taps_spark.io.layout import file_stat_ranges, write_clustered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_clustered(li, clustered, ["l_shipdate"], num_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(plain)
+
+    cr = sorted(file_stat_ranges(clustered, "l_shipdate"))
+    pr = sorted(file_stat_ranges(plain, "l_shipdate"))
+    assert len(cr) >= 4
+
+    def overlaps(ranges):
+        n = 0
+        for i, (_, hi) in enumerate(ranges[:-1]):
+            lo_next = ranges[i + 1][0]
+            n += hi > lo_next
+        return n
+
+    # Range-partitioned files are disjoint (boundary duplicates at
+    # most); random placement overlaps almost everywhere.
+    assert overlaps(cr) == 0, cr
+    assert overlaps(pr) >= len(pr) - 1, pr
+
+    # And the round-trip result is identical.
+    assert (
+        spark.read.parquet(clustered).count()
+        == spark.read.parquet(plain).count()
+        == li.count()
+    )
