@@ -431,3 +431,41 @@ def test_connected_components_star_converges_on_long_chain(spark):
     rows = comp.collect()
     assert len(rows) == 121
     assert {r["component"] for r in rows} == {0}
+
+
+def test_countmin_estimate_is_one_sided_and_bounded(spark, sf_dir):
+    """Count-min guarantees est ≥ exact for EVERY key (not just the
+    top-10 the query reports), and with width 256 ≫ distinct users the
+    expected overcount stays far under the εN = (e/256)·N bound."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    n_total = ev.count()
+
+    def bucket(seed_col, key_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws("|", seed_col, key_col)), 1, 12), 16, 10)
+            .cast("long") % 256
+        )
+
+    x = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("seed")
+    ).select("user_id", "seed", bucket(F.col("seed"), F.col("user_id")).alias("bucket"))
+    sketch = x.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_ct"))
+    probe = exact.select(
+        "user_id", "exact_ct", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("seed")
+    ).select("user_id", "exact_ct", "seed", bucket(F.col("seed"), F.col("user_id")).alias("bucket"))
+    est = (
+        probe.join(sketch, ["seed", "bucket"])
+        .groupBy("user_id", "exact_ct")
+        .agg(F.min("c").alias("cm_est"))
+        .collect()
+    )
+    assert len(est) > 0
+    overcounts = []
+    for r in est:
+        assert r["cm_est"] >= r["exact_ct"], r
+        overcounts.append(r["cm_est"] - r["exact_ct"])
+    eps_n = (2.718 / 256) * n_total
+    assert sum(overcounts) / len(overcounts) <= eps_n
