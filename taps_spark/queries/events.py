@@ -613,3 +613,65 @@ def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 4).alias("interp_value"),
         F.col("day_value").isNull().alias("is_gap"),
     ).orderBy("user_id", "day")
+
+
+TIME_WEIGHT_ORACLE = """
+WITH o AS (
+  SELECT user_id, value,
+         epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+  FROM events
+),
+w AS (
+  SELECT user_id,
+         CAST(value * (nt - t) AS DECIMAL(27,6)) AS contrib,
+         nt - t AS dur
+  FROM o WHERE nt IS NOT NULL
+)
+SELECT user_id,
+       ROUND(CAST(SUM(contrib) AS DOUBLE) / SUM(dur), 4) AS tw_avg,
+       CAST(SUM(dur) // 1000000 AS BIGINT) AS span_secs,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_points
+FROM w
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("events_time_weighted_avg", oracle=TIME_WEIGHT_ORACLE)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (timescaledb `time_weight`
+    LOCF): each observation weighted by how long it remained current
+    — Σ value·Δt / Σ Δt over the user's observation span. The honest
+    aggregate for irregularly sampled gauges, where a plain AVG
+    over-counts burst periods.
+
+    Determinism: per-row value·Δt double products are identical in
+    both engines; they sum EXACTLY as decimal(27,6) (numeric.py
+    pattern) with the single division done once in doubles.
+
+    Scale: one window sort per user for the LEAD, and the grouped agg
+    reuses that user_id partitioning — a single exchange end to end;
+    microsecond-exact gaps via unix_micros (operators/events.py
+    pattern).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "value", micros.alias("t"), F.lead(micros, 1).over(w).alias("nt")
+    )
+    wd = o.where(F.col("nt").isNotNull()).select(
+        "user_id",
+        (F.col("value") * (F.col("nt") - F.col("t"))).cast("decimal(27,6)").alias("contrib"),
+        (F.col("nt") - F.col("t")).alias("dur"),
+    )
+    return (
+        wd.groupBy("user_id")
+        .agg(
+            F.round(F.sum("contrib").cast("double") / F.sum("dur"), 4).alias("tw_avg"),
+            F.expr("sum(dur) div 1000000").alias("span_secs"),
+            (F.count("*") + 1).alias("n_points"),
+        )
+        .orderBy("user_id")
+    )
