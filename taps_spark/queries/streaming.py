@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from taps_spark.queries import query
 from taps_spark.queries.events import SLIDING_ORACLE as _SLIDING_ORACLE
+from taps_spark.queries.events import HYPERTABLE_ORACLE as _HYPERTABLE_ORACLE
 from taps_spark.queries.events import TUMBLING_ORACLE
 from taps_spark.streaming.jobs import stream_session_window_agg, stream_tumbling_agg
 
@@ -150,3 +151,16 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.streaming.jobs import stream_dedup_within_watermark
 
     return stream_dedup_within_watermark(spark, sf_dir).orderBy("event_type")
+
+
+@query("events_stream_continuous_rollup", oracle=_HYPERTABLE_ORACLE)
+def events_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous-aggregate maintenance: the stream
+    merge-upserts hourly partials by key per micro-batch (run twice —
+    replay must be a no-op), and daily finalizes from the
+    materialized partials. Gated by the SAME oracle as the batch
+    `events_hypertable_rollup`: incremental maintenance must be
+    indistinguishable from recomputation."""
+    from taps_spark.streaming.jobs import stream_continuous_rollup
+
+    return stream_continuous_rollup(spark, sf_dir).orderBy("day", "event_type")

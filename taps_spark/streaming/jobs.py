@@ -284,3 +284,68 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum(F.col("value").cast(DECIMAL_T)), 2).cast("double").alias("sum_value"),
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous-aggregate maintenance (the streaming twin
+    of operators/events.hypertable_rollup, timescaledb's continuous
+    aggregate refresh): the stream maintains the HOURLY partial table
+    incrementally — foreachBatch merge-upserts each micro-batch's
+    (hour, event_type) partials by key — and the DAILY grain is
+    derived from the materialized partials, never from raw rows.
+
+    The maintenance pass runs TWICE (simulating a replayed/restarted
+    job): the second pass upserts identical partials onto the same
+    keys, so the rollup is exactly-once per key without any sink
+    transaction log. The returned daily frame must equal the batch
+    `events_hypertable_rollup` bit-for-bit (pinned in
+    tests/test_streaming_semantics.py).
+
+    Scale: micro-batch state is the finest grain only (~rows/3600);
+    the daily finalization reads the compact hourly table. In
+    production the merge maps onto Delta/Iceberg MERGE INTO with
+    partition pruning on hour_start (io/sinks.merge_upsert docs).
+    """
+    import tempfile
+
+    from taps_spark.io.sinks import merge_upsert
+    from taps_spark.queries.numeric import DECIMAL_T
+
+    target = tempfile.mkdtemp(prefix="taps_cagg_") + "/hourly"
+
+    def upsert_partials(batch_df: DataFrame, epoch_id: int) -> None:
+        # Re-aggregate the batch to partial grain (a batch may carry
+        # many micro-batch groups), then replace-by-key.
+        partials = batch_df.groupBy("hour_start", "event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_v").alias("sum_v"),
+        )
+        merge_upsert(spark, partials, target, ["hour_start", "event_type"])
+
+    for _ in range(2):  # second pass proves replay is upsert-idempotent
+        ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+        hourly = ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DECIMAL_T)).alias("sum_v"),
+        )
+        q = (
+            hourly.writeStream.outputMode("complete")
+            .foreachBatch(upsert_partials)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    materialized = spark.read.parquet(target)
+    return materialized.groupBy(
+        F.date_format(F.date_trunc("day", "hour_start"), "yyyy-MM-dd").alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_v"), 2).cast("double").alias("sum_value"),
+        F.max("n_events").alias("peak_hour_events"),
+        F.count("*").cast("int").alias("n_active_hours"),
+    )
