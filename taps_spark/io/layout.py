@@ -80,3 +80,69 @@ def file_stat_ranges(path: str, column: str) -> list[tuple]:
         if lo is not None:
             ranges.append((lo, hi))
     return ranges
+
+
+def zorder_key(df: DataFrame, c1: str, c2: str, bits: int = 16):
+    """Z-order (Morton) interleave of two numeric columns as a pure
+    column expression — the multi-dimensional clustering key behind
+    Delta/Iceberg OPTIMIZE ZORDER. Sorting by a single column gives
+    perfect skipping on it and NONE on any other; sorting by the
+    Morton code of two columns gives ~√ skipping on BOTH: each file's
+    (min,max) box covers ~1/√n_files of each dimension instead of all
+    of one.
+
+    Both columns are min/max-normalized to `bits` bits (one tiny agg
+    job for the bounds — the only driver-side scalar), then bit-
+    interleaved entirely in JVM expressions (shiftleft/or over `bits`
+    terms; whole-stage codegen folds it into one projection).
+
+    Returns (key_column, bounds) — pass the column to
+    `write_clustered` via withColumn.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
+        F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
+    ).collect()[0]
+    lo1, hi1, lo2, hi2 = row["lo1"], row["hi1"], row["lo2"], row["hi2"]
+    scale = (1 << bits) - 1
+
+    def norm(c, lo, hi):
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return ((F.col(c) - F.lit(lo)) * scale / F.lit(hi - lo)).cast("long")
+
+    n1, n2 = norm(c1, lo1, hi1), norm(c2, lo2, hi2)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(n1, i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(n2, i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(b1, 2 * i)).bitwiseOR(
+            F.shiftleft(b2, 2 * i + 1)
+        )
+    return key, {"lo1": lo1, "hi1": hi1, "lo2": lo2, "hi2": hi2}
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    num_files: int | None = None,
+    codec: str = "zstd",
+) -> None:
+    """Write parquet clustered on the Morton code of (c1, c2): range
+    filters on EITHER column prune files/row groups via footer stats.
+    The z key is dropped before writing — it exists only to place
+    rows."""
+    key, _ = zorder_key(df, c1, c2)
+    with_key = df.withColumn("__z", key)
+    clustered = (
+        with_key.repartitionByRange(num_files, "__z")
+        if num_files
+        else with_key.repartitionByRange("__z")
+    ).sortWithinPartitions("__z")
+    clustered.drop("__z").write.mode("overwrite").option(
+        "compression", codec
+    ).parquet(path)

@@ -111,3 +111,39 @@ def test_clustered_write_enables_stat_skipping(spark, sf_dir, tmp_path):
         == spark.read.parquet(plain).count()
         == li.count()
     )
+
+
+def test_zorder_write_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must own a bounded range of BOTH columns
+    (Morton boxes), while a single-column sort leaves the second
+    column spanning ~the whole domain in every file — the difference
+    between pruning on either predicate and only one."""
+    from taps_spark.io.layout import file_stat_ranges, write_clustered, write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(li, zpath, "l_orderkey", "l_partkey", num_files=16)
+    write_clustered(li, spath, ["l_orderkey"], num_files=16)
+
+    lo = li.agg({"l_partkey": "min"}).collect()[0][0]
+    hi = li.agg({"l_partkey": "max"}).collect()[0][0]
+    domain = hi - lo
+
+    def avg_width(path):
+        rs = file_stat_ranges(path, "l_partkey")
+        assert len(rs) >= 8
+        return sum(h - l for l, h in rs) / len(rs) / domain
+
+    z_width, s_width = avg_width(zpath), avg_width(spath)
+    # Single-col sort: partkey spans ~the full domain per file.
+    assert s_width > 0.8, s_width
+    # Z-order: materially bounded on the non-leading dimension too.
+    assert z_width < 0.7 * s_width, (z_width, s_width)
+    # Orderkey remains bounded as well (not a plain partkey sort).
+    rs = file_stat_ranges(zpath, "l_orderkey")
+    ok_lo = min(l for l, _ in rs)
+    ok_hi = max(h for _, h in rs)
+    assert sum(h - l for l, h in rs) / len(rs) / (ok_hi - ok_lo) < 0.6
+    assert spark.read.parquet(zpath).count() == li.count()
