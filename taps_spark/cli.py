@@ -134,18 +134,53 @@ def _run_transfer(args: argparse.Namespace, direction: str) -> int:
     return 0
 
 
+def _run_verify(args: argparse.Namespace) -> int:
+    """Standalone reconciliation pass: per-table order-insensitive
+    checksums across both endpoints (the reference's in-flight CRC
+    protocol — lib/taps/utils.rb:25-31 — as an after-the-fact audit).
+    Exit 0 iff every common table matches."""
+    from taps_spark.session import get_spark
+    from taps_spark.transfer.verify import compare
+
+    keys = _parse_keys(args.keys)
+    local = _endpoint(args.local_url, keys)
+    remote = _endpoint(args.remote_url, keys)
+    spark = get_spark("taps_spark_cli")
+
+    wanted = (
+        [t.strip() for t in args.tables.split(",") if t.strip()] if args.tables else None
+    )
+    common = sorted(set(local.tables()) & set(remote.tables()))
+    if wanted:
+        common = [t for t in common if t in wanted]
+    report, all_ok = {}, True
+    for table in common:
+        r = compare(local.read(spark, table), remote.read(spark, table))
+        report[table] = {"ok": r.ok, "rows": list(r.n_rows)}
+        all_ok &= r.ok
+    print(json.dumps({"tables": report, "ok": all_ok}))
+    return 0 if all_ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="taps_spark")
     sub = parser.add_subparsers(dest="command")
 
     for verb in ("pull", "push"):
         _add_transfer_args(sub.add_parser(verb))
+    vp = sub.add_parser("verify")
+    vp.add_argument("local_url")
+    vp.add_argument("remote_url")
+    vp.add_argument("-t", "--tables", default=None)
+    vp.add_argument("--keys", default=None)
     sub.add_parser("version")
     sub.add_parser("server")
 
     args = parser.parse_args(argv)
     if args.command in ("pull", "push"):
         return _run_transfer(args, args.command)
+    if args.command == "verify":
+        return _run_verify(args)
     if args.command == "version":
         from taps_spark.version import __version__
 

@@ -132,3 +132,34 @@ def test_disable_compression_flag(spark, sf_dir, tmp_path, capsys, monkeypatch):
     f = glob.glob(f"{lake}/region.parquet/*.parquet")[0]
     meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
     assert meta.compression in ("UNCOMPRESSED", "NONE")
+
+
+def test_verify_subcommand_detects_corruption(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """`verify A B` must pass on a faithful copy and fail (exit 1,
+    table flagged) after the copy is corrupted — the reference's CRC
+    protocol as an after-the-fact audit command."""
+    import json as _json
+    import shutil
+
+    monkeypatch.chdir(tmp_path)
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for t in ("region", "nation"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", lake / f"{t}.parquet")
+
+    assert main(["verify", str(lake), sf_dir, "-t", "region,nation"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["tables"]["region"]["ok"]
+
+    # Corrupt one table: drop a row (stage elsewhere — can't overwrite
+    # a parquet dir mid-read).
+    staged = str(tmp_path / "staged_nation")
+    spark.read.parquet(str(lake / "nation.parquet")).filter(
+        "n_nationkey <> 3"
+    ).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(lake / "nation.parquet", ignore_errors=True)
+    (lake / "nation.parquet").unlink(missing_ok=True)
+    shutil.move(staged, lake / "nation.parquet")
+    assert main(["verify", str(lake), sf_dir, "-t", "region,nation"]) == 1
+    out = _json.loads(capsys.readouterr().out)
+    assert not out["ok"] and not out["tables"]["nation"]["ok"] and out["tables"]["region"]["ok"]
