@@ -2,6 +2,7 @@
 
     python -m taps_spark pull <local_url> <remote_url> [options]
     python -m taps_spark push <local_url> <remote_url> [options]
+    python -m taps_spark verify <local_url> <remote_url> [-t tables]
     python -m taps_spark version
 
 Reference argument order is preserved (lib/taps/cli.rb:124: `taps
