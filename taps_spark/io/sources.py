@@ -22,6 +22,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema: mergeSchema
+    unions the footer schemas across files, so rows from before a
+    column existed surface it as NULL — the append-only lakehouse
+    contract (a long-lived ingest target accretes columns; readers
+    must not break on old files). Schema merging is footer metadata
+    work only; data pages are untouched until the scan."""
+    tune(spark)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

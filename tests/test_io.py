@@ -147,3 +147,30 @@ def test_zorder_write_bounds_both_dimensions(spark, sf_dir, tmp_path):
     ok_hi = max(h for _, h in rs)
     assert sum(h - l for l, h in rs) / len(rs) / (ok_hi - ok_lo) < 0.6
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Old files (3 columns) and new files (4 columns) must read as
+    one frame: the added column is NULL for pre-evolution rows, typed
+    from the new footer, and projection pruning still applies."""
+    from pyspark.sql import functions as F
+
+    from taps_spark.io.sources import read_parquet_evolved
+
+    v1 = spark.range(3).select(
+        F.col("id"), F.lit("a").alias("src"), F.lit(1.5).alias("score")
+    )
+    v2 = spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("src"), F.lit(2.5).alias("score"),
+        F.lit("en").alias("lang"),
+    )
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+
+    df = read_parquet_evolved(spark, p1, p2)
+    assert set(df.columns) == {"id", "src", "score", "lang"}
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert all(rows[i] is None for i in range(3))
+    assert all(rows[i] == "en" for i in range(3, 6))
+    assert df.schema["lang"].dataType.typeName() == "string"

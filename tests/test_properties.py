@@ -113,3 +113,32 @@ def test_decimal_sum_contract_matches_duckdb_exactly(cents, seed):
             [order],
         ).fetchone()[0]
         assert got == ref
+
+
+# ------------------------------------------------- connected components
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_cc_equals_propagation_on_random_graphs(spark, edges):
+    """large-star/small-star and min-label propagation must agree on
+    ARBITRARY graphs (self-loops, parallel edges, any shape) — the two
+    algorithms share no code, so agreement pins both."""
+    from taps_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    df = spark.createDataFrame(real, ["src", "dst"])
+    a = sorted(map(tuple, connected_components(df, max_iters=60).collect()))
+    b = sorted(map(tuple, connected_components_star(df, max_iters=60).collect()))
+    assert a == b
