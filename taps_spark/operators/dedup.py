@@ -71,6 +71,25 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    signatures: DataFrame, id_col: str, rows_per_band: int = 2
+) -> DataFrame:
+    """Per-doc LSH band signatures: (id, band, band_sig) where band_sig
+    concatenates the band's MinHash rows in seed order. Two docs agree
+    on a band iff their band_sig strings are equal — the equi-join key
+    every LSH consumer (clustering, pair generation, incremental probe)
+    buckets on."""
+    banded = signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+    return banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+            ),
+        ).alias("band_sig")
+    )
+
+
 def lsh_band_clusters(
     signatures: DataFrame, id_col: str, rows_per_band: int = 2
 ) -> DataFrame:
@@ -82,18 +101,7 @@ def lsh_band_clusters(
     rather than exploded pairs — pair output is quadratic in cluster
     size and melts at scale; cluster stats stay linear.
     """
-    banded = signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
-    band_sigs = (
-        banded.groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-                ),
-            ).alias("band_sig")
-        )
-    )
+    band_sigs = band_signatures(signatures, id_col, rows_per_band)
     return (
         band_sigs.groupBy("band", "band_sig")
         .agg(

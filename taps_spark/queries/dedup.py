@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from taps_spark.io.tables import load_tables, parallelize_cpu
 from taps_spark.operators.dedup import (
+    band_signatures,
     exact_dedup,
     exact_dedup_stats,
     jaccard,
@@ -639,4 +640,167 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_shingles"))
         .orderBy("source_a", "source_b")
+    )
+
+
+LSH_INCREMENTAL_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+newb AS (SELECT doc_id FROM documents WHERE source = 'src19'),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n
+  JOIN newb ON n.doc_id = newb.doc_id
+  JOIN bands c ON n.band = c.band AND n.band_sig = c.band_sig
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM newb)
+),
+tsets AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+verified AS (
+  SELECT new_id, corpus_id,
+         CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / LEN(list_distinct(list_concat(ta.toks, tb.toks))) AS j
+  FROM cand
+  JOIN tsets ta ON ta.doc_id = new_id
+  JOIN tsets tb ON tb.doc_id = corpus_id
+)
+SELECT new_id,
+       COUNT(*) AS n_candidates,
+       COUNT(*) FILTER (WHERE j >= 0.5) AS n_dups,
+       MIN(corpus_id) FILTER (WHERE j >= 0.5) AS first_dup,
+       ROUND(MAX(j), 4) AS best_jaccard
+FROM verified
+GROUP BY new_id
+ORDER BY new_id
+"""
+
+
+@query("dedup_lsh_incremental", oracle=LSH_INCREMENTAL_ORACLE)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: probe an incoming batch (source src19)
+    against the already-ingested corpus via LSH band buckets, then
+    verify candidates with exact token-set Jaccard — the daily-ingest
+    operation of a training-data pipeline (never re-clusters the
+    corpus, never compares batch docs to each other).
+
+    Scale: corpus band signatures are a precomputable artifact (one
+    wide-agg pass, reusable across batches); the batch id-set is tiny
+    and broadcast, so candidate generation is a bucketed equi-join on
+    (band, band_sig) — linear in bucket occupancy, no all-pairs.
+    Verification touches candidate pairs only.
+    """
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    bands = band_signatures(sigs, "doc_id", rows_per_band=2)
+    new_ids = docs.filter(F.col("source") == "src19").select("doc_id")
+    nb = (
+        bands.join(F.broadcast(new_ids), "doc_id")
+        .withColumnRenamed("doc_id", "new_id")
+    )
+    cb = (
+        bands.join(F.broadcast(new_ids), "doc_id", "left_anti")
+        .withColumnRenamed("doc_id", "corpus_id")
+    )
+    cand = nb.join(cb, ["band", "band_sig"]).select("new_id", "corpus_id").distinct()
+    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    ver = (
+        cand.join(
+            tsets.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_a")),
+            "new_id",
+        )
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("corpus_id"), F.col("toks").alias("toks_b")
+            ),
+            "corpus_id",
+        )
+        .select("new_id", "corpus_id", jaccard(F.col("toks_a"), F.col("toks_b")).alias("j"))
+    )
+    dup = F.col("j") >= 0.5
+    return (
+        ver.groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.count(F.when(dup, F.lit(1))).alias("n_dups"),
+            F.min(F.when(dup, F.col("corpus_id"))).alias("first_dup"),
+            F.round(F.max("j"), 4).alias("best_jaccard"),
+        )
+        .orderBy("new_id")
+    )
+
+
+CONTAINMENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         LAG(doc_id) OVER (PARTITION BY lang, source ORDER BY doc_id) AS prev_id,
+         LAG(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+             OVER (PARTITION BY lang, source ORDER BY doc_id) AS prev_toks
+  FROM documents
+)
+SELECT doc_id, prev_id,
+       ROUND(CAST(LEN(list_intersect(toks, prev_toks)) AS DOUBLE)
+             / LEN(toks), 4) AS contain_this,
+       ROUND(CAST(LEN(list_intersect(toks, prev_toks)) AS DOUBLE)
+             / LEN(prev_toks), 4) AS contain_prev,
+       CAST(LEN(list_intersect(toks, prev_toks)) AS DOUBLE)
+         / LEAST(LEN(toks), LEN(prev_toks)) >= 0.9 AS superset_like
+FROM t
+WHERE prev_id IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+@query("dedup_containment_pairs", oracle=CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment |A∩B|/|A| between each doc and its
+    (lang, source) predecessor — the measure that catches near-SUPERSET
+    duplication (boilerplate wrapping, quote-and-extend) which
+    symmetric Jaccard under-scores: a doc fully contained in a 10×
+    larger one has Jaccard ≤ 0.1 but containment 1.0.
+
+    Blocking here is the neighbor pair (keeps the oracle all-SQL); the
+    LSH queries provide scalable blocking for the same kernel.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(tokens("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        "toks",
+        F.lag("toks").over(w).alias("prev_toks"),
+    )
+    inter = F.size(F.array_intersect("toks", "prev_toks")).cast("double")
+    return (
+        t.filter(F.col("prev_id").isNotNull())
+        .select(
+            "doc_id",
+            "prev_id",
+            F.round(inter / F.size("toks"), 4).alias("contain_this"),
+            F.round(inter / F.size("prev_toks"), 4).alias("contain_prev"),
+            (
+                inter / F.least(F.size("toks"), F.size("prev_toks")) >= 0.9
+            ).alias("superset_like"),
+        )
+        .orderBy("doc_id")
     )

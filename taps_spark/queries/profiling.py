@@ -235,3 +235,44 @@ def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+FIXED_PER_GROUP_ORACLE = """
+SELECT lang, source, doc_id
+FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+ORDER BY lang, source, doc_id
+"""
+
+
+@query("sample_fixed_per_group", oracle=FIXED_PER_GROUP_ORACLE)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: exactly min(5, |group|) docs
+    per (lang, source), chosen by md5-of-key rank — a reservoir sample
+    whose selection is engine- and partitioning-independent (a true
+    reservoir's outcome depends on stream order; hash-rank does not).
+
+    Scale: row_number + filter compiles to WindowGroupLimit(Partial) —
+    each map task truncates to 5 rows per group BEFORE the exchange,
+    so the shuffle carries at most 5·|groups| rows per task regardless
+    of input size (plan-pinned in tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "source", "doc_id")
+        .orderBy("lang", "source", "doc_id")
+    )

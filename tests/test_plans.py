@@ -305,3 +305,81 @@ def test_quantile_gate_broadcasts_thresholds(spark, sf_dir):
     plan = formatted_plan(spark, "text_quality_quantile_gate", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_fixed_sample_group_limits_before_shuffle(spark, sf_dir):
+    """sample_fixed_per_group must compile to WindowGroupLimit with a
+    Partial (map-side) mode: each task truncates to 5 rows per group
+    BEFORE the window exchange, so the shuffle is bounded by
+    5·|groups| per task no matter how large the corpus grows."""
+    plan = formatted_plan(spark, "sample_fixed_per_group", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
+    args = [l.strip() for l in plan.splitlines() if "row_number(), 5," in l]
+    assert any(a.endswith("Partial") for a in args), plan
+    assert any(a.endswith("Final") for a in args), plan
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, sf_dir, tmp_path):
+    """A fact table partitioned on the join key must receive a
+    dynamicpruningexpression partition filter when joined to a
+    filtered dimension — at 100 TB this is the difference between
+    scanning one partition and scanning the whole table. Catalyst
+    injects it only when the layout cooperates; this pins that our
+    partitioned-write layout + join shape qualify."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fact_path = str(tmp_path / "fact_by_flag")
+    li.write.partitionBy("l_returnflag").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", "grpA"), ("N", "grpN"), ("R", "grpR")], ["flag", "grp"]
+    )
+    j = (
+        fact.join(dim.filter(F.col("grp") == "grpR"), fact.l_returnflag == dim.flag)
+        .groupBy("grp")
+        .count()
+    )
+    qe = j._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruningexpression" in l for l in pf), plan
+
+
+def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
+    """When the build side of a shuffle join carries a selective
+    predicate, Spark's runtime bloom filter must be injected on the
+    probe side (bloom_filter_agg on the build keys, might_contain at
+    the probe scan) — rows that cannot match die before the exchange
+    instead of shuffling. The row-level complement of DPP."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        qe = j._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = qe.explainString(mode)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
