@@ -675,3 +675,57 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+SCD2_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events
+),
+scd AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+  WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT user_id, state, valid_from, valid_to, valid_to IS NULL AS is_current
+FROM scd
+ORDER BY user_id, valid_from, state
+"""
+
+
+@query("events_scd2_intervals", oracle=SCD2_ORACLE)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: compress each user's
+    event stream into state validity intervals [valid_from, valid_to)
+    — consecutive repeats collapse, the open interval is flagged
+    current. The warehouse op that turns a CDC/event log into a
+    point-in-time joinable dimension (the as-of join's build side).
+
+    Scale: both windows partition on user_id, so Catalyst plans ONE
+    hash exchange; the change-filter drops repeat rows before the
+    second sort. No global ordering anywhere.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    ).filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type")))
+    scd = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return scd.select(
+        "user_id",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "state")

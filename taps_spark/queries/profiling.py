@@ -276,3 +276,93 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "doc_id")
         .orderBy("lang", "source", "doc_id")
     )
+
+
+REGRESSION_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(27,6)) * 100 AS BIGINT)) AS sx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(27,6)) * 100 AS BIGINT)) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(27,6)) * 100 AS BIGINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(27,6)) * 100 AS BIGINT)) AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(27,6)) * 100 AS BIGINT)
+             * CAST(CAST(l_quantity AS DECIMAL(27,6)) * 100 AS BIGINT)) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(27,6)) * 100 AS BIGINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(27,6)) * 100 AS BIGINT)) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@query("stats_regression_exact", oracle=REGRESSION_ORACLE)
+def stats_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS slope/intercept and Pearson correlation of
+    extendedprice on quantity — computed from EXACT integer moments
+    (cent-quantized products summed as decimal(38,0)), with the float
+    formula applied once per group at the end.
+
+    Built-in corr()/regr_slope() accumulate doubles in partition
+    order, so their last ulp is nondeterministic across runs and
+    engines; exact-moment accumulation makes the statistics
+    bit-reproducible anywhere — the engine's determinism contract
+    extended to second-order statistics.
+
+    Scale: one map-side-combinable aggregation (6 exact sums), output
+    rows = |groups|. The moments are also mergeable partials — the
+    same shape works as an incremental/streaming rollup.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # decimal(27,6) recovers the exact 2-decimal value from the double
+    # (see queries/numeric.py) so ×100 → bigint is exact in BOTH engines
+    # — a raw double×100 cast truncates 17.3*100=1729.999... to 1729 in
+    # Spark but rounds to 1730 in DuckDB.
+    x = (F.col("l_quantity").cast("decimal(27,6)") * 100).cast("long")
+    y = (F.col("l_extendedprice").cast("decimal(27,6)") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    slope = cov / vx
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr"),
+    ).orderBy("l_returnflag")

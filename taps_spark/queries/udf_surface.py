@@ -207,3 +207,62 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+GROUPED_MAP_ORACLE = """
+WITH m AS (
+  SELECT lang,
+         COUNT(*) AS n,
+         SUM(n_chars) AS s,
+         SUM(n_chars * n_chars) AS sq
+  FROM documents
+  GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       ROUND((d.n_chars - CAST(m.s AS DOUBLE) / m.n)
+             / SQRT((CAST(m.sq AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                    / (m.n - 1)), 6) AS z_chars
+FROM documents d JOIN m ON d.lang = m.lang
+ORDER BY d.doc_id
+"""
+
+
+@query("udf_grouped_map_zscore", oracle=GROUPED_MAP_ORACLE)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas (grouped-MAP pandas
+    UDF — the 4th extension mechanism, alongside scalar / grouped-agg
+    / UDTF): z-score each doc's length within its language.
+
+    Determinism: moments are exact int64 sums inside each group; the
+    float expression tree (s/n, sq - s·s/n, sqrt, divide) is the SAME
+    correctly-rounded IEEE sequence the oracle runs, so doubles match
+    bit-for-bit before the final round.
+
+    Scale: applyInPandas shuffles once on the group key and streams
+    Arrow batches per group; group count (languages) bounds state, and
+    per-group data never collects to the driver.
+    """
+    import math
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        s = int(pdf["n_chars"].sum())
+        sq = int((pdf["n_chars"].astype("int64") ** 2).sum())
+        mean = s / n
+        std = math.sqrt((sq - s * s / n) / (n - 1))
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z_chars": (pdf["n_chars"] - mean) / std,
+            }
+        )
+
+    out = docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        zscore, schema="doc_id bigint, lang string, z_chars double"
+    )
+    return out.select("doc_id", "lang", F.round("z_chars", 6).alias("z_chars")).orderBy(
+        "doc_id"
+    )
