@@ -146,3 +146,52 @@ def write_zordered(
     clustered.drop("__z").write.mode("overwrite").option(
         "compression", codec
     ).parquet(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    cluster_cols: list[str] | None = None,
+    codec: str = "zstd",
+) -> dict:
+    """Rewrite a parquet directory into ~target-sized files — the
+    small-files maintenance op every long-lived ingest target needs:
+    streaming/incremental writers leave thousands of KB-scale files,
+    and at 100 TB the per-file open/footer/task overhead (and the
+    NameNode/listing pressure) dominates the scan.
+
+    File count = ceil(current_bytes / target); rows move through ONE
+    shuffle (repartitionByRange on cluster_cols when given — compaction
+    and re-clustering share the pass — else round-robin repartition).
+    The rewrite stages to a sibling directory and swaps in atomically,
+    so readers never see a half-compacted table.
+
+    Returns {files_before, files_after, bytes}.
+    """
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if cluster_cols:
+        out = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    staged = path.rstrip("/") + ".__compact_tmp"
+    out.write.mode("overwrite").option("compression", codec).parquet(staged)
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.move(path, old)
+    shutil.move(staged, path)
+    shutil.rmtree(old)
+    after = len(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -174,3 +174,29 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert all(rows[i] is None for i in range(3))
     assert all(rows[i] == "en" for i in range(3, 6))
     assert df.schema["lang"].dataType.typeName() == "string"
+
+
+def test_compact_small_files_collapses_and_preserves(spark, sf_dir, tmp_path):
+    """200 tiny files must compact to the byte-sized target count in
+    one staged+swapped rewrite, with row-identical content and the
+    requested clustering (disjoint per-file ranges) applied."""
+    from taps_spark.io.layout import compact_small_files, file_stat_ranges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(20000)
+    p = str(tmp_path / "frag")
+    li.repartition(200).write.parquet(p)
+    import glob
+    assert len(glob.glob(p + "/*.parquet")) == 200
+
+    before = li.count()
+    stats = compact_small_files(
+        spark, p, target_file_bytes=256 * 1024, cluster_cols=["l_orderkey"]
+    )
+    assert stats["files_before"] == 200
+    assert stats["files_after"] < 30
+    got = spark.read.parquet(p)
+    assert got.count() == before
+    # clustering applied during compaction: file ranges mostly disjoint
+    rs = sorted(file_stat_ranges(p, "l_orderkey"))
+    overlaps = sum(1 for (a, b), (c, d) in zip(rs, rs[1:]) if c < b)
+    assert overlaps <= len(rs) // 4
