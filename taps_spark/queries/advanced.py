@@ -286,3 +286,46 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return spark.sql(SQL_INTERFACE_STMT)
+
+
+#: Recursive CTE (Spark ≥4.0 WITH RECURSIVE): gap-free weekly spine
+#: derived by recursion from the data's own bounds, left-joined back
+#: for per-week activity — weeks with zero events still appear. The
+#: recursion terminates via the monotone `w < hi` guard (UNION ALL
+#: iteration; Spark does not yet support UNION-distinct recursion).
+SQL_RECURSIVE_STMT = """
+WITH RECURSIVE bounds AS (
+  SELECT DATE_TRUNC('week', MIN(ts)) AS lo, DATE_TRUNC('week', MAX(ts)) AS hi
+  FROM events
+),
+weeks(w) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT w + INTERVAL {interval_7d} FROM weeks WHERE w < (SELECT hi FROM bounds)
+)
+SELECT w AS week_start,
+       COUNT(e.event_id) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM weeks LEFT JOIN events e ON DATE_TRUNC('week', e.ts) = weeks.w
+GROUP BY w
+ORDER BY w
+"""
+
+
+@query(
+    "sql_recursive_week_spine",
+    oracle=SQL_RECURSIVE_STMT.format(interval_7d="7 DAY"),
+)
+def sql_recursive_week_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface: WITH RECURSIVE generates the complete
+    weekly calendar between the corpus' first and last event, so the
+    left join reports zero-activity weeks a plain GROUP BY would drop.
+
+    Scale: the recursive branch iterates on a single-row frame (one
+    date per step, |weeks| steps total — driver-bound, tiny); the only
+    data-sized work is the final join-aggregate, which Catalyst plans
+    like any other (the spine side is broadcast-sized by construction).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(SQL_RECURSIVE_STMT.format(interval_7d="'7' DAY"))
