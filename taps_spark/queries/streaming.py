@@ -164,3 +164,25 @@ def events_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     from taps_spark.streaming.jobs import stream_continuous_rollup
 
     return stream_continuous_rollup(spark, sf_dir).orderBy("day", "event_type")
+
+
+STATIC_ENRICH_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("events_stream_static_enrich", oracle=STATIC_ENRICH_ORACLE)
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static broadcast join (per-micro-batch dimension
+    enrichment, no join state) + downstream aggregate — the remaining
+    streaming join shape next to stream-stream. Oracle is the batch
+    join-aggregate over the same tables."""
+    from taps_spark.streaming.jobs import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)

@@ -349,3 +349,31 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("peak_hour_events"),
         F.count("*").cast("int").alias("n_active_hours"),
     )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the event stream enriched against a STATIC
+    dimension (customer) by broadcast per micro-batch, then aggregated
+    per market segment.
+
+    Unlike a stream-stream join this needs NO join state and no
+    watermark for the join itself — the static side is re-resolved
+    each micro-batch (so a dimension update is picked up on the next
+    batch) and broadcast to every task. At 100 TB of stream, the
+    dimension stays executor-resident; only the stream shuffles, and
+    only for the final aggregate.
+    """
+    from taps_spark.io.tables import load_tables
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete").orderBy("c_mktsegment")
