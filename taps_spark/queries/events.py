@@ -504,8 +504,10 @@ def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     sketch = x.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
 
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_ct"))
-    w = Window.orderBy(F.col("exact_ct").desc(), "user_id")
-    top = exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    # Global top-10 via sort+limit → TakeOrderedAndProject (each task
+    # keeps 10 rows, driver merges) — a global row_number window would
+    # move EVERY user's count to one partition (WindowExec warning).
+    top = exact.orderBy(F.col("exact_ct").desc(), "user_id").limit(10)
     probe = top.select("user_id", "exact_ct", seeds).select(
         "user_id",
         "exact_ct",
