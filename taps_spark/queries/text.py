@@ -807,3 +807,63 @@ def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CHAR_DIVERSITY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(LOWER(text), '')) AS ch
+  FROM documents
+),
+freq AS (
+  SELECT doc_id, ch, COUNT(*) AS c
+  FROM chars
+  WHERE ch <> ''
+  GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+       COUNT(*) AS n_distinct_chars,
+       ROUND((CAST(SUM(c) AS DOUBLE) * SUM(c) - CAST(SUM(c * c) AS DOUBLE))
+             / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS char_gini
+FROM freq
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("text_char_diversity", oracle=CHAR_DIVERSITY_ORACLE)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution diversity per doc: Gini/Simpson impurity
+    1 − Σ(c/n)² over the character histogram — the log-free stand-in
+    for character entropy (low values flag repeated-char spam and
+    boilerplate; a standard corpus-quality signal next to
+    text_repetition's token-level ratios).
+
+    Log-free on purpose: entropy's Σ p·log p sums libm-dependent
+    doubles, which can't be made bit-identical across engines; the
+    Gini form needs only exact integer moments (Σc, Σc²) and one
+    correctly-rounded division, so it hashes identically anywhere.
+
+    Scale: one explode (chars) into a map-side-combined (doc, char)
+    count, one doc-id reduce of exact int sums. Alphabet size bounds
+    the combine fan-in; nothing is ever collected.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    freq = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars_counted"),
+            F.count("*").alias("n_distinct_chars"),
+            F.round((n * F.sum("c") - F.sum(F.col("c") * F.col("c")).cast("double")) / (n * F.sum("c")), 6).alias(
+                "char_gini"
+            ),
+        )
+        .orderBy("doc_id")
+    )
