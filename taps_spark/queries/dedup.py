@@ -690,6 +690,40 @@ ORDER BY new_id
 """
 
 
+def _lsh_probe_scores(docs: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """Batch-vs-corpus LSH probe: (new_id, corpus_id, j) for every
+    candidate pair bucketed by MinHash band collision, scored with
+    exact token-set Jaccard. Shared by the incremental near-dup query
+    and the composite ingest pipeline."""
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    bands = band_signatures(sigs, "doc_id", rows_per_band=2)
+    nb = (
+        bands.join(F.broadcast(new_ids), "doc_id")
+        .withColumnRenamed("doc_id", "new_id")
+    )
+    cb = (
+        bands.join(F.broadcast(new_ids), "doc_id", "left_anti")
+        .withColumnRenamed("doc_id", "corpus_id")
+    )
+    cand = nb.join(cb, ["band", "band_sig"]).select("new_id", "corpus_id").distinct()
+    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    return (
+        cand.join(
+            tsets.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_a")),
+            "new_id",
+        )
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("corpus_id"), F.col("toks").alias("toks_b")
+            ),
+            "corpus_id",
+        )
+        .select(
+            "new_id", "corpus_id", jaccard(F.col("toks_a"), F.col("toks_b")).alias("j")
+        )
+    )
+
+
 @query("dedup_lsh_incremental", oracle=LSH_INCREMENTAL_ORACLE)
 def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: probe an incoming batch (source src19)
@@ -705,32 +739,8 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification touches candidate pairs only.
     """
     docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
-    bands = band_signatures(sigs, "doc_id", rows_per_band=2)
     new_ids = docs.filter(F.col("source") == "src19").select("doc_id")
-    nb = (
-        bands.join(F.broadcast(new_ids), "doc_id")
-        .withColumnRenamed("doc_id", "new_id")
-    )
-    cb = (
-        bands.join(F.broadcast(new_ids), "doc_id", "left_anti")
-        .withColumnRenamed("doc_id", "corpus_id")
-    )
-    cand = nb.join(cb, ["band", "band_sig"]).select("new_id", "corpus_id").distinct()
-    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
-    ver = (
-        cand.join(
-            tsets.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_a")),
-            "new_id",
-        )
-        .join(
-            tsets.select(
-                F.col("doc_id").alias("corpus_id"), F.col("toks").alias("toks_b")
-            ),
-            "corpus_id",
-        )
-        .select("new_id", "corpus_id", jaccard(F.col("toks_a"), F.col("toks_b")).alias("j"))
-    )
+    ver = _lsh_probe_scores(docs, new_ids)
     dup = F.col("j") >= 0.5
     return (
         ver.groupBy("new_id")
@@ -804,3 +814,137 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+INGEST_INCREMENT_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+newb AS (SELECT doc_id FROM documents WHERE source = 'src19'),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n
+  JOIN newb ON n.doc_id = newb.doc_id
+  JOIN bands c ON n.band = c.band AND n.band_sig = c.band_sig
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM newb)
+),
+tsets AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+neardup AS (
+  SELECT DISTINCT new_id
+  FROM cand
+  JOIN tsets ta ON ta.doc_id = new_id
+  JOIN tsets tb ON tb.doc_id = corpus_id
+  WHERE CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / LEN(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
+),
+q AS (
+  SELECT doc_id, lang,
+         LEN(regexp_split_to_array(trim(text), '\\s+')) AS token_ct,
+         CAST(LEN(LIST_FILTER(regexp_split_to_array(trim(text), '\\s+'),
+                              s -> s IN ('the','a','of','and','to','in','is')))
+              AS DOUBLE)
+           / GREATEST(LEN(regexp_split_to_array(trim(text), '\\s+')), 1) AS stop_ratio,
+         MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+  WHERE source = 'src19'
+),
+corpus_fp AS (
+  SELECT DISTINCT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+  WHERE source <> 'src19'
+),
+bf AS (SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp)
+SELECT q.doc_id, q.lang,
+       CASE WHEN q.token_ct < 20
+                 OR (q.lang = 'en' AND q.stop_ratio < 0.08) THEN 'drop_quality'
+            WHEN q.fp IN (SELECT fp FROM corpus_fp)
+                 OR q.doc_id <> bf.keep_id THEN 'drop_exact'
+            WHEN q.doc_id IN (SELECT new_id FROM neardup) THEN 'drop_neardup'
+            ELSE 'kept' END AS verdict
+FROM q JOIN bf ON q.fp = bf.fp
+ORDER BY q.doc_id
+"""
+
+
+@query("pipeline_ingest_increment", oracle=INGEST_INCREMENT_ORACLE)
+def pipeline_ingest_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest job as ONE Catalyst plan: an incoming batch
+    (source src19) is routed per-document to
+    kept / drop_quality / drop_exact / drop_neardup —
+      1. quality gate (length floor for all; stopword fluency only
+         for English — an anglocentric stopword list must not judge
+         zh/de/fr docs; map-only),
+      2. exact dedup against the corpus fingerprint set AND keep-first
+         within the batch,
+      3. LSH near-dup probe against the corpus (band-bucketed
+         candidates, exact-Jaccard-verified ≥ 0.8 — the strict
+         retrain-dedup threshold; looser exploration lives in
+         dedup_lsh_incremental at 0.5),
+    first failing rule wins. In production the verdict column drives a
+    partitioned write (kept → corpus, rest → quarantine) in the same
+    pass.
+
+    Scale: every stage is the already-proven shape — scan-speed gates,
+    32-byte fingerprint anti-join, broadcast batch id-set, bucketed
+    band equi-join. Nothing here is new physics; the point is that the
+    composition stays one shuffle-efficient plan, no orchestration
+    glue between steps.
+    """
+    from taps_spark.operators.text import (
+        fingerprint,
+        stopword_count,
+        token_count,
+    )
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    is_new = F.col("source") == "src19"
+    new = docs.filter(is_new)
+    tc = token_count("text")
+    sr = stopword_count("text") / F.greatest(tc, F.lit(1))
+    q = new.select(
+        "doc_id",
+        "lang",
+        fingerprint("text").alias("fp"),
+        (
+            (tc < 20) | ((F.col("lang") == "en") & (sr < 0.08))
+        ).alias("bad_quality"),
+    )
+    corpus_fp = (
+        docs.filter(~is_new).select(fingerprint("text").alias("fp")).distinct()
+    )
+    q = q.join(
+        corpus_fp.withColumn("in_corpus", F.lit(True)), "fp", "left"
+    ).withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("fp")))
+    neardup = (
+        _lsh_probe_scores(docs, new.select("doc_id"))
+        .filter(F.col("j") >= 0.8)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_neardup", F.lit(True))
+    )
+    q = q.join(neardup, "doc_id", "left")
+    verdict = (
+        F.when(F.col("bad_quality"), "drop_quality")
+        .when(
+            F.col("in_corpus").isNotNull() | (F.col("doc_id") != F.col("keep_id")),
+            "drop_exact",
+        )
+        .when(F.col("is_neardup").isNotNull(), "drop_neardup")
+        .otherwise("kept")
+    )
+    return q.select("doc_id", "lang", verdict.alias("verdict")).orderBy("doc_id")
