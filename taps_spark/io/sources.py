@@ -51,6 +51,56 @@ def read_json(
     return spark.read.options(**options).schema(schema).json(path)
 
 
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV ingestion that QUARANTINES malformed rows instead of
+    crashing (FAILFAST kills a 100 TB load on row one-billion) or
+    silently discarding them (DROPMALFORMED loses data unaudited):
+    PERMISSIVE mode routes each unparseable line, verbatim, into a
+    `_corrupt_record` column. Downstream splits on
+    `_corrupt_record IS NULL` — clean rows to the pipeline, bad rows
+    to a quarantine sink with full forensics. Reference parity:
+    taps coerces invalid values to NULL and keeps going
+    (lib/taps/utils.rb:54-72 convert_invalid_date_time); this is that
+    policy with an audit trail.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    audited = schema.add("_corrupt_record", T.StringType())
+    tune(spark)
+    return (
+        spark.read.options(header=str(header).lower(), **options)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(audited)
+        .csv(path)
+    )
+
+
+def read_json_audited(
+    spark: SparkSession, path: str, schema: T.StructType | str, **options: str
+) -> DataFrame:
+    """JSON lines with the same quarantine contract as
+    read_csv_audited: bad documents land verbatim in
+    `_corrupt_record`, good ones parse — one pass, no job failure."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    audited = schema.add("_corrupt_record", T.StringType())
+    tune(spark)
+    return (
+        spark.read.options(**options)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(audited)
+        .json(path)
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC: the other columnar interchange format (predicate pushdown
     + column pruning like parquet); schema travels in the footer."""

@@ -200,3 +200,30 @@ def test_compact_small_files_collapses_and_preserves(spark, sf_dir, tmp_path):
     rs = sorted(file_stat_ranges(p, "l_orderkey"))
     overlaps = sum(1 for (a, b), (c, d) in zip(rs, rs[1:]) if c < b)
     assert overlaps <= len(rs) // 4
+
+
+def test_audited_readers_quarantine_malformed_rows(spark, tmp_path):
+    """PERMISSIVE + _corrupt_record must parse every clean row, carry
+    every malformed line verbatim for quarantine, and never raise —
+    the only acceptable ingestion failure mode at scale."""
+    from taps_spark.io.sources import read_csv_audited, read_json_audited
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,score\n1,2.5\n2,notanumber\n3,4.0\nthis,is,junk,extra\n")
+    df = read_csv_audited(spark, str(csv), "id BIGINT, score DOUBLE")
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {(r["id"], r["score"]) for r in good} == {(1, 2.5), (3, 4.0)}
+    assert len(bad) == 2
+    assert any("notanumber" in r["_corrupt_record"] for r in bad)
+    assert any("junk" in r["_corrupt_record"] for r in bad)
+
+    js = tmp_path / "in.jsonl"
+    js.write_text('{"id": 1, "score": 2.5}\n{broken json\n{"id": 2, "score": "NaNope"}\n')
+    jf = read_json_audited(spark, str(js), "id BIGINT, score DOUBLE")
+    jrows = jf.collect()
+    jgood = [r for r in jrows if r["_corrupt_record"] is None]
+    jbad = [r for r in jrows if r["_corrupt_record"] is not None]
+    assert [(r["id"], r["score"]) for r in jgood] == [(1, 2.5)]
+    assert len(jbad) == 2
