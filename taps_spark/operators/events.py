@@ -62,6 +62,64 @@ def session_stats(
     )
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    cell_minutes: int = 60,
+    extra_pred=None,
+):
+    """Interval-overlap join (a.start ≤ b.end AND b.start ≤ a.end)
+    as a bucketized EQUI-join — the scale-safe plan for a predicate
+    Spark would otherwise execute as BroadcastNestedLoopJoin (quadratic
+    compare, broadcast of a whole side).
+
+    Plan: each interval explodes to the grid cells it touches
+    (cell = epoch_us div cell_size); candidates equi-join on the cell
+    (hash shuffle, AQE-skew-splittable), then the exact overlap
+    predicate filters survivors. A pair sharing k cells would surface
+    k times, so matches are kept only in the FIRST shared cell
+    (`greatest(a.first_cell, b.first_cell) = cell`) — dedup as a
+    map-side filter, not a distinct shuffle.
+
+    Cost model: explode factor ≈ interval_len/cell_size + 1 per row;
+    candidate count per cell ≈ (intervals alive in that hour)² — pick
+    cell_minutes near the typical interval length so both stay small.
+    `a` and `b` must have disjoint column names; `extra_pred` joins
+    extra conditions into the cell-join (pushed into the shuffled
+    join, e.g. a.user < b.user for self-joins).
+
+    No reference analog (taps moves rows; it has no temporal algebra)
+    — this is the standard interval-join strategy from streaming
+    engines (Flink's interval join buckets the same way).
+    """
+    cell_us = cell_minutes * 60 * 1_000_000
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    def cells(df: DataFrame, s: str, e: str, c0_name: str) -> DataFrame:
+        c0 = F.floor(micros(s) / cell_us).cast("long")
+        c1 = F.floor(micros(e) / cell_us).cast("long")
+        return df.withColumn(c0_name, c0).withColumn(
+            "_cell", F.explode(F.sequence(c0, c1))
+        )
+
+    ae = cells(a, a_start, a_end, "_c0a")
+    be = cells(b, b_start, b_end, "_c0b").withColumnRenamed("_cell", "_cellb")
+    cond = (
+        (ae["_cell"] == be["_cellb"])
+        & (F.col(a_start) <= F.col(b_end))
+        & (F.col(b_start) <= F.col(a_end))
+        # keep each pair only in its first shared cell (dedup-free)
+        & (F.greatest(F.col("_c0a"), F.col("_c0b")) == ae["_cell"])
+    )
+    if extra_pred is not None:
+        cond = cond & extra_pred
+    return ae.join(be, cond).drop("_cell", "_cellb", "_c0a", "_c0b")
+
+
 def tumbling_window_agg(
     df: DataFrame, ts_col: str = "ts", minutes: int = 10, by: str = "event_type"
 ) -> DataFrame:

@@ -106,6 +106,39 @@ def stratified_hash_sample(
     return df.filter(bucket < rate)
 
 
+def train_valid_test_split(
+    df: DataFrame, id_col: str, train_pct: int = 80, valid_pct: int = 10
+) -> DataFrame:
+    """Deterministic three-way train/valid/test assignment on
+    md5(id) buckets: bucket < train_pct → 'train', < train+valid →
+    'valid', else 'test'. Returns the input plus `bucket` and `split`.
+
+    Properties RNG splits can't give you: every engine/cluster/run
+    assigns the SAME row to the SAME split (no leakage when the
+    pipeline is re-run or re-partitioned); the three splits are
+    disjoint and exhaustive by construction (a single CASE over one
+    bucket value); and growing train_pct only MOVES rows from
+    valid/test into train — it never reshuffles existing train rows
+    out, so checkpoint-resumed training never sees its eval data.
+
+    Scale: map-only column expressions — no shuffle, no state, runs
+    at scan speed on 100 TB, and the assignment rides the key so
+    joined tables (e.g. documents ↔ embeddings) land in the same
+    split.
+    """
+    if not (0 <= train_pct and 0 <= valid_pct and train_pct + valid_pct <= 100):
+        raise ValueError("split percentages must be non-negative and sum to <= 100")
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
 def redact_pattern(col, pattern: str = "[0-9]", repl: str = "#"):
     """Mask every regex match in a string column (digit masking by
     default — the account-number/phone scrubbing primitive). Global

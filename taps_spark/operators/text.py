@@ -69,6 +69,51 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window chunking step every pretraining / RAG-indexing
+    pipeline runs before tokenizer packing or embedding.
+
+    Output: one row per chunk with (id, chunk_id, start_tok,
+    chunk_len, chunk_md5, chunk_text). Window starts walk 1, 1+stride,
+    1+2·stride, … while ≤ token count, so consecutive chunks share
+    window−stride tokens of overlap and the tail is kept (truncated,
+    never padded).
+
+    Scale: pure column expressions — tokenize, `sequence` of starts,
+    `posexplode`, `slice` — all map-only inside one codegen stage; no
+    shuffle, no UDF, no state. Output rows ≈ tokens/stride per doc, a
+    constant-factor expansion that streams through the scan. Chunk
+    identity is (id, chunk_id): deterministic on any cluster, so
+    downstream dedup/embedding joins on it are stable across re-runs.
+    """
+    if stride < 1 or window < stride:
+        raise ValueError("need window >= stride >= 1 (forward progress, full coverage)")
+    toks_ = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.size(toks_), F.lit(stride))
+    e = df.select(
+        F.col(id_col),
+        toks_.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_tok"), window)
+    text_out = F.array_join(chunk, " ")
+    return e.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(chunk).alias("chunk_len"),
+        F.md5(text_out).alias("chunk_md5"),
+        text_out.alias("chunk_text"),
+    )
+
+
 def word_ngrams(col: Column | str, n: int) -> Column:
     """Array of space-joined word n-grams over whitespace tokens.
 

@@ -731,3 +731,81 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from", "state")
+
+
+INTERVAL_OVERLAP_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM s GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       COUNT(*) AS n_session_pairs,
+       CAST(SUM(epoch_us(LEAST(a.t1, b.t1)) - epoch_us(GREATEST(a.t0, b.t0)))
+            AS BIGINT) AS overlap_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("events_interval_overlap", oracle=INTERVAL_OVERLAP_ORACLE)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session analysis: which user pairs had sessions
+    overlapping in time, how many pairs, and for how long — the
+    interval-overlap self-join (co-occurrence, conflict detection,
+    concurrency billing).
+
+    The ORACLE runs the naive theta join; the engine runs
+    `interval_overlap_join` — intervals exploded onto hour cells,
+    candidates equi-joined per cell, overlap verified exactly, pair
+    kept only in its first shared cell. Same answer, but the Spark
+    plan is a hash join AQE can repartition/skew-split, not the
+    BroadcastNestedLoopJoin the raw predicate would compile to.
+
+    Scale: explode factor ≈ session_len/1 h + 1; per-cell candidate
+    sets are (concurrent sessions that hour)² — bounded by actual
+    concurrency, not corpus size. No reference analog (taps has no
+    temporal algebra).
+    """
+    from taps_spark.operators.events import interval_overlap_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sess = session_stats(ev, gap_minutes=30)
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_start").alias("start_a"),
+        F.col("session_end").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_start").alias("start_b"),
+        F.col("session_end").alias("end_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "start_a", "end_a", "start_b", "end_b", cell_minutes=60,
+        extra_pred=F.col("user_a") < F.col("user_b"),
+    )
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    overlap = micros(F.least("end_a", "end_b")) - micros(F.greatest("start_a", "start_b"))
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").alias("n_session_pairs"),
+            F.sum(overlap).cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_a", "user_b")
+    )

@@ -366,3 +366,38 @@ def stats_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / nd, 6).alias("intercept"),
         F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr"),
     ).orderBy("l_returnflag")
+
+
+SPLIT_ORACLE = """
+SELECT doc_id,
+       CAST(b AS INTEGER) AS bucket,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS b
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@query("sample_train_valid_test", oracle=SPLIT_ORACLE)
+def sample_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment for every
+    document — per-row output so the oracle pins the EXACT membership
+    of each split, not just sizes. Disjoint and exhaustive by
+    construction (one CASE over one hash bucket); stable across
+    engines, clusters, and re-runs, so eval data can never leak into
+    training between pipeline runs (df.randomSplit can't promise any
+    of this — its RNG walks partition order).
+
+    Scale: map-only md5-bucket expressions, no shuffle — see
+    operators/profiling.train_valid_test_split."""
+    from taps_spark.operators.profiling import train_valid_test_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        train_valid_test_split(docs, "doc_id", train_pct=80, valid_pct=10)
+        .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "split")
+        .orderBy("doc_id")
+    )

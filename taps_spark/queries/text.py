@@ -867,3 +867,44 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         CAST(unnest(generate_series(1, LEN(toks), 48)) AS INTEGER) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // 48 AS INTEGER) AS chunk_id,
+       start_tok,
+       CAST(LEN(list_slice(toks, start_tok, start_tok + 63)) AS INTEGER) AS chunk_len,
+       MD5(ARRAY_TO_STRING(list_slice(toks, start_tok, start_tok + 63), ' ')) AS chunk_md5
+FROM s
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query("text_chunk_windows", oracle=CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 64-token
+    windows with stride 48 (16-token overlap) — the chunking pass that
+    feeds embedding indexes and pretraining packers. Chunk identity
+    is (doc_id, chunk_id) and content is pinned by md5, so the oracle
+    verifies exact window boundaries AND exact chunk text.
+
+    Scale: tokenize → sequence-of-starts → posexplode → slice, all in
+    one map-only codegen stage (see operators/text.chunk_token_windows);
+    ~tokens/stride rows out per doc, no shuffle anywhere."""
+    from taps_spark.operators.text import chunk_token_windows
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        chunk_token_windows(docs, "text", "doc_id", window=64, stride=48)
+        .select("doc_id", "chunk_id", "start_tok", "chunk_len", "chunk_md5")
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -469,3 +469,124 @@ def test_countmin_estimate_is_one_sided_and_bounded(spark, sf_dir):
         overcounts.append(r["cm_est"] - r["exact_ct"])
     eps_n = (2.718 / 256) * n_total
     assert sum(overcounts) / len(overcounts) <= eps_n
+
+
+# ---------- chunk_token_windows ----------
+
+
+def test_chunk_windows_cover_all_tokens_with_exact_overlap(spark):
+    from taps_spark.operators.text import chunk_token_windows
+
+    doc = " ".join(f"t{i}" for i in range(1, 101))  # 100 tokens
+    df = spark.createDataFrame([(1, doc), (2, "a b"), (3, "")], "doc_id long, text string")
+    rows = chunk_token_windows(df, "text", "doc_id", window=10, stride=7).collect()
+    d1 = sorted([r for r in rows if r["doc_id"] == 1], key=lambda r: r["chunk_id"])
+    # starts walk 1, 8, 15, ... 99 — ceil(100/7) = 15 chunks
+    assert [r["start_tok"] for r in d1] == list(range(1, 101, 7))
+    # every token covered exactly; consecutive chunks overlap by window - stride
+    covered = set()
+    for r in d1:
+        assert r["chunk_len"] == min(10, 100 - r["start_tok"] + 1)
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["chunk_len"]))
+    assert covered == set(range(1, 101))
+    toks = doc.split()
+    for r in d1:
+        expect = " ".join(toks[r["start_tok"] - 1 : r["start_tok"] - 1 + 10])
+        assert r["chunk_text"] == expect
+    # short doc → single truncated chunk; empty doc → one empty-token chunk
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_len"] == 2 and d2[0]["chunk_text"] == "a b"
+    d3 = [r for r in rows if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["chunk_text"] == ""
+
+
+def test_chunk_windows_rejects_gapped_or_stalled_strides(spark):
+    from taps_spark.operators.text import chunk_token_windows
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_token_windows(df, window=4, stride=8)  # gaps: tokens 5-8 never covered
+    with pytest.raises(ValueError):
+        chunk_token_windows(df, window=4, stride=0)  # no forward progress
+
+
+# ---------- train_valid_test_split ----------
+
+
+def test_train_valid_test_split_disjoint_exhaustive_nested(spark):
+    from taps_spark.operators.profiling import train_valid_test_split
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s80 = {r["k"]: r["split"] for r in train_valid_test_split(df, "k", 80, 10).collect()}
+    assert len(s80) == 2000  # one assignment per row: disjoint + exhaustive
+    from collections import Counter
+
+    c = Counter(s80.values())
+    assert set(c) == {"train", "valid", "test"}
+    assert 0.7 < c["train"] / 2000 < 0.9  # hash buckets ≈ uniform
+    # growing train only ABSORBS rows — nothing leaves train (no eval leakage)
+    s90 = {r["k"]: r["split"] for r in train_valid_test_split(df, "k", 90, 5).collect()}
+    for k, split in s80.items():
+        if split == "train":
+            assert s90[k] == "train", k
+    with pytest.raises(ValueError):
+        train_valid_test_split(df, "k", 90, 20)
+
+
+# ---------- interval_overlap_join ----------
+
+
+def _interval_frames(spark):
+    """Deterministic interval sets incl. multi-cell spans, touching
+    endpoints, zero-length points, and non-overlapping stragglers."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    a_rows, b_rows = [], []
+    for i in range(60):
+        start = base + timedelta(minutes=(i * 37) % 480)
+        a_rows.append((i, start, start + timedelta(minutes=(i * 13) % 170)))
+    for j in range(60):
+        start = base + timedelta(minutes=(j * 53) % 500)
+        b_rows.append((j, start, start + timedelta(minutes=(j * 7) % 90)))
+    a = spark.createDataFrame(a_rows, "id_a long, start_a timestamp, end_a timestamp")
+    b = spark.createDataFrame(b_rows, "id_b long, start_b timestamp, end_b timestamp")
+    return a, b
+
+
+def test_interval_overlap_join_matches_naive_theta_join(spark):
+    from taps_spark.operators.events import interval_overlap_join
+
+    a, b = _interval_frames(spark)
+    naive = a.join(
+        b,
+        (F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a")),
+    )
+    expect = {(r["id_a"], r["id_b"]) for r in naive.collect()}
+    got_rows = interval_overlap_join(
+        a, b, "start_a", "end_a", "start_b", "end_b", cell_minutes=30
+    ).collect()
+    got = [(r["id_a"], r["id_b"]) for r in got_rows]
+    assert set(got) == expect
+    # first-shared-cell dedup: multi-cell pairs must appear exactly once
+    assert len(got) == len(set(got)), "bucketized join emitted duplicate pairs"
+
+
+def test_interval_overlap_join_avoids_nested_loop_plan(spark):
+    from taps_spark.operators.events import interval_overlap_join
+
+    a, b = _interval_frames(spark)
+    bucketized = interval_overlap_join(
+        a, b, "start_a", "end_a", "start_b", "end_b", cell_minutes=30
+    )
+    plan = bucketized._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    naive = a.join(
+        b,
+        (F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a")),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    # the whole point: the raw theta predicate compiles to a quadratic
+    # compare-everything join (nested loop or cartesian, depending on
+    # broadcastability)
+    assert "BroadcastNestedLoop" in naive_plan or "CartesianProduct" in naive_plan, naive_plan
