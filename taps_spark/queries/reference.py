@@ -375,3 +375,61 @@ def transfer_row_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+PULL_DS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderkey > 1000
+ORDER BY o_orderkey
+"""
+
+
+@query("scan_python_datasource", oracle=PULL_DS_ORACLE)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's keyset-chunked pull (#5, lib/taps/
+    data_stream.rb:279-312) executed through a Spark Python
+    DataSource against a LIVE sqlite database: exact keyset chunk
+    boundaries planned driver-side, one partition (and one read-only
+    DB connection) per chunk, Arrow-batch transfer, and the pk
+    predicate ABSORBED into chunk planning via pushFilters — the
+    filter narrows what gets chunked, not just what's returned.
+
+    The sqlite endpoint is (re)built from the orders fixture on first
+    use — a stand-in for the user's source database, exercising the
+    full plan→connect→pull→verify path with a real SQL engine on the
+    other side. See taps_spark/io/pull_source.py.
+    """
+    import os
+
+    from taps_spark.io.pull_source import (
+        register_pull_source,
+        scratch_dir,
+        sqlite_from_parquet,
+    )
+
+    db = sqlite_from_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        os.path.join(scratch_dir(), f"pull_{os.path.basename(os.path.normpath(sf_dir))}.db"),
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    register_pull_source(spark)
+    df = (
+        spark.read.format("taps_pull")
+        .option("path", db)
+        .option("table", "orders")
+        .option("pk", "o_orderkey")
+        .option("chunk_rows", "2000")
+        .load()
+    )
+    return (
+        df.filter(F.col("o_orderkey") > 1000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -227,3 +227,102 @@ def test_audited_readers_quarantine_malformed_rows(spark, tmp_path):
     jbad = [r for r in jrows if r["_corrupt_record"] is not None]
     assert [(r["id"], r["score"]) for r in jgood] == [(1, 2.5)]
     assert len(jbad) == 2
+
+
+# ---------- Python DataSource: keyset-chunked sqlite pull ----------
+
+
+@pytest.fixture(scope="module")
+def orders_sqlite(spark, sf_dir, tmp_path_factory):
+    import os
+
+    from taps_spark.io.pull_source import sqlite_from_parquet
+
+    db = str(tmp_path_factory.mktemp("pull") / "orders.db")
+    return sqlite_from_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        db,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
+def test_pull_source_round_trips_live_sqlite(spark, sf_dir, orders_sqlite):
+    from taps_spark.io.pull_source import register_pull_source
+
+    register_pull_source(spark)
+    got = (
+        spark.read.format("taps_pull")
+        .option("path", orders_sqlite)
+        .option("table", "orders")
+        .option("pk", "o_orderkey")
+        .option("chunk_rows", "400")
+        .load()
+    )
+    # schema inferred from sqlite affinity
+    assert dict(got.dtypes) == {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+    }
+    expect = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_pull_source_keyset_chunks_are_exact(spark, orders_sqlite):
+    from pyspark.sql.types import StructType
+
+    from taps_spark.io.pull_source import SqlitePullDataSource, SqlitePullReader
+
+    ds = SqlitePullDataSource(
+        {"path": orders_sqlite, "table": "orders", "pk": "o_orderkey", "chunk_rows": "400"}
+    )
+    schema = ds.schema()
+    assert isinstance(schema, StructType)
+    reader = ds.reader(schema)
+    parts = reader.partitions()
+    # 1500 orders at sf0.001 → 4 chunks: 400/400/400/300
+    counts = []
+    for p in parts:
+        counts.append(sum(b.num_rows for b in reader.read(p)))
+    assert sum(counts) == 1500
+    assert all(c == 400 for c in counts[:-1]) and counts[-1] <= 400
+    # half-open ranges: chunk ends chain exactly (no gap, no overlap)
+    for left, right in zip(parts, parts[1:]):
+        assert left.hi == right.lo
+
+
+def test_pull_source_pushes_pk_filter_into_chunk_planning(spark, orders_sqlite):
+    from pyspark.sql.datasource import GreaterThan, StringStartsWith
+
+    from taps_spark.io.pull_source import SqlitePullDataSource, register_pull_source
+
+    ds = SqlitePullDataSource(
+        {"path": orders_sqlite, "table": "orders", "pk": "o_orderkey", "chunk_rows": "400"}
+    )
+    reader = ds.reader(ds.schema())
+    keep = list(
+        reader.pushFilters(
+            [GreaterThan(("o_orderkey",), 4000), StringStartsWith(("o_orderstatus",), "F")]
+        )
+    )
+    # the pk comparison is absorbed; the string predicate is returned to Spark
+    assert keep == [StringStartsWith(("o_orderstatus",), "F")]
+    assert len(reader.partitions()) < 4  # planning narrowed, not post-filtered
+    # end-to-end: the pushed predicate leaves no Filter residue in the plan
+    register_pull_source(spark)
+    df = (
+        spark.read.format("taps_pull")
+        .option("path", orders_sqlite)
+        .option("table", "orders")
+        .option("pk", "o_orderkey")
+        .option("chunk_rows", "400")
+        .load()
+        .filter(F.col("o_orderkey") > 4000)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "4000" not in plan, plan
+    assert df.count() == df.filter(F.col("o_orderkey") > 4000).count()
