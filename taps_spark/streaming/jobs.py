@@ -26,22 +26,9 @@ from pyspark.sql import types as T
 from taps_spark.io.tables import table_path
 from taps_spark.session import tune
 
-#: Raw parquet schema of the events fixture — ts as LongType because
-#: the file stores TIMESTAMP(NANOS) (see io/tables.py); the stream
-#: reader does the same ns→µs normalization as the batch loader.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 _SINK_IDS = itertools.count()
 _STREAM_DIRS: dict[str, str] = {}
+_STREAM_SCHEMAS: dict[str, T.StructType] = {}
 
 
 def _as_stream_dir(sf_dir: str) -> str:
@@ -66,12 +53,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # requires a directory. Expose it through a (cached) temp dir of
     # symlinks — zero copy, and exactly how a production landing zone
     # looks: a directory where files arrive.
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_as_stream_dir(sf_dir))
-    # Plain TIMESTAMP here (not NTZ like the batch loader): watermarks
-    # only accept TIMESTAMP. Session TZ is pinned UTC, so instants and
-    # wall-clock agree; outputs cast window bounds back to NTZ for
-    # oracle parity.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Schema from a driver-side batch probe, NOT hardcoded: fixtures
+    # have shipped ts as both TIMESTAMP(NANOS) (arrives as LongType
+    # under nanosAsLong) and TIMESTAMP(MICROS) (arrives as NTZ).
+    # Assuming one unit silently rescales event time by 1000× under
+    # the other, so normalize by what the file actually contains —
+    # the same adaptive rule as the batch loader (io/tables.py).
+    if sf_dir not in _STREAM_SCHEMAS:
+        _STREAM_SCHEMAS[sf_dir] = spark.read.parquet(table_path(sf_dir, "events")).schema
+    raw = spark.readStream.schema(_STREAM_SCHEMAS[sf_dir]).parquet(_as_stream_dir(sf_dir))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        # Plain TIMESTAMP here (not NTZ like the batch loader):
+        # watermarks only accept TIMESTAMP. Session TZ is pinned UTC,
+        # so the cast is a pure relabel; outputs cast window bounds
+        # back to NTZ for oracle parity.
+        ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts)
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

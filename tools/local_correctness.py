@@ -77,11 +77,9 @@ def main() -> int:
     results, n_pass, n_rows_only, n_fail = {}, 0, 0, 0
     t0 = time.time()
     for name, fn in qs.items():
-        if name.startswith("events_stream"):
-            # Streaming plans only materialize on query start; their
-            # batch twins (same oracles) cover the semantics here.
-            results[name] = {"status": "streaming_skipped_batch_twin_gated"}
-            continue
+        # Streaming queries are NOT skipped: the driver runs them
+        # against their oracles, so the local gate must too (r2's
+        # micros-vs-nanos event-time bug escaped through a skip here).
         try:
             spdf = fn(spark, sf_dir).toPandas()
             if name not in osql:
