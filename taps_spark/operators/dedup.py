@@ -515,3 +515,85 @@ def embedding_lsh_band_stats(
         )
         .orderBy("band")
     )
+
+
+def bloom_build(
+    fps: DataFrame, fp_col: str = "fp", num_bits: int = 1 << 17, num_hashes: int = 5
+) -> DataFrame:
+    """Distributed Bloom-filter build over a fingerprint column, pure
+    column expressions (Spark's BloomFilterAggregate is not exposed to
+    the public function registry, and hand-rolling it keeps the bit
+    layout engine-portable anyway).
+
+    Each fingerprint sets `num_hashes` bits (seeded xxhash64 mod
+    num_bits); bits pack into 64-bit words via bit_or so the shuffle
+    carries at most num_bits/64 rows regardless of input size, and the
+    result is a ONE-ROW DataFrame holding map<word_idx, bits> — a few
+    KB, broadcast-able next to any incoming batch.
+
+    Scale: this is the O(1)-memory membership primitive for 100 TB
+    incremental ingest — the 10-billion-row ingested-corpus key set
+    reduces to num_bits/8 bytes; sizing num_bits ≈ 10× expected items
+    keeps the false-positive rate ≈ 1%; false positives are corrected
+    by an exact verify join that only candidates reach (bloom_probe),
+    so growing FP rate degrades speed, never correctness.
+    """
+    positions = fps.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(seed), F.col(fp_col)), F.lit(num_bits))
+                    for seed in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct("word", "bits")))).alias(
+            "bitmap"
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    fp_col: str = "fp",
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Probe a bloom_build bitmap: adds `out_col` — False means the
+    fingerprint is DEFINITELY absent from the built set (no false
+    negatives, so 'new' verdicts need no join at all); True means
+    'maybe present' and routes the row to the exact verify join.
+
+    The one-row bitmap joins in by broadcast; the k bit tests are
+    map-side integer ops inside whole-stage codegen.
+    """
+    tests = []
+    for seed in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(seed), F.col(fp_col)), F.lit(num_bits))
+        word = (pos / 64).cast("int")
+        # Seed literal must be INT here exactly as in bloom_build
+        # (F.lit(int) and a bare SQL int literal both hash as INT;
+        # a BIGINT seed would change every xxhash64 value).
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({seed}, {fp_col}), "
+            f"{num_bits}) % 64 AS INT))"
+        )
+        tests.append(
+            F.coalesce(F.element_at(F.col("bitmap"), word), F.lit(0)).bitwiseAND(mask) != 0
+        )
+    maybe = tests[0]
+    for t in tests[1:]:
+        maybe = maybe & t
+    return df.join(F.broadcast(bloom)).withColumn(out_col, maybe).drop("bitmap")

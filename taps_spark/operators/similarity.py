@@ -268,3 +268,175 @@ def topk_lsh(
         )
     )
     return _topk_reduce(scored, qid_col, id_col, k)
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-L2 scaling (cosine becomes plain inner product)."""
+    dv = as_double(vec)
+    n = F.sqrt(dot(dv, dv))
+    return F.transform(dv, lambda x: x / n)
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the vector is split into `m`
+    contiguous subvectors and each subspace gets its own `ksub`-way
+    k-means codebook — all `m` codebooks train TOGETHER in one keyed
+    Lloyd loop (subspace id is part of every group key), so plan
+    depth is O(iters), not O(m × iters).
+
+    Same determinism contract as train_ivf_centroids: seeds are the
+    ksub lowest-id vectors (no RNG), argmin ties break on centroid
+    id. Input vectors are unit-normalized first so the asymmetric
+    inner product approximates cosine.
+
+    Scale: PQ is the memory dial for ANN at 100 TB — a 64-dim float
+    vector (256 B) compresses to m=8 one-byte codes, a 32× shrink,
+    so a 10-billion-vector index fits executor memory for rerank.
+    Train on a sample upstream (like IVF); encode is one broadcast
+    join + argmin over the full corpus.
+
+    Returns DataFrame[s int, centroid_id int, cv array<double>].
+    """
+    sub = dim // m
+    dv = emb.select(
+        F.col(id_col).alias("_id"), l2_normalize(F.col(vec_col)).alias("v")
+    )
+    subs = dv.select(
+        "_id",
+        F.posexplode(
+            F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
+        ).alias("s", "sv"),
+    )
+    seed_ids = dv.orderBy("_id").limit(ksub).agg(
+        F.array_sort(F.collect_list("_id")).alias("_ids")
+    )
+    cents = (
+        subs.join(F.broadcast(seed_ids))
+        .filter(F.array_position(F.col("_ids"), F.col("_id")) > 0)
+        .select(
+            "s",
+            (F.array_position(F.col("_ids"), F.col("_id")) - 1).cast("int").alias("centroid_id"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_pq_codes(subs, cents)
+        cents = (
+            assigned.join(subs, ["_id", "s"])
+            .select("s", "centroid_id", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "centroid_id", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("s", "centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda t: t["x"]
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
+def _assign_pq_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per (vector, subspace) nearest codeword: broadcast the m×ksub
+    codebook table, argmin L2 via min(struct) with map-side partial
+    agg — the shuffle carries one row per (vector, subspace)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(F.broadcast(cents), "s")
+        .select("_id", "s", F.struct(d2.alias("d"), F.col("centroid_id").alias("c")).alias("_dc"))
+        .groupBy("_id", "s")
+        .agg(F.min("_dc").alias("_m"))
+        .select("_id", "s", F.col("_m.c").alias("centroid_id"))
+    )
+
+
+def topk_pq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    rerank: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "q_id",
+    qvec_col: str = "q_vec",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC) with exact rerank: corpus
+    vectors live only as m small codes; each query precomputes an
+    m×ksub inner-product table against the codebooks and scores a
+    vector by summing m table lookups — no full-vector math touches
+    the corpus during the scan. The ADC shortlist (rerank×k
+    candidates) is then rescored with exact cosine against only those
+    candidates' full vectors — the standard two-stage PQ serving
+    shape (quantized scan, exact rerank on ~0.01% of the corpus),
+    which recovers the recall pure ADC loses on unstructured
+    embeddings. rerank=0 returns raw ADC scores.
+
+    Scale: the scored stream is corpus×m rows joined to a BROADCAST
+    lookup table (queries × m × ksub rows — a few thousand), summed
+    with map-side partial agg, then reduced by the same
+    WindowGroupLimit(Partial) top-k as brute force; the rerank join
+    touches rerank×k rows per query. In production PQ composes with
+    IVF (probe lists first, ADC within them); here it stands alone so
+    the recall test isolates quantization loss.
+    """
+    sub = dim // m
+    cents = train_pq_codebooks(
+        emb, m=m, ksub=ksub, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
+    ).persist()
+    dv = emb.select(F.col(id_col).alias("_id"), l2_normalize(F.col(vec_col)).alias("v"))
+    subs = dv.select(
+        "_id",
+        F.posexplode(
+            F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
+        ).alias("s", "sv"),
+    )
+    codes = _assign_pq_codes(subs, cents)
+
+    qsubs = queries.select(
+        F.col(qid_col), l2_normalize(F.col(qvec_col)).alias("qv")
+    ).select(
+        qid_col,
+        F.posexplode(
+            F.array(*[F.slice("qv", s * sub + 1, sub) for s in range(m)])
+        ).alias("s", "qsv"),
+    )
+    # The ADC lookup table: partial inner product of every query
+    # subvector with every codeword in its subspace.
+    lut = qsubs.join(F.broadcast(cents), "s").select(
+        qid_col, "s", "centroid_id", dot(F.col("qsv"), F.col("cv")).alias("_pip")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "centroid_id"])
+        .filter(F.col("_id") != F.col(qid_col))
+        .groupBy(qid_col, "_id")
+        .agg(F.sum("_pip").alias("_score"))
+        .select(qid_col, F.col("_id").alias(id_col), "_score")
+    )
+    if not rerank:
+        return _topk_reduce(scored, qid_col, id_col, k)
+    shortlist = _topk_reduce(scored, qid_col, id_col, rerank * k).select(
+        qid_col, F.col("neighbor_id").alias(id_col)
+    )
+    qv = queries.select(F.col(qid_col), l2_normalize(F.col(qvec_col)).alias("qv"))
+    exact = (
+        shortlist.join(dv.withColumnRenamed("_id", id_col), id_col)
+        .join(F.broadcast(qv), qid_col)
+        .select(qid_col, F.col(id_col), dot(F.col("qv"), F.col("v")).alias("_score"))
+    )
+    return _topk_reduce(exact, qid_col, id_col, k)

@@ -948,3 +948,62 @@ def pipeline_ingest_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return q.select("doc_id", "lang", verdict.alias("verdict")).orderBy("doc_id")
+
+
+BLOOM_INCREMENTAL_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+existing AS (SELECT fp FROM fp WHERE doc_id % 2 = 0),
+incoming AS (SELECT doc_id, source, fp FROM fp WHERE doc_id % 2 = 1)
+SELECT i.doc_id, i.source,
+       EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp) AS is_dup
+FROM incoming i
+ORDER BY i.doc_id
+"""
+
+
+@query("dedup_bloom_incremental", oracle=BLOOM_INCREMENTAL_ORACLE)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental-ingest dedup: the ingested
+    corpus's fingerprints (even doc_ids) compress into a Bloom bitmap
+    (operators/dedup.bloom_build — num_bits/8 bytes total, broadcast);
+    the incoming batch (odd doc_ids) probes it map-side. Probe-miss ⇒
+    definitely new, NO join. Probe-hit ⇒ candidate, exact-verified by
+    one semi-join that only candidates reach — so the final verdict is
+    exact (bloom false positives cost a join row, never a wrong
+    answer) and the DuckDB oracle is a plain EXISTS.
+
+    Scale: this is how a 100 TB continuously-crawling pipeline avoids
+    shuffling the whole ingested key set against every new batch —
+    the bitmap is O(corpus)/8 bits once, and per batch only the ~1%
+    false-positive candidates plus true dups reach the verify join.
+    tests/test_operators.py pins the no-false-negative guarantee and
+    the FP bound.
+    """
+    from taps_spark.operators.dedup import bloom_build, bloom_probe
+    from taps_spark.operators.text import fingerprint
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
+    existing = fp.filter(F.col("doc_id") % 2 == 0).select("fp")
+    incoming = fp.filter(F.col("doc_id") % 2 == 1)
+
+    bloom = bloom_build(existing, "fp")
+    probed = bloom_probe(incoming, bloom, "fp")
+    misses = probed.filter(~F.col("bloom_maybe")).withColumn("is_dup", F.lit(False))
+    candidates = probed.filter(F.col("bloom_maybe"))
+    confirmed = candidates.join(existing.distinct(), "fp", "left_semi").withColumn(
+        "is_dup", F.lit(True)
+    )
+    false_pos = candidates.join(existing.distinct(), "fp", "left_anti").withColumn(
+        "is_dup", F.lit(False)
+    )
+    return (
+        misses.unionByName(confirmed)
+        .unionByName(false_pos)
+        .select("doc_id", "source", "is_dup")
+        .orderBy("doc_id")
+    )

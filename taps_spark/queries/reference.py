@@ -433,3 +433,74 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+CDC_APPLY_ORACLE = """
+WITH ops AS (
+  SELECT o_custkey AS key,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS price
+  FROM orders
+),
+ranked AS (
+  SELECT key, seq, op, price,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+         COUNT(*)     OVER (PARTITION BY key)                   AS n_ops
+  FROM ops
+)
+SELECT key, seq AS last_seq, ROUND(price, 2) AS last_price, n_ops
+FROM ranked
+WHERE rn = 1 AND op = 'U'
+ORDER BY key
+"""
+
+
+@query("transfer_cdc_apply", oracle=CDC_APPLY_ORACLE)
+def transfer_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — the incremental counterpart of the
+    reference's full-table copy (the reference re-pulls whole tables,
+    lib/taps/operation.rb:273-286; a change-data-capture feed applies
+    upserts/deletes instead): collapse an ordered op stream
+    (key, seq, U|D, value) to the final snapshot by last-writer-wins,
+    dropping keys whose final op is a delete.
+
+    The changelog derives deterministically from orders (key =
+    o_custkey, seq = o_orderkey, every 10th op a delete) so the DuckDB
+    oracle replays the identical stream.
+
+    Scale: one hash-shuffle on the key; row_number + count share ONE
+    window partitioning so Spark plans a single exchange, and
+    WindowGroupLimit prunes rn>1 rows map-side before it. This is
+    exactly the MERGE INTO collapse Delta/Iceberg run on a CDC feed —
+    at 100 TB the snapshot side stays partitioned by key and only the
+    (small) changelog shuffles.
+    """
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    ops = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w = Window.partitionBy("key")
+    ranked = ops.select(
+        "key",
+        "seq",
+        "op",
+        "price",
+        F.row_number().over(w.orderBy(F.col("seq").desc())).alias("rn"),
+        F.count("*").over(w).alias("n_ops"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "key",
+            F.col("seq").alias("last_seq"),
+            F.round("price", 2).alias("last_price"),
+            "n_ops",
+        )
+        .orderBy("key")
+    )

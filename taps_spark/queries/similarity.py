@@ -181,3 +181,30 @@ def similarity_label_nn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query("similarity_ann_pq")  # rows-only: keyed Lloyd training is iterative, not ANSI-SQL
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization (16 subspaces × 32
+    codewords = 80-bit codes, asymmetric-distance scan, exact rerank
+    of the 10×k ADC shortlist): the MEMORY dial of the ANN family — a
+    64-dim float vector (256 B) becomes a 10-byte code, so at 100 TB
+    the whole corpus index stays executor-resident while LSH/IVF
+    prune the scan.
+
+    Scan-time math is m lookup-table reads per candidate (the table
+    is queries × m × ksub rows, broadcast), never full-vector
+    arithmetic; full vectors are read only for the ~10×k reranked
+    candidates per query. Rows-only check (codebook training is
+    iterative); tests/test_operators.py pins recall overlap against
+    the exact brute-force query (0.975 mean at sf0.01).
+    """
+    from taps_spark.operators.similarity import topk_pq
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return topk_pq(
+        emb, queries, k=5, m=16, ksub=32, dim=64, iters=2, rerank=10
+    ).orderBy("q_id", "rank")

@@ -590,3 +590,63 @@ def test_interval_overlap_join_avoids_nested_loop_plan(spark):
     # compare-everything join (nested loop or cartesian, depending on
     # broadcastability)
     assert "BroadcastNestedLoop" in naive_plan or "CartesianProduct" in naive_plan, naive_plan
+
+
+def test_pq_rerank_recall_and_score_fidelity(spark, sf_dir):
+    from taps_spark.operators.similarity import topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = topk_bruteforce(emb, queries, k=5)
+    approx = topk_pq(emb, queries, k=5, m=16, ksub=32, dim=64, iters=2, rerank=10)
+    ex = {(r["q_id"], r["neighbor_id"]): r["score"] for r in exact.collect()}
+    ap = {(r["q_id"], r["neighbor_id"]): r["score"] for r in approx.collect()}
+    # reranked scores are TRUE cosines (quantization affects the
+    # shortlist, never the reported score)
+    for key, s in ap.items():
+        if key in ex:
+            assert abs(ex[key] - s) < 1e-3
+    recall = len(set(ap) & set(ex)) / len(ex)
+    assert recall >= 0.6, f"PQ+rerank recall too low: {recall}"
+
+
+def test_pq_pure_adc_returns_k_per_query(spark, sf_dir):
+    from taps_spark.operators.similarity import topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    adc = topk_pq(emb, queries, k=5, m=8, ksub=16, dim=64, iters=1, rerank=0)
+    rows = adc.groupBy("q_id").count().collect()
+    assert {r["count"] for r in rows} == {5}
+    assert len(rows) == 2
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark, sf_dir):
+    """The membership contract the bloom-prefilter dedup depends on:
+    every built member MUST probe True; non-member false-positive
+    rate stays under a few percent at the default sizing."""
+    from taps_spark.operators.dedup import bloom_build, bloom_probe
+    from taps_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    members = fp.filter(F.col("doc_id") % 2 == 0)
+    bloom = bloom_build(members.select("fp"), "fp")
+
+    probed_members = bloom_probe(members, bloom, "fp")
+    n_members = probed_members.count()
+    n_hit = probed_members.filter(F.col("bloom_maybe")).count()
+    assert n_hit == n_members, "bloom false negative: membership contract broken"
+
+    member_fps = members.select("fp").distinct()
+    true_non = (
+        bloom_probe(fp.filter(F.col("doc_id") % 2 == 1), bloom, "fp")
+        .join(member_fps, "fp", "left_anti")
+    )
+    n_non = true_non.count()
+    n_fp = true_non.filter(F.col("bloom_maybe")).count()
+    assert n_fp / max(n_non, 1) < 0.05, f"bloom FP rate too high: {n_fp}/{n_non}"

@@ -147,3 +147,88 @@ def test_stream_checkpoint_restart_processes_only_new_data(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 10, "restart must process ONLY the new file"
     assert sorted(r["id"] for r in out.collect()) == list(range(10))
+
+
+def test_multi_microbatch_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """The events fixture split across 4 files and streamed one file
+    per micro-batch must aggregate to EXACTLY the single-batch result:
+    complete-mode windowed state carries across micro-batch boundaries
+    regardless of how the files interleave event time."""
+    from taps_spark.io.tables import load_table
+    from taps_spark.streaming import jobs
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_split")
+    # Unsorted round-robin split: every file spans the full time range,
+    # so each later micro-batch delivers "late" data vs the previous
+    # watermark — the stress case for stateful window merging.
+    ev.withColumn("_b", F.col("event_id") % 4).repartition(4, "_b").drop("_b").write.parquet(src)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "30 minutes"
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    result = jobs.run_to_memory(agg, "complete")
+
+    batch = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+
+def test_stream_reader_adapts_to_nanos_and_micros_ts(spark, sf_dir, tmp_path):
+    """Regression for the r2 event-time bug: fixtures have shipped ts
+    as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS); the stream reader
+    must yield identical event times for either encoding (a hardcoded
+    unit rescales time 1000× under the other)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from taps_spark.streaming.jobs import read_events_stream, run_to_memory
+
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ns_dir = str(tmp_path / "sf_nanos")
+    os.makedirs(ns_dir)
+    i = table.schema.get_field_index("ts")
+    ns_table = table.set_column(
+        i, "ts", table.column("ts").cast(pa.timestamp("ns"))
+    )
+    pq.write_table(ns_table, os.path.join(ns_dir, "events.parquet"))
+
+    def span(src_dir):
+        ev = read_events_stream(spark, src_dir)
+        agg = ev.groupBy().agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+        )
+        return run_to_memory(agg, "complete").collect()[0]
+
+    micros, nanos = span(sf_dir), span(ns_dir)
+    assert micros["n"] == nanos["n"]
+    assert micros["lo"] == nanos["lo"] and micros["hi"] == nanos["hi"], (
+        f"unit mismatch: micros span ({micros['lo']},{micros['hi']}) "
+        f"vs nanos span ({nanos['lo']},{nanos['hi']})"
+    )
