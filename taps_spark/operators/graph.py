@@ -1,0 +1,84 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+Connected components (dedup clustering) lives in operators/dedup.py;
+this module holds the rank-propagation family. The reference has no
+graph surface at all — this is §2c breadth for corpus analytics
+(domain authority for crawl prioritization, citation weighting for
+data curation).
+
+Scale notes: each PageRank iteration is one equi-join (ranks ⋈ edges
+on src) + one groupBy(dst) sum — two hash shuffles over the edge
+list, both on keys Spark can co-partition; pre-partitioning edges by
+src (or bucketing the edge table) makes the join exchange-free so an
+iteration costs ONE shuffle. `localCheckpoint` every iteration
+truncates the lineage so the plan doesn't double per round
+(the same pattern as dedup's label propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list (distinct edges), with
+    dangling-node mass redistributed uniformly — the textbook
+    formulation, so a driver-side NumPy replay reproduces the numbers
+    (tests/test_operators.py pins them to 1e-9).
+
+    Returns DataFrame[node, rank] over every node appearing as src or
+    dst; Σ rank = 1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Degree lives WITH the rank row so the per-iteration join does
+    # not grow a second lookup; dangling nodes carry deg = 0.
+    base = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
+        "node", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    ranks = base.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+
+    for _ in range(iters):
+        # Dangling mass rides along as a broadcast one-row aggregate —
+        # no driver-side collect; the localCheckpoint at the end of
+        # the iteration materializes everything in one job.
+        dm = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("dm")
+        )
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            base.join(contribs, base.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank")

@@ -71,6 +71,7 @@ def _load() -> None:
         advanced,
         dedup,
         events,
+        graph,
         profiling,
         reference,
         relational,

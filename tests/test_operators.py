@@ -650,3 +650,37 @@ def test_bloom_no_false_negatives_and_fp_bound(spark, sf_dir):
     n_non = true_non.count()
     n_fp = true_non.filter(F.col("bloom_maybe")).count()
     assert n_fp / max(n_non, 1) < 0.05, f"bloom FP rate too high: {n_fp}/{n_non}"
+
+
+def test_pagerank_matches_numpy_replay(spark):
+    """Exact-formulation replay: damped PageRank with uniform dangling
+    redistribution on a small graph, Spark vs NumPy to 1e-9."""
+    import numpy as np
+
+    from taps_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    # 'e' is dangling (appears only as... nowhere) — add one edge into
+    # a sink node to cover the dangling-mass path.
+    edges.append(("c", "sink"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10, damping=0.85).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nxt = np.full(n, (1 - 0.85) / n)
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        nxt += 0.85 * dangling / n
+        for s, ds in out.items():
+            for d in ds:
+                nxt[idx[d]] += 0.85 * r[idx[s]] / len(ds)
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
