@@ -4,6 +4,7 @@ results are gated by the same batch oracles as their batch twins."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from taps_spark.queries import query
 from taps_spark.queries.events import SLIDING_ORACLE as _SLIDING_ORACLE
@@ -186,3 +187,100 @@ def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.streaming.jobs import stream_static_enrich
 
     return stream_static_enrich(spark, sf_dir)
+
+
+STREAM_OUTER_JOIN_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_event_id, user_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_event_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  -- Spark's global watermark is the MIN across the two inputs'
+  -- (max event time - delay): both sides gate outer emission.
+  SELECT LEAST((SELECT MAX(v_ts) FROM v), (SELECT MAX(c_ts) FROM c)) AS mx
+),
+matched AS (
+  SELECT v.view_event_id, c.click_event_id, v.user_id,
+         CAST((epoch_us(c.c_ts) - epoch_us(v.v_ts)) // 1000000 AS BIGINT) AS delay_s
+  FROM v JOIN c
+    ON v.user_id = c.user_id
+   AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 60 MINUTE
+),
+expired_unmatched AS (
+  SELECT v.view_event_id, CAST(NULL AS BIGINT) AS click_event_id, v.user_id,
+         CAST(NULL AS BIGINT) AS delay_s
+  FROM v CROSS JOIN m
+  WHERE NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = v.user_id
+            AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 60 MINUTE)
+    AND v.v_ts + INTERVAL 60 MINUTE < m.mx - INTERVAL 2 HOUR
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM expired_unmatched
+ORDER BY view_event_id, click_event_id
+"""
+
+
+@query("events_stream_outer_join", oracle=STREAM_OUTER_JOIN_ORACLE)
+def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the delicate half of
+    the streaming join family: matched (view, click) pairs emit
+    immediately, while a view with no click emits its NULL row only
+    when the watermark proves no future click can match (its 60-min
+    join window has fallen behind the final GLOBAL watermark — which
+    is the MIN over both inputs of max-event-time − the 2-hour
+    delay, a multi-input subtlety sf0.001 exposed: the click stream's
+    slower max held a view back). The oracle encodes that emission
+    rule exactly: unmatched views emit iff
+    v_ts + 60 min < least(max(v_ts), max(c_ts)) − 2 h — so this
+    query pins Spark's outer state-eviction semantics against
+    independent SQL, not just row plumbing.
+
+    Scale: state per side is bounded by the watermark horizon exactly
+    as the inner form (events_stream_stream_join); the outer rows add
+    no state — they're emitted from evicted left state.
+    """
+    from taps_spark.streaming.jobs import read_events_stream, run_to_memory
+
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user_id = c_user_id AND c_ts >= v_ts "
+            "AND c_ts <= v_ts + INTERVAL 60 MINUTES"
+        ),
+        "left_outer",
+    ).select(
+        "view_event_id",
+        "click_event_id",
+        F.col("v_user_id").alias("user_id"),
+        ((F.unix_micros("c_ts") - F.unix_micros("v_ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("delay_s"),
+    )
+    return run_to_memory(joined, "append").orderBy("view_event_id", "click_event_id")
