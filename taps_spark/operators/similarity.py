@@ -440,3 +440,64 @@ def topk_pq(
         .select(qid_col, F.col(id_col), dot(F.col("qv"), F.col("v")).alias("_score"))
     )
     return _topk_reduce(exact, qid_col, id_col, k)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication: k-means-cluster the
+    embeddings (the IVF coarse quantizer reused as the blocker), then
+    compare pairs ONLY within a cluster and drop every vector whose
+    cosine to a lower-id cluster-mate is ≥ threshold (keep-min
+    survivor policy, deterministic).
+
+    Soundness is exact — every dropped vector really has a ≥threshold
+    neighbor (pytest re-checks the flagged pairs with exact cosine);
+    completeness is bounded by the blocker like every LSH/cluster
+    dedup (a near-dup pair split across cluster boundary is missed —
+    raising nlist trades recall for cost).
+
+    Scale: the pair expansion is Σ|cluster|², never |corpus|² — with
+    balanced clusters that's |corpus|²/nlist, and nlist grows with
+    corpus size (100 TB → nlist ~10⁵ via sample-trained centroids, so
+    each cluster stays executor-sized). One equi-join on cluster_id;
+    AQE handles cluster skew.
+
+    Returns DataFrame[vec_id, cluster_id, dropped bool, dup_of
+    (lowest-id ≥threshold neighbor, NULL if kept)].
+    """
+    dv = emb.select(F.col(id_col).alias("_id"), l2_normalize(F.col(vec_col)).alias("v"))
+    cents = train_ivf_centroids(
+        emb.select(F.col(id_col), F.col(vec_col)), nlist=nlist, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = assign_nearest_centroid(dv, cents).select(
+        "_id", "v", F.col("centroid_id").alias("cluster_id")
+    )
+    a = assigned.select(
+        F.col("cluster_id"), F.col("_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster_id"), F.col("_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    near = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .groupBy(F.col("id_a").alias("_id"))
+        .agg(F.min("id_b").alias("dup_of"))
+    )
+    return (
+        assigned.join(near, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster_id",
+            F.col("dup_of").isNotNull().alias("dropped"),
+            "dup_of",
+        )
+    )

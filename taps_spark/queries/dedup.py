@@ -1007,3 +1007,24 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "is_dup")
         .orderBy("doc_id")
     )
+
+
+@query("dedup_semantic_clusters")  # rows-only: k-means blocking is iterative
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup over the embeddings: k-means
+    blocks (the IVF coarse quantizer reused), exact cosine only
+    within a cluster, keep-min survivor per ≥0.4-cosine pair (the
+    fixture corpus's near-dup band, matching dedup_embedding_cosine).
+    Complements the text-hash family (exact/minhash/simhash) with
+    meaning-level duplication the token hashes can't see, and
+    `dedup_embedding_lsh` with a data-adaptive blocker.
+
+    Rows-only (iterative blocker); tests/test_operators.py proves
+    soundness exactly — every dropped vector's flagged neighbor
+    really has cosine ≥ threshold — and cross-pins blocked recall
+    against the exact all-pairs answer.
+    """
+    from taps_spark.operators.similarity import semantic_dedup
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return semantic_dedup(emb, threshold=0.4, nlist=16, iters=2).orderBy("vec_id")

@@ -684,3 +684,42 @@ def test_pagerank_matches_numpy_replay(spark):
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_semantic_dedup_soundness_and_blocked_recall(spark, sf_dir):
+    """Every pair semantic_dedup flags must truly be >= threshold
+    (exact re-check); and within-cluster blocking must recover every
+    all-pairs duplicate whose members share a cluster."""
+    from taps_spark.operators.similarity import cosine, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4, nlist=8, iters=2)
+    flagged = out.filter(F.col("dropped"))
+
+    # Soundness: flagged (vec_id, dup_of) pairs have exact cosine >= t.
+    e1 = emb.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    e2 = emb.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("eb"))
+    checked = (
+        flagged.join(e1, "vec_id").join(e2, "dup_of")
+        .select(cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .collect()
+    )
+    assert all(r["c"] >= 0.4 - 1e-9 for r in checked)
+
+    # Blocked completeness: any exact all-pairs duplicate sharing a
+    # cluster must be flagged.
+    clusters = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    dropped = {r["vec_id"] for r in flagged.collect()}
+    allpairs = (
+        emb.alias("x").join(emb.alias("y"), F.expr("x.vec_id > y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            cosine(F.col("x.embedding"), F.col("y.embedding")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    )
+    for r in allpairs:
+        if clusters[r["a"]] == clusters[r["b"]]:
+            assert r["a"] in dropped, f"same-cluster dup pair missed: {r}"
