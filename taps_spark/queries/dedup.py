@@ -992,19 +992,26 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = fp.filter(F.col("doc_id") % 2 == 1)
 
     bloom = bloom_build(existing, "fp")
-    probed = bloom_probe(incoming, bloom, "fp")
+    # persist: the two union branches below both read the probed
+    # frame, and Spark does not common-subexpression-eliminate across
+    # Union branches — without the cache the bitmap build would run
+    # once per branch.
+    probed = bloom_probe(incoming, bloom, "fp").persist()
     misses = probed.filter(~F.col("bloom_maybe")).withColumn("is_dup", F.lit(False))
-    candidates = probed.filter(F.col("bloom_maybe"))
-    confirmed = candidates.join(existing.distinct(), "fp", "left_semi").withColumn(
-        "is_dup", F.lit(True)
-    )
-    false_pos = candidates.join(existing.distinct(), "fp", "left_anti").withColumn(
-        "is_dup", F.lit(False)
+    # One LEFT join verifies candidates: present → dup, absent → the
+    # bloom false positive, still correctly 'new'.
+    verified = (
+        probed.filter(F.col("bloom_maybe"))
+        .join(
+            existing.distinct().withColumn("_in", F.lit(True)),
+            "fp",
+            "left",
+        )
+        .withColumn("is_dup", F.coalesce(F.col("_in"), F.lit(False)))
     )
     return (
-        misses.unionByName(confirmed)
-        .unionByName(false_pos)
-        .select("doc_id", "source", "is_dup")
+        misses.select("doc_id", "source", "is_dup")
+        .unionByName(verified.select("doc_id", "source", "is_dup"))
         .orderBy("doc_id")
     )
 

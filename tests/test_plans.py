@@ -383,3 +383,34 @@ def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_bloom_probe_is_broadcast_no_shuffle_on_miss_path(spark, sf_dir):
+    """The bloom bitmap must reach the incoming batch by broadcast
+    (one-row bitmap), and the CDC/window shapes stay single-exchange:
+    the whole point of the prefilter is that probe-miss rows never
+    shuffle."""
+    plan = formatted_plan(spark, "dedup_bloom_incremental", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # The bitmap side must be broadcast-exchanged, never shuffled.
+    assert "BroadcastExchange" in plan
+
+
+def test_cdc_apply_single_window_exchange(spark, sf_dir):
+    """row_number and count share one partitioning: exactly one
+    exchange feeds the window stage (plus the shuffle AQE may add for
+    the final sort)."""
+    plan = formatted_plan(spark, "transfer_cdc_apply", sf_dir)
+    # Both window functions must evaluate in a single Window node.
+    assert plan.count("Window") >= 1
+    window_exchanges = plan.count("Exchange hashpartitioning(key")
+    assert window_exchanges <= 1, f"window should shuffle once on key, got {window_exchanges}"
+
+
+def test_pq_adc_lookup_is_broadcast(spark, sf_dir):
+    """The ADC lookup table (queries × m × ksub) and the codebooks
+    must both move by broadcast — the corpus-side code stream never
+    shuffles to meet them."""
+    plan = formatted_plan(spark, "similarity_ann_pq", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan  # partial top-k still reduces map-side
