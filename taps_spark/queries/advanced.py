@@ -329,3 +329,47 @@ def sql_recursive_week_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     ev.createOrReplaceTempView("events")
     return spark.sql(SQL_RECURSIVE_STMT.format(interval_7d="'7' DAY"))
+
+
+VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)                                  AS n_events,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT)           AS sum_k,
+       CAST(MIN(CAST(props->>'$.k' AS INT)) AS INT)              AS min_k,
+       CAST(COUNT(CASE WHEN props->>'$.missing' IS NOT NULL THEN 1 END) AS BIGINT)
+                                                                 AS n_missing_path,
+       'OBJECT<k: BIGINT>'                                       AS variant_schema
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_variant_json", oracle=VARIANT_ORACLE)
+def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: `parse_json` ONCE per row into the
+    binary variant encoding, then typed path extraction
+    (`variant_get`), missing-path NULL semantics (`try_variant_get`),
+    and corpus-level schema inference (`schema_of_variant_agg`) —
+    the modern replacement for repeated `get_json_object` string
+    re-parsing (`events_json_extract` is the legacy twin).
+
+    Scale: variant parse is one pass, columnar-encoded, shredded at
+    the scan at 100 TB (parquet variant shredding); every later path
+    read is a binary field lookup, not a JSON re-parse. The oracle
+    pins the extracted values AND the inferred variant schema string.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.count(F.try_variant_get("v", "$.missing", "int")).alias("n_missing_path"),
+            F.schema_of_variant_agg("v").alias("variant_schema"),
+        )
+        .orderBy("event_type")
+    )

@@ -975,3 +975,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+FUZZY_MATCH_ORACLE = """
+WITH p AS (
+  SELECT doc_id, lang,
+         array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ') AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+FROM p a JOIN p b
+  ON a.lang = b.lang
+ AND split_part(a.prefix, ' ', 1) = split_part(b.prefix, ' ', 1)
+ AND b.doc_id < a.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("text_fuzzy_match_pairs", oracle=FUZZY_MATCH_ORACLE)
+def text_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage by edit distance: document title
+    prefixes (first 5 tokens) compared by Levenshtein WITHIN
+    (language, first-token) blocks only — the classic
+    dedupe/entity-resolution shape for near-identical titles that
+    token-set hashes (minhash/simhash) treat as distinct.
+
+    Scale: blocking turns |corpus|² into Σ|block|² (1105 candidate
+    pairs from 124,750 possible at sf0.01); Spark's bounded
+    `levenshtein(l, r, threshold)` abandons each comparison as soon
+    as the distance exceeds the bound, so cost per pair is
+    O(threshold·len) not O(len²). One shuffle on the block key, AQE
+    splits skewed blocks (stopword-led titles).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    p = docs.select(
+        "doc_id",
+        "lang",
+        F.array_join(F.slice(tokens("text"), 1, 5), " ").alias("prefix"),
+    )
+    a = p.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("prefix").alias("pa"),
+        F.split("prefix", " ")[0].alias("tok1"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("pb"),
+        F.split("prefix", " ")[0].alias("tok1_b"),
+    )
+    bounded = F.levenshtein("pa", "pb", 3)  # -1 once the bound is exceeded
+    return (
+        a.join(b, (a.lang == b.lang_b) & (a.tok1 == b.tok1_b) & (b.doc_b < a.doc_a))
+        .withColumn("edit_dist", bounded)
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", "lang", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    )
