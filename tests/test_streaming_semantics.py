@@ -232,3 +232,16 @@ def test_stream_reader_adapts_to_nanos_and_micros_ts(spark, sf_dir, tmp_path):
         f"unit mismatch: micros span ({micros['lo']},{micros['hi']}) "
         f"vs nanos span ({nanos['lo']},{nanos['hi']})"
     )
+
+
+def test_stateful_v2_matches_v1_when_protobuf_available(spark, sf_dir):
+    """transformWithStateInPandas port of the per-user accumulator
+    must agree with the applyInPandasWithState form. Skipped where
+    pyspark's v2 state serialization dependency (google.protobuf) is
+    absent."""
+    pytest.importorskip("google.protobuf")
+    from taps_spark.streaming.stateful import stream_user_stats, stream_user_stats_v2
+
+    v1 = sorted(map(tuple, stream_user_stats(spark, sf_dir).collect()))
+    v2 = sorted(map(tuple, stream_user_stats_v2(spark, sf_dir).collect()))
+    assert v1 == v2
