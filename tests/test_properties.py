@@ -142,3 +142,50 @@ def test_star_cc_equals_propagation_on_random_graphs(spark, edges):
     a = sorted(map(tuple, connected_components(df, max_iters=60).collect()))
     b = sorted(map(tuple, connected_components_star(df, max_iters=60).collect()))
     assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    members=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=40, unique=True),
+    probes=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=40),
+)
+def test_bloom_never_false_negative_on_random_strings(spark, members, probes):
+    """Membership contract on ARBITRARY strings (unicode, overlaps,
+    duplicates in the probe set): every built member probes True."""
+    from pyspark.sql import functions as F
+
+    from taps_spark.operators.dedup import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([(m,) for m in members], ["fp"])
+    bloom = bloom_build(mdf, "fp", num_bits=1 << 12, num_hashes=4)
+    probed = bloom_probe(mdf, bloom, "fp", num_bits=1 << 12, num_hashes=4)
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+
+    # And probing arbitrary non-members never crashes / returns nulls.
+    pdf = spark.createDataFrame([(p,) for p in probes], ["fp"])
+    got = bloom_probe(pdf, bloom, "fp", num_bits=1 << 12, num_hashes=4)
+    assert got.filter(F.col("bloom_maybe").isNull()).count() == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_pagerank_mass_conservation_on_random_graphs(spark, seed):
+    """Σ rank == 1 on arbitrary graphs (dangling nodes included) —
+    the invariant the dangling-mass redistribution exists to keep."""
+    import random
+
+    from taps_spark.operators.graph import pagerank
+
+    rng = random.Random(seed)
+    n = rng.randint(2, 20)
+    edges = [
+        (f"n{rng.randint(0, n)}", f"n{rng.randint(0, n)}")
+        for _ in range(rng.randint(1, 40))
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = pagerank(df, iters=5).collect()
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in ranks)
