@@ -245,3 +245,28 @@ def test_stateful_v2_matches_v1_when_protobuf_available(spark, sf_dir):
     v1 = sorted(map(tuple, stream_user_stats(spark, sf_dir).collect()))
     v2 = sorted(map(tuple, stream_user_stats_v2(spark, sf_dir).collect()))
     assert v1 == v2
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, sf_dir):
+    """The production state-store path: the same windowed streaming
+    aggregation must produce identical results on the
+    RocksDBStateStoreProvider (what a 100 TB cluster runs — state
+    spills off-heap/disk instead of living in executor JVM heap) as
+    on the default HDFS-backed in-memory provider."""
+    from taps_spark.streaming.jobs import stream_tumbling_agg
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    baseline = sorted(map(tuple, stream_tumbling_agg(spark, sf_dir, minutes=10).collect()))
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks = sorted(map(tuple, stream_tumbling_agg(spark, sf_dir, minutes=10).collect()))
+    finally:
+        if default:
+            spark.conf.set(key, default)
+        else:
+            spark.conf.unset(key)
+    assert rocks == baseline
