@@ -220,3 +220,78 @@ def merge_upsert_partitioned(
         "inserted": n_updates - (n_touched - n_survivors),
         "partitions": len(parts),
     }
+
+
+def merge_apply_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> dict[str, int]:
+    """Full MERGE semantics from a CDC change batch: rows with op 'D'
+    delete their key from the target, anything else upserts — the
+    WHEN MATCHED THEN DELETE clause merge_upsert lacks, i.e. the sink
+    half of a change-data-capture pipeline (the query half is
+    transfer_cdc_apply's last-writer-wins collapse).
+
+    If `seq_col` is given the batch is first collapsed to each key's
+    highest-sequence op (so one batch may carry many ops per key);
+    otherwise the batch must be pre-collapsed (one op per key).
+    Applying the same batch twice is a no-op by construction —
+    deletes of absent keys and upserts to their own values are
+    idempotent.
+
+    Scale: same staged-swap parquet mechanics as merge_upsert; on
+    Delta/Iceberg this is MERGE INTO ... WHEN MATCHED [AND op='D']
+    THEN DELETE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+    INSERT, with only touched files rewriting. Only the (small)
+    change batch shuffles; use merge_upsert_partitioned's
+    partition-pruned shape for partitioned targets.
+    """
+    import os
+    import shutil
+
+    if seq_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col, *([seq_col] if seq_col else []))
+    all_keys = changes.select(*key_cols)
+
+    existing = _read_parquet_if_exists(spark, path)
+    if existing is None:
+        write_parquet(upserts, path, mode="overwrite")
+        return {"deleted": 0, "updated": 0, "inserted": upserts.count()}
+
+    survivors = existing.join(all_keys, key_cols, "left_anti")
+    # Exact per-clause counts: key-column-only semi joins (pruned
+    # scans, hash shuffles on the key — rows never move for stats).
+    existing_keys = existing.select(*key_cols)
+    n_deleted = (
+        changes.filter(F.col(op_col) == "D")
+        .select(*key_cols)
+        .join(existing_keys, key_cols, "left_semi")
+        .count()
+    )
+    n_updated = (
+        upserts.select(*key_cols).join(existing_keys, key_cols, "left_semi").count()
+    )
+    n_inserted = upserts.count() - n_updated
+    merged = survivors.unionByName(upserts)
+
+    staged = path.rstrip("/") + "__staging"
+    write_parquet(merged, staged, mode="overwrite")
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
+    shutil.move(staged, path)
+    shutil.rmtree(old)
+    if not os.path.isdir(path):
+        raise IOError(f"merge_apply_changes: target swap failed for {path}")
+    return {"deleted": n_deleted, "updated": n_updated, "inserted": n_inserted}

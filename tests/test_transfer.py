@@ -337,3 +337,37 @@ def test_parallel_table_transfer_matches_sequential(spark, sf_dir, tmp_path):
         parallelism=3,
     ).run(spark)
     assert set(r2.skipped) == set(r.transferred)
+
+
+def test_merge_apply_changes_deletes_updates_inserts(spark, tmp_path):
+    """Full MERGE from a CDC batch: per-key last-writer-wins collapse,
+    'D' deletes, others upsert; replaying the same batch is a no-op."""
+    target = str(tmp_path / "snapshot")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "key int, val string"
+    )
+    sinks.write_parquet(base, target, mode="overwrite")
+
+    # Batch carries several ops per key: key1 updated then deleted
+    # (delete wins on seq), key2 updated twice (last wins), key4 new.
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "U", "a2"),
+            (1, 11, "D", None),
+            (2, 20, "U", "b2"),
+            (2, 21, "U", "b3"),
+            (4, 30, "U", "d"),
+        ],
+        "key int, seq int, op string, val string",
+    )
+    stats = sinks.merge_apply_changes(
+        spark, changes, target, ["key"], op_col="op", seq_col="seq"
+    )
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert got == [(2, "b3"), (3, "c"), (4, "d")]
+    assert stats["deleted"] == 1 and stats["inserted"] == 1 and stats["updated"] == 1
+
+    # Replay: identical final state.
+    sinks.merge_apply_changes(spark, changes, target, ["key"], op_col="op", seq_col="seq")
+    again = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert again == got
