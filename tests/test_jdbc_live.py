@@ -278,3 +278,44 @@ def test_midtable_resume_any_crash_point(spark, sf_dir, tmp_path, fail_after):
     out = spark.read.parquet(f"{lake}/nation.parquet")
     assert out.count() == 25
     assert out.select("n_nationkey").distinct().count() == 25
+
+
+def test_jdbc_v2_catalog_pushes_aggregate_into_database(spark, seeded):
+    """DataSource V2 JDBCTableCatalog: COUNT/GROUP BY compile into the
+    database (PushedAggregates in the scan) instead of shipping rows
+    to Spark — at 100 TB the difference between moving 25 rows of
+    aggregate and the whole table over JDBC."""
+    spark.conf.set(
+        "spark.sql.catalog.livedb",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set("spark.sql.catalog.livedb.url", seeded)
+    spark.conf.set("spark.sql.catalog.livedb.pushDownAggregate", "true")
+    try:
+        # Derby folds unquoted identifiers to upper case; the catalog
+        # exposes them verbatim (namespace APP, table NATION).
+        df = spark.sql(
+            "SELECT n_regionkey, COUNT(*) AS n "
+            "FROM livedb.APP.NATION GROUP BY n_regionkey"
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PushedAggregates: [COUNT(*)]" in plan, plan
+        assert "PushedGroupByExpressions: [n_regionkey]" in plan, plan
+        got = {r["n_regionkey"]: r["n"] for r in df.collect()}
+        assert got == {0: 5, 1: 5, 2: 5, 3: 5, 4: 5}
+        # Predicate pushdown rides along on the v2 path too.
+        f = spark.sql("SELECT n_name FROM livedb.APP.NATION WHERE n_nationkey = 7")
+        fplan = f._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "n_nationkey = 7" in fplan and "PushedFilters" in fplan
+        assert f.count() == 1
+    finally:
+        for k in (
+            "spark.sql.catalog.livedb",
+            "spark.sql.catalog.livedb.url",
+            "spark.sql.catalog.livedb.pushDownAggregate",
+        ):
+            spark.conf.unset(k)
