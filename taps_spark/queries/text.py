@@ -1033,3 +1033,66 @@ def text_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "lang", "edit_dist")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("text_contamination_bloom", oracle=CONTAMINATION_ORACLE)
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination scan re-plumbed through the Bloom primitive —
+    the 100 TB production shape: the eval set's distinct 5-grams
+    compress into a broadcast bitmap (kilobytes instead of a
+    broadcast hash relation over every gram string); the train side
+    probes it MAP-SIDE, and only probe-hit grams reach the exact
+    verify join that removes bloom false positives. Gated by the SAME
+    oracle as `text_contamination` — the two plans must be
+    indistinguishable in output, proving the prefilter is lossless.
+
+    Scale: vs the broadcast-join form, the per-executor memory drops
+    from O(|eval grams| × avg gram bytes) to num_bits/8, and the
+    verify join's build side only sees grams that probably hit —
+    for a clean corpus that's ~1% of the stream instead of 100%.
+    """
+    from taps_spark.operators.dedup import bloom_build, bloom_probe
+    from taps_spark.operators.text import with_word_ngrams
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % 100
+    dg = with_word_ngrams(docs, "text", 5).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(F.array_distinct("grams")).alias("gram"),
+    )
+    eval_grams = dg.filter(F.col("bucket") < 2).select("gram").distinct()
+    bloom = bloom_build(eval_grams, "gram")
+
+    train = dg.filter(F.col("bucket") >= 2)
+    probed = bloom_probe(train, bloom, "gram").persist()
+    # Probe-miss grams are DEFINITELY clean (no false negatives);
+    # probe-hit grams get the exact membership verdict.
+    verified = (
+        probed.filter(F.col("bloom_maybe"))
+        .join(F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left")
+        .select("doc_id", F.col("hit").isNotNull().alias("is_hit"))
+    )
+    clean = probed.filter(~F.col("bloom_maybe")).select(
+        "doc_id", F.lit(False).alias("is_hit")
+    )
+    hits = (
+        clean.unionByName(verified)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("is_hit").cast("int")).cast("long").alias("n_hit"),
+        )
+    )
+    return (
+        hits.filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("hit_ratio"),
+        )
+        .orderBy("doc_id")
+    )
