@@ -531,7 +531,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 MOVING_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        ROUND(AVG(l_quantity) OVER (
-         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_qty
 FROM lineitem
 ORDER BY l_suppkey, l_orderkey, l_linenumber
@@ -542,9 +543,13 @@ ORDER BY l_suppkey, l_orderkey, l_linenumber
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-frame moving average per supplier (4-row window)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # (l_orderkey, l_linenumber) is NOT unique in these fixtures (the
+    # driver seeds duplicate "PK" rows with different payloads —
+    # dedup-stress data); partkey + extendedprice make the frame order
+    # total, so both engines see identical 4-row windows.
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
         .rowsBetween(-3, Window.currentRow)
     )
     return li.select(
@@ -758,10 +763,10 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 ARRAY_NULL_ORACLE = """
 SELECT vec_id,
        CAST(LEN(embedding) AS INT)                                   AS dim,
-       ROUND(CAST(embedding[1] AS DOUBLE), 4)                        AS first_val,
-       ROUND(CAST(list_max(embedding) AS DOUBLE), 4)                 AS max_val,
-       ROUND(CAST(list_min(embedding) AS DOUBLE), 4)                 AS min_val,
-       ROUND(list_sum(embedding::DOUBLE[]), 4)                       AS sum_val,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0                  AS first_val,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0           AS max_val,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0           AS min_val,
+       ROUND(list_sum(embedding::DOUBLE[]), 4) + 0.0                 AS sum_val,
        CAST(LEN(list_filter(embedding, x -> x > 0)) AS INT)          AS n_positive,
        COALESCE(NULLIF(label, 0), -1)                                AS label_or_neg1
 FROM embeddings
@@ -781,15 +786,18 @@ def scalar_array_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     v = F.col("embedding")
     dv = as_double(v)
+    # `+ 0.0` collapses IEEE negative zero to +0.0 on both engines:
+    # round() can yield -0.0, which compares equal pairwise but
+    # renders as '-0.0' and de-syncs order-insensitive hash compares.
     return emb.select(
         "vec_id",
         F.size(v).alias("dim"),
-        F.round(F.element_at(v, 1).cast("double"), 4).alias("first_val"),
-        F.round(F.array_max(v).cast("double"), 4).alias("max_val"),
-        F.round(F.array_min(v).cast("double"), 4).alias("min_val"),
-        F.round(
+        (F.round(F.element_at(v, 1).cast("double"), 4) + 0.0).alias("first_val"),
+        (F.round(F.array_max(v).cast("double"), 4) + 0.0).alias("max_val"),
+        (F.round(F.array_min(v).cast("double"), 4) + 0.0).alias("min_val"),
+        (F.round(
             F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x), 4
-        ).alias("sum_val"),
+        ) + 0.0).alias("sum_val"),
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
         F.coalesce(F.nullif("label", F.lit(0)), F.lit(-1)).alias("label_or_neg1"),
     ).orderBy("vec_id")
