@@ -597,3 +597,67 @@ def bloom_probe(
     for t in tests[1:]:
         maybe = maybe & t
     return df.join(F.broadcast(bloom)).withColumn(out_col, maybe).drop("bitmap")
+
+
+def span_hashes(
+    df: DataFrame, id_col: str, text_col: str, width: int = 8
+) -> DataFrame:
+    """Sliding token-span hashes — the unit of substring-level dedup
+    (the "duplicated 50-token span" operator from exact-substring
+    training-data dedup, à la Lee et al. 2022, at token granularity).
+
+    One row per (doc, span start): md5 of the `width` consecutive
+    whitespace tokens starting there. The span enumeration is a pure
+    column expression (transform over sequence + slice — no explode of
+    single tokens, no window), so the only shuffle any consumer pays
+    is on the 32-byte span hash itself.
+
+    Scale: rows out = Σ(tokens_d − width + 1) ≈ token count; each row
+    is (id, int, 32-byte hash) regardless of document size. Docs
+    shorter than `width` contribute no spans (guarded — sequence()
+    would otherwise run backwards and slice would throw).
+    """
+    t = tokens(text_col)
+    spans = F.when(
+        F.size(t) >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - width),
+            lambda i: F.md5(F.array_join(F.slice(t, i + F.lit(1), width), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(spans).alias("start", "span_h")
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, width: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span profile: how much of each doc is
+    covered by `width`-token spans that also appear in ANOTHER doc.
+
+    Two-shuffle plan: (1) span hashes aggregate to the set of hashes
+    seen in ≥2 distinct docs (map-side partial distinct-count); (2)
+    the span relation left-joins that (small — only duplicated
+    hashes; AQE broadcasts it when it fits) and rolls up per doc.
+    All-pairs never materializes; result size = |docs|.
+    """
+    spans = span_hashes(df, id_col, text_col, width)
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span_h", F.lit(True).alias("is_dup"))
+    )
+    return (
+        spans.join(dup, "span_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_spans").cast("double") / F.col("n_spans").cast("double"), 6),
+        )
+    )

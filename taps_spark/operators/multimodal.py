@@ -272,3 +272,114 @@ def resize_images(assets: DataFrame, target: int = 224) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image asset: decode to an
+    8×8 grayscale thumbnail, bit i = pixel i brighter than the mean,
+    packed into one signed int64.
+
+    The decode step is the container-honest STUB (no codecs): the
+    payload bytes THEMSELVES stand in for the decoded pixel buffer —
+    split into 64 equal chunks, chunk mean = pixel. Deterministic, so
+    identical payloads hash identically and the pytest NumPy replay
+    pins the exact bit pattern. A real deployment swaps only the
+    pixel-buffer line for PIL `Image.open(...).convert('L').resize((8,8))`.
+
+    Scale: mapInPandas over Arrow batches (payload never leaves the
+    executor as Python rows); output is 8 bytes/asset — the ONLY
+    thing any downstream dedup shuffles.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                # STUB pixel buffer: 64 chunks (np.array_split sizing),
+                # pixel = chunk byte-sum mod 256. All-integer on purpose:
+                # the brightness compare 64·px > Σpx is exact in any
+                # engine, so the oracle reproduces the hash bit-for-bit
+                # (a float mean would tie the bits to summation order).
+                chunks = np.array_split(buf.astype(np.int64), 64)
+                px = np.array([int(c.sum()) % 256 for c in chunks], dtype=np.int64)
+                tot = int(px.sum())
+                h = 0
+                for p_i in px:
+                    h = (h << 1) | int(64 * int(p_i) > tot)
+                if h >= 1 << 63:  # two's-complement into signed int64
+                    h -= 1 << 64
+                out_ids.append(int(aid))
+                out_hashes.append(h)
+            yield pd.DataFrame({"asset_id": out_ids, "phash": out_hashes})
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(batches, PHASH_SCHEMA)
+    )
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming blocking: split
+    the 64-bit perceptual hash into `max_hamming + 1` disjoint bands.
+    Pigeonhole: a pair differing in ≤ max_hamming bits cannot touch
+    every one of the max_hamming+1 bands, so it shares at least one
+    band EXACTLY — candidates come from equi-joins on (band, value),
+    never an all-pairs scan, with guaranteed recall at the threshold;
+    the exact popcount of the XOR verifies each candidate.
+
+    Scale: bucket join on (max_hamming+1)·|assets| rows of
+    (int, ≤10-bit value, id); verification touches bucket members
+    only. The classic LSH shape applied to image fingerprints.
+    """
+    nbands = max_hamming + 1
+    base, extra = divmod(64, nbands)
+    widths = [base + (1 if b < extra else 0) for b in range(nbands)]
+    offsets = [sum(widths[:b]) for b in range(nbands)]
+    banded = hashes.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("asset_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

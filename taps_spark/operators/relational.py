@@ -95,3 +95,80 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         *[F.col(f"{prefix}{c}") for c in right_value_cols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_value_cols: Sequence[str],
+    prefix: str = "near_",
+) -> DataFrame:
+    """As-of join, direction='nearest' (pandas merge_asof parity):
+    for each left row, the right row whose time is CLOSEST to
+    left_time for the same key; exact distance tie → the backward
+    (earlier-or-equal) candidate, matching pandas.
+
+    Same union+window shape as asof_join, but BOTH directions ride
+    one shuffle and one sort: last(ignorenulls) over the preceding
+    frame carries the latest right row at-or-before each left row,
+    first(ignorenulls) over the following frame carries the next
+    right row strictly after it (equal-time right rows sort before
+    the left row, so they land in the backward candidate — where a
+    0-distance match wins anyway). The final pick is a row-local
+    CASE on microsecond distances; no second exchange, no per-key
+    range join.
+
+    Ties among right rows at the same time are deterministic: value
+    columns order the sort, backward takes the last (max), forward
+    the first (min) — mirror this in any oracle.
+    """
+    lcols = left.columns
+    rvc = list(right_value_cols)
+    tag_r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in rvc],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    tag_l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rvc],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    unioned = tag_r.unionByName(tag_l)
+    order = ["__t", "__side", *[F.col(c).asc_nulls_first() for c in rvc]]
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(F.col(c), ignorenulls=True).over(wb).alias(f"__b_{c}") for c in rvc],
+        *[F.first(F.col(c), ignorenulls=True).over(wf).alias(f"__f_{c}") for c in rvc],
+    )
+    bt = F.col(f"__b_{right_time}").cast("timestamp")
+    ft = F.col(f"__f_{right_time}").cast("timestamp")
+    lt = F.col("__t").cast("timestamp")
+    use_b = bt.isNotNull() & (
+        ft.isNull()
+        | ((F.unix_micros(lt) - F.unix_micros(bt)) <= (F.unix_micros(ft) - F.unix_micros(lt)))
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[
+            F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(f"{prefix}{c}")
+            for c in rvc
+        ],
+    )

@@ -1035,3 +1035,48 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return semantic_dedup(emb, threshold=0.4, nlist=16, iters=2).orderBy("vec_id")
+
+
+DUP_SPANS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         MD5(array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')) AS span_h
+  FROM t, UNNEST(range(len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+dup AS (
+  SELECT span_h FROM spans GROUP BY span_h HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN d.span_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       ROUND(CAST(SUM(CASE WHEN d.span_h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM spans s
+LEFT JOIN dup d USING (span_h)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@query("dedup_duplicated_spans", oracle=DUP_SPANS_ORACLE)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (8-token sliding-span) cross-document dedup
+    profile: per doc, how many of its spans also occur verbatim in
+    another document (the exact-substring-dedup signal of Lee et al.
+    2022 — catches boilerplate shared across otherwise-distinct docs
+    that whole-document fingerprints miss entirely).
+
+    Engine-portable md5 span hashes → the DuckDB oracle computes the
+    identical spans. See operators/dedup.span_hashes for the 100 TB
+    plan shape (span enumeration is expression-only; the only shuffle
+    key is the 32-byte hash).
+    """
+    from taps_spark.operators.dedup import duplicated_span_stats
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return duplicated_span_stats(docs, "doc_id", "text", width=8).orderBy("doc_id")

@@ -504,3 +504,93 @@ def transfer_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+CHUNK_AUDIT_ORACLE = """
+WITH k AS (
+  SELECT o_orderkey AS pk FROM orders
+  WHERE o_orderkey % 97 <> 13 AND o_orderkey // 1024 NOT IN (5, 6)
+),
+b AS (SELECT MIN(pk) AS gmin, MAX(pk) AS gmax FROM k),
+stats AS (
+  SELECT pk // 1024 AS chunk_id, CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM k GROUP BY 1
+),
+spine AS (
+  SELECT UNNEST(range(gmin // 1024, gmax // 1024 + 1)) AS chunk_id, gmin, gmax
+  FROM b
+)
+SELECT s.chunk_id,
+       GREATEST(s.gmin, s.chunk_id * 1024)        AS chunk_lo,
+       LEAST(s.gmax, s.chunk_id * 1024 + 1023)    AS chunk_hi,
+       COALESCE(st.n_present, 0)                  AS n_present,
+       LEAST(s.gmax, s.chunk_id * 1024 + 1023)
+         - GREATEST(s.gmin, s.chunk_id * 1024) + 1
+         - COALESCE(st.n_present, 0)              AS n_missing
+FROM spine s
+LEFT JOIN stats st USING (chunk_id)
+WHERE LEAST(s.gmax, s.chunk_id * 1024 + 1023)
+        - GREATEST(s.gmin, s.chunk_id * 1024) + 1
+        - COALESCE(st.n_present, 0) > 0
+ORDER BY s.chunk_id
+"""
+
+
+@query("transfer_chunk_audit", oracle=CHUNK_AUDIT_ORACLE)
+def transfer_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-completeness audit: which fixed-width pk chunks of a
+    transferred table are missing keys, and how many. The repair-side
+    counterpart of the reference's chunked keyset transfer
+    (lib/taps/data_stream.rb fetch ranges): a resumed or interrupted
+    copy re-pulls exactly the incomplete chunks this reports, instead
+    of diffing whole tables row by row.
+
+    Plan shape (deliberately window-free — a global lag() over pk
+    would single-partition the sort): one map-side-combinable groupBy
+    on pk DIV 1024 (counts per chunk), one 1-row global min/max, a
+    chunk-id spine exploded FROM that 1-row aggregate (so the spine
+    is exactly gmin..gmax chunks, never a driver-side range), and a
+    left join spine←stats that AQE executes as broadcast. Missing =
+    clamped chunk span − present count; entirely-missing interior
+    chunks surface from the spine side with n_present = 0.
+
+    Scale: shuffle carries (chunk_id, count) — |table|/1024 rows of
+    two longs; the raw pk column never shuffles. At 100 TB this is
+    the audit you can afford to run after every transfer.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    # Deterministically damaged target snapshot (same convention as
+    # transfer_row_level_diff): scattered modular drops (pk % 97 = 13)
+    # plus two entirely-lost interior chunks (5 and 6) — the oracle
+    # derives the identical snapshot, and the lost chunks prove the
+    # spine side surfaces n_present = 0 rows.
+    keys = (
+        orders.select(F.col("o_orderkey").alias("pk"))
+        .filter((F.col("pk") % 97 != 13) & (~F.expr("pk DIV 1024").isin(5, 6)))
+    )
+    stats = keys.groupBy(F.expr("pk DIV 1024").alias("chunk_id")).agg(
+        F.count("*").alias("n_present")
+    )
+    bounds = keys.agg(F.min("pk").alias("gmin"), F.max("pk").alias("gmax"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.expr("gmin DIV 1024"), F.expr("gmax DIV 1024"))
+        ).alias("chunk_id"),
+        "gmin",
+        "gmax",
+    )
+    lo = F.greatest(F.col("gmin"), F.col("chunk_id") * 1024)
+    hi = F.least(F.col("gmax"), F.col("chunk_id") * 1024 + 1023)
+    present = F.coalesce(F.col("n_present"), F.lit(0)).cast("long")
+    return (
+        spine.join(stats, "chunk_id", "left")
+        .select(
+            "chunk_id",
+            lo.alias("chunk_lo"),
+            hi.alias("chunk_hi"),
+            present.alias("n_present"),
+            (hi - lo + 1 - present).alias("n_missing"),
+        )
+        .filter(F.col("n_missing") > 0)
+        .orderBy("chunk_id")
+    )

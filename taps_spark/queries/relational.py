@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from taps_spark.io.tables import load_tables
-from taps_spark.operators.relational import asof_join, top_k_per_group
+from taps_spark.operators.relational import asof_join, asof_join_nearest, top_k_per_group
 from taps_spark.queries import query
 from taps_spark.queries.numeric import davg, dsum
 
@@ -972,3 +972,63 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce(F.col("nk"), F.lit(-1)).alias("nationkey"), "n_pairs")
         .orderBy("nationkey")
     )
+
+
+ASOF_NEAREST_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN b.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR
+              epoch_us(e.ts) - epoch_us(CAST(b.o_orderdate AS TIMESTAMP))
+              <= epoch_us(CAST(f.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts))
+            THEN b.o_orderkey ELSE f.o_orderkey END AS near_o_orderkey,
+       CASE WHEN b.o_orderkey IS NOT NULL AND (f.o_orderkey IS NULL OR
+              epoch_us(e.ts) - epoch_us(CAST(b.o_orderdate AS TIMESTAMP))
+              <= epoch_us(CAST(f.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts))
+            THEN b.o_orderdate ELSE f.o_orderdate END AS near_o_orderdate
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  WHERE o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) b ON TRUE
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  WHERE o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) > e.ts
+  ORDER BY o_orderdate ASC, o_orderkey ASC
+  LIMIT 1
+) f ON TRUE
+ORDER BY e.event_id
+"""
+
+
+@query("join_asof_nearest", oracle=ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest': each event paired with the
+    user's order CLOSEST in time, before or after (pandas
+    merge_asof(direction='nearest') parity; tie → the earlier order).
+
+    Both direction candidates ride ONE shuffle and one sort
+    (operators/relational.asof_join_nearest: backward = last() over
+    the preceding frame, forward = first() over the following frame,
+    row-local distance CASE picks the winner) — the naive
+    two-range-join formulation the oracle uses would shuffle twice
+    and explode per-key at scale.
+    """
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    ev = t["events"].select("event_id", "user_id", "ts").withColumn("__key", F.col("user_id"))
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("__key"), "o_orderdate", "o_orderkey"
+    )
+    joined = asof_join_nearest(
+        ev,
+        orders,
+        key="__key",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "near_o_orderkey", "near_o_orderdate"
+    ).orderBy("event_id")

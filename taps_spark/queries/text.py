@@ -1096,3 +1096,76 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PHASH_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id AS asset_id, text, len(text) AS n
+  FROM documents WHERE doc_id % 3 = 0 AND len(text) > 0
+),
+chars AS (
+  SELECT asset_id, i,
+         ord(substring(text, CAST(i + 1 AS INT), 1)) AS code, n
+  FROM imgs, UNNEST(range(len(text))) u(i)
+),
+assigned AS (
+  SELECT asset_id,
+         CASE WHEN i < (n % 64) * (n // 64 + 1)
+              THEN i // (n // 64 + 1)
+              ELSE (n % 64) + (i - (n % 64) * (n // 64 + 1)) // (n // 64)
+         END AS chunk,
+         code
+  FROM chars
+),
+px AS (
+  SELECT a.asset_id, s.chunk,
+         CAST(COALESCE(SUM(g.code), 0) % 256 AS BIGINT) AS px
+  FROM (SELECT DISTINCT asset_id FROM imgs) a
+  CROSS JOIN (SELECT UNNEST(range(64)) AS chunk) s
+  LEFT JOIN assigned g ON g.asset_id = a.asset_id AND g.chunk = s.chunk
+  GROUP BY a.asset_id, s.chunk
+),
+bits AS (
+  SELECT asset_id, chunk, px,
+         CASE WHEN 64 * px > SUM(px) OVER (PARTITION BY asset_id) THEN 1 ELSE 0 END AS bit
+  FROM px
+),
+halves AS (
+  SELECT asset_id,
+         CAST(SUM(CASE WHEN chunk < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(31 - chunk AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN chunk >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(63 - chunk AS INT)) ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY asset_id
+),
+phashes AS (
+  SELECT asset_id,
+         (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS phash
+  FROM halves
+)
+SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM phashes a JOIN phashes b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
+@query("multimodal_phash_dedup", oracle=PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs: aHash every image asset
+    (operators/multimodal.image_ahash — decode stubbed, hash math
+    real and integer-exact), then find pairs within Hamming distance
+    6 via 16-bit band blocking (phash_near_pairs) — candidates come
+    from 4 equi-joins on band values, never an all-pairs scan; the
+    oracle recomputes the identical hashes character-by-character in
+    SQL and verifies by brute force (quadratic is fine oracle-side).
+    """
+    from taps_spark.operators.multimodal import image_ahash, phash_near_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs)
+    hashes = image_ahash(assets)
+    return (
+        phash_near_pairs(hashes, max_hamming=6)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
