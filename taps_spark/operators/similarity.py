@@ -162,22 +162,36 @@ def train_ivf_centroids(
 
 
 def assign_nearest_centroid(dv: DataFrame, cents: DataFrame, vec_col: str = "v") -> DataFrame:
-    """Nearest centroid per vector by L2: broadcast the (tiny)
-    centroid table against the corpus, argmin with min(struct(dist,
-    id)) — ties break on centroid_id, so assignment is deterministic.
-    One map-side broadcast join + one shuffle on the vector id."""
-    d2 = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+    """Nearest centroid per vector by L2 — ZERO-shuffle: the (tiny)
+    centroid table collapses to a single broadcast row holding all
+    centroids as an array of structs, and the argmin is a per-row
+    column expression (array_min over (dist, id) structs — ties break
+    on centroid_id, so assignment is deterministic).
+
+    This replaces the earlier join+groupBy formulation: that one
+    re-shuffled the whole corpus (with its vectors) on every Lloyd
+    iteration just to take the argmin; map-side argmin makes
+    assignment embarrassingly parallel, which is what you want when
+    the corpus is 100 TB and assignment runs once per iteration plus
+    once at index-build time."""
+    other = [c for c in dv.columns if c != vec_col]
+    cents_row = cents.agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("_cents")
+    )
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(vec_col), c["cv"], lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    other = [c for c in dv.columns if c != vec_col]
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(d2(c).alias("d"), c["centroid_id"].alias("c")),
+        )
+    )
     return (
-        dv.join(F.broadcast(cents))
-        .select(*other, vec_col, F.struct(d2.alias("d"), F.col("centroid_id").alias("c")).alias("_dc"))
-        .groupBy(*other)
-        .agg(F.min("_dc").alias("_m"), F.first(vec_col).alias(vec_col))
-        .select(*other, vec_col, F.col("_m.c").alias("centroid_id"))
+        dv.join(F.broadcast(cents_row))
+        .select(*other, vec_col, best.getField("c").alias("centroid_id"))
     )
 
 

@@ -241,13 +241,24 @@ def language_id(
         .groupBy(id_col, "m_lang")
         .agg(F.sum("tok_logp").alias("score"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("m_lang"))
+    # Argmax per doc as a min-struct aggregation ((-score, lang) sorts
+    # best-first with the lang-name tiebreak) instead of a row_number
+    # window: a hash agg with map-side partials, no per-doc sort — at
+    # scale that's one cheap shuffle instead of shuffle + sort.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("m_lang").alias("l"),
+                    F.col("score").alias("s"),
+                )
+            ).alias("_b")
+        )
         .select(
             F.col(id_col),
-            F.col("m_lang").alias("predicted_lang"),
-            F.round("score", 4).alias("score"),
+            F.col("_b.l").alias("predicted_lang"),
+            F.round(F.col("_b.s"), 4).alias("score"),
         )
     )

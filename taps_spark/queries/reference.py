@@ -594,3 +594,79 @@ def transfer_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_missing") > 0)
         .orderBy("chunk_id")
     )
+
+
+STREAM_PULL_ORACLE = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@query("transfer_stream_pull", oracle=STREAM_PULL_ORACLE)
+def transfer_stream_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous replication — the reference's repeated pull cycle
+    (lib/taps/cli.rb pull re-run against a growing source; resume
+    state in data_stream.rb:15-25) as a Structured Streaming query
+    over the taps_pull Python DataSource stream reader
+    (io/pull_source.SqlitePullStreamReader).
+
+    A live sqlite database (built from the orders fixture) streams
+    micro-batch keyset ranges into a parquet sink with checkpointed
+    offsets; after processAllAvailable the sink holds exactly the
+    source table — which is precisely what the oracle asserts. The
+    kill-and-restart delta proof (only NEW rows ship on resume, zero
+    duplicate pks) is pinned in tests/test_streaming_semantics.py.
+
+    Scale: each micro-batch keyset-chunks its (start, end] range, so
+    catch-up after downtime fans out across executors instead of
+    trickling through the reference's single cursor.
+    """
+    import os
+    import tempfile
+
+    from taps_spark.io.pull_source import (
+        register_pull_source,
+        scratch_dir,
+        sqlite_from_parquet,
+    )
+
+    register_pull_source(spark)
+    db = sqlite_from_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        os.path.join(
+            scratch_dir(),
+            f"stream_pull_{os.path.basename(os.path.normpath(sf_dir))}.db",
+        ),
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    # Ephemeral sink + checkpoint: every invocation replays the full
+    # replication from a fresh offset log (the resume path is pinned
+    # separately in pytest with a persistent checkpoint).
+    work = tempfile.mkdtemp(prefix="taps_stream_pull_")
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    q = (
+        spark.readStream.format("taps_pull")
+        .option("path", db)
+        .option("table", "orders")
+        .option("pk", "o_orderkey")
+        .option("chunk_rows", "20000")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
