@@ -3,6 +3,7 @@
     python -m taps_spark pull <local_url> <remote_url> [options]
     python -m taps_spark push <local_url> <remote_url> [options]
     python -m taps_spark verify <local_url> <remote_url> [-t tables]
+    python -m taps_spark repair <local_url> <remote_url> [-t tables --keys ... --chunk-rows N]
     python -m taps_spark version
 
 Reference argument order is preserved (lib/taps/cli.rb:124: `taps
@@ -163,6 +164,49 @@ def _run_verify(args: argparse.Namespace) -> int:
     return 0 if all_ok else 1
 
 
+def _run_repair(args: argparse.Namespace) -> int:
+    """Targeted repair: audit fixed-width pk chunks per table and ship
+    only the missing rows from the source (remote) into the local
+    parquet replica — transfer/repair.py. Requires --keys with a
+    single integer pk per table; the local endpoint must be a parquet
+    directory (append-only repair)."""
+    from taps_spark.session import get_spark
+    from taps_spark.transfer.repair import repair_missing_rows
+
+    keys = _parse_keys(args.keys)
+    local = _endpoint(args.local_url, keys)
+    remote = _endpoint(args.remote_url, keys)
+    if not hasattr(local, "root"):
+        raise SystemExit("repair needs a parquet-directory local endpoint")
+    spark = get_spark("taps_spark_cli")
+
+    wanted = (
+        [t.strip() for t in args.tables.split(",") if t.strip()] if args.tables else None
+    )
+    common = sorted(set(local.tables()) & set(remote.tables()))
+    if wanted:
+        common = [t for t in common if t in wanted]
+    report = {}
+    for table in common:
+        pk_cols = keys.get(table)
+        if not pk_cols or len(pk_cols) != 1:
+            report[table] = {"skipped": "needs --keys table:single_pk"}
+            continue
+        res = repair_missing_rows(
+            remote.read(spark, table),
+            os.path.join(local.root, f"{table}.parquet"),
+            pk_cols[0],
+            chunk_rows=args.chunk_rows,
+            spark=spark,
+        )
+        report[table] = {
+            "damaged_chunks": res.n_damaged_chunks,
+            "rows_shipped": res.n_rows_shipped,
+        }
+    print(json.dumps({"tables": report}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="taps_spark")
     sub = parser.add_subparsers(dest="command")
@@ -174,6 +218,12 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("remote_url")
     vp.add_argument("-t", "--tables", default=None)
     vp.add_argument("--keys", default=None)
+    rp = sub.add_parser("repair")
+    rp.add_argument("local_url")
+    rp.add_argument("remote_url")
+    rp.add_argument("-t", "--tables", default=None)
+    rp.add_argument("--keys", default=None)
+    rp.add_argument("--chunk-rows", type=int, default=1024)
     sub.add_parser("version")
     sub.add_parser("server")
 
@@ -182,6 +232,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_transfer(args, args.command)
     if args.command == "verify":
         return _run_verify(args)
+    if args.command == "repair":
+        return _run_repair(args)
     if args.command == "version":
         from taps_spark.version import __version__
 

@@ -163,3 +163,34 @@ def test_verify_subcommand_detects_corruption(spark, sf_dir, tmp_path, capsys, m
     assert main(["verify", str(lake), sf_dir, "-t", "region,nation"]) == 1
     out = _json.loads(capsys.readouterr().out)
     assert not out["ok"] and not out["tables"]["nation"]["ok"] and out["tables"]["region"]["ok"]
+
+
+def test_repair_subcommand_ships_missing_rows(spark, sf_dir, tmp_path, capsys):
+    """repair: local parquet replica with a hole, remote intact —
+    the CLI audits chunks and ships only the missing rows, then a
+    verify pass goes green."""
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders.filter("NOT (o_orderkey DIV 256 = 2)").write.parquet(
+        str(lake / "orders.parquet")
+    )
+    hole = orders.filter("o_orderkey DIV 256 = 2").count()
+    assert hole > 0
+
+    rc = main(
+        [
+            "repair", str(lake), sf_dir,
+            "-t", "orders",
+            "--keys", "orders:o_orderkey",
+            "--chunk-rows", "256",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["tables"]["orders"]["rows_shipped"] == hole
+    assert out["tables"]["orders"]["damaged_chunks"] >= 1
+
+    rc = main(["verify", str(lake), sf_dir, "-t", "orders"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["tables"]["orders"]["ok"]

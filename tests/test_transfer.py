@@ -371,3 +371,39 @@ def test_merge_apply_changes_deletes_updates_inserts(spark, tmp_path):
     sinks.merge_apply_changes(spark, changes, target, ["key"], op_col="op", seq_col="seq")
     again = sorted(map(tuple, spark.read.parquet(target).collect()))
     assert again == got
+
+
+def test_chunk_repair_ships_only_missing_rows(spark, sf_dir, tmp_path):
+    """audit → repair → verify: delete two whole chunks plus scattered
+    rows from a parquet replica, repair from source, end checksum-equal
+    — and the repair ships exactly the deleted rows, not the table."""
+    from taps_spark.io.tables import load_table
+    from taps_spark.transfer.repair import audit_chunks, repair_missing_rows
+    from taps_spark.transfer.verify import compare
+
+    source = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dest_path = str(tmp_path / "orders_replica")
+    damaged_pred = (
+        "NOT (o_orderkey % 97 = 13 OR o_orderkey DIV 256 IN (2, 3))"
+    )
+    source.filter(damaged_pred).write.parquet(dest_path)
+
+    dest = spark.read.parquet(dest_path)
+    n_deleted = source.count() - dest.count()
+    audit = audit_chunks(source, dest, "o_orderkey", chunk_rows=256)
+    damaged_ids = {r["chunk_id"] for r in audit.collect()}
+    assert {2, 3} <= damaged_ids  # fully-lost chunks surface
+    assert all(r["src_rows"] >= r["dst_rows"] for r in audit.collect())
+
+    res = repair_missing_rows(source, dest_path, "o_orderkey", chunk_rows=256)
+    assert res.n_rows_shipped == n_deleted  # only the hole, not the table
+    assert res.n_damaged_chunks == len(damaged_ids)
+
+    report = compare(source, spark.read.parquet(dest_path))
+    assert report.ok
+
+    # Idempotent: a second repair finds nothing to ship.
+    res2 = repair_missing_rows(source, dest_path, "o_orderkey", chunk_rows=256)
+    assert res2.n_damaged_chunks == 0 and res2.n_rows_shipped == 0
