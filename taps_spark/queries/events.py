@@ -809,3 +809,59 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT cur, nxt, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+),
+tot AS (SELECT cur, SUM(n) AS t FROM trans GROUP BY cur)
+SELECT trans.cur, trans.nxt,
+       CAST(trans.n AS BIGINT) AS n_transitions,
+       ROUND(CAST(trans.n AS DOUBLE) / tot.t, 6) AS p
+FROM trans JOIN tot USING (cur)
+ORDER BY trans.cur, trans.nxt
+"""
+
+
+@query("events_markov_transitions", oracle=MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey Markov model: P(next event type |
+    current event type), estimated from per-user time-ordered event
+    sequences (the journey-analytics transition matrix).
+
+    Plan: ONE window exchange on user_id (lead over ts order), then a
+    tiny (|types|²) aggregation with map-side combine. Scale: the
+    per-user sequence sort is the only data-sized cost and AQE splits
+    skewed users; the transition matrix itself is dimension-sized
+    regardless of input.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n_transitions"))
+    tot = Window.partitionBy("cur")
+    return (
+        trans.select(
+            "cur",
+            "nxt",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(tot),
+                6,
+            ).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )

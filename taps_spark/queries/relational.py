@@ -1032,3 +1032,53 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", "near_o_orderkey", "near_o_orderdate"
     ).orderBy("event_id")
+
+
+BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support
+FROM pairs
+WHERE support >= 2
+ORDER BY support DESC, part_a, part_b
+"""
+
+
+@query("join_market_basket_pairs", oracle=BASKET_ORACLE)
+def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-ordered in the same order,
+    with support ≥ 2 (the pairwise-support pass of FP-growth-style
+    association mining).
+
+    Scale: the pair expansion is a self-join WITHIN an order — lineitem
+    holds ≤ 7 items per order, so pairs are ≤ 21 per order (bounded
+    fan-out, linear in orders, never |parts|²). One shuffle on
+    orderkey for the expansion, one on the pair for support counts;
+    both map-side combined. A 100 TB run caps per-basket fan-out by
+    filtering giant baskets first (they are bots/outliers in retail
+    data anyway).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
