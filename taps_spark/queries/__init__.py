@@ -71,6 +71,7 @@ def _load() -> None:
         advanced,
         dedup,
         events,
+        governance,
         graph,
         profiling,
         reference,

@@ -865,3 +865,71 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+SEQUENCE_PATTERN_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase,
+         MIN(CASE WHEN event_type = 'error' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_sequences
+FROM o
+WHERE event_type = 'view'
+  AND next_purchase IS NOT NULL
+  AND next_purchase <= ts + INTERVAL 30 MINUTE
+  AND (next_error IS NULL OR next_error > next_purchase)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("events_sequence_pattern", oracle=SEQUENCE_PATTERN_ORACLE)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped sequence detection: per user, count
+    view→purchase conversions completing within 30 minutes with NO
+    intervening error event (a negative condition funnels can't
+    express).
+
+    Single window pass: two conditional running-MINs over the
+    forward frame give each view its next purchase/error timestamp;
+    the pattern predicate is then row-local.  One shuffle on
+    user_id, deterministic tie order (ts, event_id) on both engines.
+    At 100 TB the user_id partitioning is the natural key; no
+    self-joins, no explode.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w).alias(
+            "next_purchase"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).over(w).alias(
+            "next_error"
+        ),
+    )
+    matched = o.filter(
+        (F.col("event_type") == "view")
+        & F.col("next_purchase").isNotNull()
+        & (F.col("next_purchase") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("next_error").isNull() | (F.col("next_error") > F.col("next_purchase")))
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sequences"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,236 @@
+"""Data-governance queries: quality expectations, provenance
+manifests, and GDPR tombstone cascades.
+
+These extend the reference's transfer-verification surface
+(lib/taps/data_stream.rb:88-109 verify_stream; lib/taps/operation.rb
+verify counts) into the governance layer a 100 TB training-data
+pipeline needs: declarative constraint suites evaluated in one pass,
+per-file provenance audits, and right-to-be-forgotten cascade
+deletes across referential chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taps_spark.io.tables import load_tables
+from taps_spark.operators.expectations import (
+    GE,
+    LE,
+    Expectation,
+    completeness,
+    domain_fraction,
+    uniqueness,
+    verify,
+)
+from taps_spark.queries import query
+
+EXPECTATIONS_ORACLE = """
+WITH j AS (
+  SELECT o.*, c.c_custkey AS ck
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT
+    ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS completeness_custkey,
+    ROUND(AVG(CASE WHEN ck IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)        AS fk_customer_containment,
+    ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6)                          AS max_totalprice_bound,
+    ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6)                          AS min_totalprice_nonneg,
+    ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) AS status_domain,
+    ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(*), 6)                AS uniqueness_orderkey
+  FROM j
+)
+SELECT 'completeness_custkey' AS check_name, completeness_custkey AS metric,
+       1.0 AS threshold, '>=' AS op, completeness_custkey >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'fk_customer_containment', fk_customer_containment, 1.0, '>=',
+       fk_customer_containment >= 1.0 FROM m
+UNION ALL
+SELECT 'max_totalprice_bound', max_totalprice_bound, 1000000.0, '<=',
+       max_totalprice_bound <= 1000000.0 FROM m
+UNION ALL
+SELECT 'min_totalprice_nonneg', min_totalprice_nonneg, 0.0, '>=',
+       min_totalprice_nonneg >= 0.0 FROM m
+UNION ALL
+SELECT 'status_domain', status_domain, 1.0, '>=', status_domain >= 1.0 FROM m
+UNION ALL
+SELECT 'uniqueness_orderkey', uniqueness_orderkey, 1.0, '>=',
+       uniqueness_orderkey >= 1.0 FROM m
+ORDER BY check_name
+"""
+
+
+@query("validation_expectations", oracle=EXPECTATIONS_ORACLE)
+def validation_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over orders, verified in ONE
+    aggregation pass (operators/expectations.py).
+
+    The referential-containment check pre-joins the de-duplicated
+    customer key set so it rides the same scan; at 100 TB AQE picks
+    broadcast vs shuffled hash for that join by actual size — no
+    forced broadcast hint (the lesson from validate_fk_orphans).
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    keys = t["customer"].select("c_custkey").distinct()
+    j = t["orders"].join(
+        keys, t["orders"]["o_custkey"] == keys["c_custkey"], "left"
+    )
+    suite = [
+        Expectation("completeness_custkey", completeness("o_custkey"), 1.0, GE),
+        Expectation(
+            "fk_customer_containment",
+            F.avg(F.when(F.col("c_custkey").isNotNull(), 1.0).otherwise(0.0)),
+            1.0,
+            GE,
+        ),
+        Expectation("max_totalprice_bound", F.max("o_totalprice"), 1000000.0, LE),
+        Expectation("min_totalprice_nonneg", F.min("o_totalprice"), 0.0, GE),
+        Expectation(
+            "status_domain", domain_fraction("o_orderstatus", ("O", "F", "P")), 1.0, GE
+        ),
+        Expectation("uniqueness_orderkey", uniqueness("o_orderkey"), 1.0, GE),
+    ]
+    return verify(j, suite)
+
+
+PROVENANCE_ORACLE = """
+SELECT 'customer' AS table_name, 'customer.parquet' AS file_name,
+       COUNT(*) AS n_rows, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer
+UNION ALL
+SELECT 'documents', 'documents.parquet', COUNT(*), MIN(doc_id), MAX(doc_id),
+       CAST(SUM(doc_id) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'events', 'events.parquet', COUNT(*), MIN(event_id), MAX(event_id),
+       CAST(SUM(event_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'lineitem', 'lineitem.parquet', COUNT(*),
+       MIN(l_orderkey * 10 + l_linenumber), MAX(l_orderkey * 10 + l_linenumber),
+       CAST(SUM(l_orderkey * 10 + l_linenumber) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders', 'orders.parquet', COUNT(*), MIN(o_orderkey), MAX(o_orderkey),
+       CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+ORDER BY table_name, file_name
+"""
+
+
+@query("pipeline_provenance_manifest", oracle=PROVENANCE_ORACLE)
+def pipeline_provenance_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-file provenance manifest: the Spark side derives the
+    file name from the hidden `_metadata.file_path` column (real
+    provenance — at 100 TB each table is thousands of files and this
+    groupBy(file) yields the audit ledger data versioning needs); the
+    oracle pins the expected single-file layout of the fixtures.
+
+    Key sums/min/max are engine-neutral integer checksums — the same
+    idea as the reference's per-chunk verification
+    (lib/taps/data_stream.rb:88-109), lifted to per-file granularity.
+    Map-side combinable agg; shuffle carries one row per file.
+    """
+    t = load_tables(
+        spark, sf_dir, ("customer", "documents", "events", "lineitem", "orders")
+    )
+    rowkeys = {
+        "customer": F.col("c_custkey"),
+        "documents": F.col("doc_id"),
+        "events": F.col("event_id"),
+        "lineitem": F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        "orders": F.col("o_orderkey"),
+    }
+    parts = []
+    for name, df in t.items():
+        parts.append(
+            df.select(
+                F.lit(name).alias("table_name"),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                    "file_name"
+                ),
+                rowkeys[name].cast("long").alias("rowkey"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("table_name", "file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("rowkey").alias("min_key"),
+            F.max("rowkey").alias("max_key"),
+            F.sum("rowkey").alias("key_sum"),
+        )
+        .orderBy("table_name", "file_name")
+    )
+
+
+TOMBSTONE_ORACLE = """
+WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+del_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+)
+SELECT 'customer' AS table_name,
+       (SELECT COUNT(*) FROM customer) AS rows_before,
+       (SELECT COUNT(*) FROM tomb) AS rows_deleted,
+       (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM tomb) AS rows_after
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+       (SELECT COUNT(*) FROM lineitem)
+         - (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM del_orders),
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_orders)
+ORDER BY table_name
+"""
+
+
+@query("transfer_tombstone_cascade", oracle=TOMBSTONE_ORACLE)
+def transfer_tombstone_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: a tombstone set of customer keys
+    propagates through the referential chain customer → orders →
+    lineitem; the audit reports per-table before/deleted/after counts.
+
+    Plan: the tombstone set is a filtered key projection (tiny vs its
+    parent — AQE broadcasts it at runtime; no forced hint, so a
+    pathological 50%-tombstone batch degrades to shuffled joins
+    instead of OOM).  The lineitem leg keys on deleted ORDER keys, so
+    each hop shuffles only the join keys, never payload columns.
+    The actual delete is `io/sinks.merge_apply_changes` with
+    WHEN-MATCHED-DELETE; this query is its dry-run audit.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    tomb = t["customer"].filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    orders_marked = t["orders"].join(
+        tomb, t["orders"]["o_custkey"] == tomb["c_custkey"], "left"
+    )
+    del_orders = orders_marked.filter(F.col("c_custkey").isNotNull()).select(
+        "o_orderkey"
+    )
+    li_marked = t["lineitem"].join(
+        del_orders, t["lineitem"]["l_orderkey"] == del_orders["o_orderkey"], "left"
+    )
+
+    def audit(df: DataFrame, name: str, deleted_flag) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("rows_before"),
+            F.sum(F.when(deleted_flag, 1).otherwise(0)).alias("rows_deleted"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_deleted",
+            (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
+        )
+
+    cust = audit(t["customer"], "customer", F.col("c_custkey") % 97 == 0)
+    orde = audit(orders_marked, "orders", F.col("c_custkey").isNotNull())
+    li = audit(li_marked, "lineitem", F.col("o_orderkey").isNotNull())
+    return cust.unionByName(li).unionByName(orde).orderBy("table_name")

@@ -401,3 +401,58 @@ def sample_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "split")
         .orderBy("doc_id")
     )
+
+
+CORR_MATRIX_ORACLE = """
+WITH m AS (
+  SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS c_qty_price,
+         ROUND(corr(l_quantity, l_discount), 6)      AS c_qty_disc,
+         ROUND(corr(l_quantity, l_tax), 6)           AS c_qty_tax,
+         ROUND(corr(l_extendedprice, l_discount), 6) AS c_price_disc,
+         ROUND(corr(l_extendedprice, l_tax), 6)      AS c_price_tax,
+         ROUND(corr(l_discount, l_tax), 6)           AS c_disc_tax
+  FROM lineitem
+)
+SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, c_qty_price AS pearson_r FROM m
+UNION ALL SELECT 'l_quantity', 'l_discount', c_qty_disc FROM m
+UNION ALL SELECT 'l_quantity', 'l_tax', c_qty_tax FROM m
+UNION ALL SELECT 'l_extendedprice', 'l_discount', c_price_disc FROM m
+UNION ALL SELECT 'l_extendedprice', 'l_tax', c_price_tax FROM m
+UNION ALL SELECT 'l_discount', 'l_tax', c_disc_tax FROM m
+ORDER BY x, y
+"""
+
+
+@query("stats_corr_matrix", oracle=CORR_MATRIX_ORACLE)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures, long format (x, y, pearson_r).
+
+    All six pairs ride ONE aggregation pass (each corr is a
+    map-side-combinable moment sketch), then a one-row explode into
+    long format — at 100 TB this is a single scan + single-row
+    shuffle regardless of how many column pairs are profiled.
+    Feature-covariance screening for training-data curation.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg_row = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    structs = [
+        F.struct(
+            F.lit(a).alias("x"),
+            F.lit(b).alias("y"),
+            F.col(f"c_{i}").alias("pearson_r"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return (
+        agg_row.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("x", "y")
+    )

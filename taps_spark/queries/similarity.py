@@ -208,3 +208,45 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_pq(
         emb, queries, k=5, m=16, ksub=32, dim=64, iters=2, rerank=10
     ).orderBy("q_id", "rank")
+
+
+DIM_STANDARDIZE_ORACLE = """
+SELECT i AS dim,
+       ROUND(AVG(x), 4) AS mean_x,
+       ROUND(STDDEV_SAMP(x), 4) AS std_x,
+       ROUND(CAST(MIN(x) AS DOUBLE), 4) AS min_x,
+       ROUND(CAST(MAX(x) AS DOUBLE), 4) AS max_x
+FROM (
+  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY i
+ORDER BY dim
+"""
+
+
+@query("similarity_dim_standardize", oracle=DIM_STANDARDIZE_ORACLE)
+def similarity_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding matrix (mean/std/min/
+    max per coordinate) — the fit step of feature standardization
+    before ANN indexing or clustering.
+
+    posexplode fans each vector into (dim, value) rows, but the
+    groupBy key space is just the dimensionality (64), so map-side
+    partial aggregation collapses the shuffle to n_partitions × 64
+    rows — at 100 TB the exchange carries kilobytes.  The transform
+    step is then a broadcast of the 64 (mean, std) pairs and a
+    zip_with, all JVM-side.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ex = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 4).alias("mean_x"),
+            F.round(F.stddev_samp("x"), 4).alias("std_x"),
+            F.round(F.min("x").cast("double"), 4).alias("min_x"),
+            F.round(F.max("x").cast("double"), 4).alias("max_x"),
+        )
+        .orderBy("dim")
+    )

@@ -1169,3 +1169,83 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+BM25_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, LEN(toks) AS dl, toks FROM d),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM hits WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         LN((stats.n - dft.dft + 0.5) / (dft.dft + 0.5) + 1.0)
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+       ), 4) AS bm25
+FROM tf JOIN dft USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("text_bm25_search", oracle=BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (k1=1.2, b=0.75) for a fixed query
+    ('spark window merge'), top-10 by score.
+
+    Scale shape: tokens are FILTERED to query terms BEFORE the
+    explode, so the shuffled relation is O(matching terms), not
+    O(corpus tokens); per-term document frequencies and the corpus
+    (N, avgdl) scalars are tiny aggregates broadcast back onto the
+    per-doc term counts.  All math is Catalyst column expressions —
+    no Python in the plan.  This is the retrieval half of a
+    contamination / decontamination pass at 100 TB: one scan,
+    one narrow shuffle keyed on (doc, term).
+    """
+    terms = ("spark", "window", "merge")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    hits = toks.select(
+        "doc_id",
+        "dl",
+        F.explode(F.expr(f"filter(toks, t -> t IN ({term_list}))")).alias("term"),
+    )
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    k1, b = 1.2, 0.75
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log((F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1.0)
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )

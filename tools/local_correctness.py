@@ -49,8 +49,14 @@ def _norm(rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_LOCAL.json"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out_path = argv[1] if len(argv) > 1 else "CORRECTNESS_LOCAL.json"
 
     from pyspark.sql import SparkSession
 
@@ -68,6 +74,8 @@ def main() -> int:
     import __spark_entry__ as entry
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    if only is not None:
+        qs = {n: f for n, f in qs.items() if n in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
