@@ -933,3 +933,138 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sequences"))
         .orderBy("user_id")
     )
+
+
+ATTRIBUTION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type IN ('view','click','signup')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+         last_value(CASE WHEN event_type IN ('view','click','signup')
+                         THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+  FROM events
+)
+SELECT touch_type, COUNT(*) AS n_conversions
+FROM o
+WHERE event_type = 'purchase'
+  AND touch_type IS NOT NULL
+  AND touch_ts >= ts - INTERVAL 7 DAY
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+@query("events_attribution_last_touch", oracle=ATTRIBUTION_ORACLE)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    preceding touch event (view/click/signup) within a 7-day lookback.
+
+    One window pass per user carries the latest touch forward
+    (last+ignoreNulls over the preceding frame) — both the touch type
+    and its timestamp ride the SAME predicate, so they stay
+    consistent without a struct.  One shuffle on user_id, then a tiny
+    grouped count.  Deterministic tie order (ts, event_id) matches
+    the oracle's window exactly.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    touches = ("view", "click", "signup")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*touches)
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(wp)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(wp)
+        .alias("touch_ts"),
+    )
+    conv = o.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("touch_type").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        conv.groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy("touch_type")
+    )
+
+
+ANOMALY_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, med.med,
+         quantile_cont(ABS(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med ON e.event_type = med.event_type
+  GROUP BY e.event_type, med.med
+)
+SELECT e.event_type,
+       ROUND(mad.med, 4) AS median_value,
+       ROUND(mad.mad, 4) AS mad_value,
+       CAST(SUM(CASE WHEN ABS(e.value - mad.med) > 3 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad ON e.event_type = mad.event_type
+GROUP BY e.event_type, mad.med, mad.mad
+ORDER BY e.event_type
+"""
+
+
+@query("events_anomaly_mad", oracle=ANOMALY_MAD_ORACLE)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    values beyond 3 robust sigmas (1.4826·MAD) of their event-type
+    median — immune to the outliers themselves, unlike the z-score
+    variant (events_anomaly_zscore), which a single extreme value can
+    mask.
+
+    Three passes by necessity (median, then MAD, then flags — MAD is
+    not a one-pass sketch), but each grouped stat is per-event-type
+    (5 rows) so the two stat frames broadcast back onto the stream;
+    only the base scan repeats.  At 100 TB swap exact percentile for
+    approx_percentile and the shape is unchanged.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

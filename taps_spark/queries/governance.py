@@ -234,3 +234,49 @@ def transfer_tombstone_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     orde = audit(orders_marked, "orders", F.col("c_custkey").isNotNull())
     li = audit(li_marked, "lineitem", F.col("o_orderkey").isNotNull())
     return cust.unionByName(li).unionByName(orde).orderBy("table_name")
+
+
+INCREMENTAL_AGG_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6))), 4) AS DOUBLE) AS total_v,
+       (CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) * 1000000 AS BIGINT)
+          // (COUNT(*) * 100)) / 10000.0 AS avg_v,
+       ROUND(MIN(o_totalprice), 4) AS lo_v,
+       ROUND(MAX(o_totalprice), 4) AS hi_v
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@query("pipeline_incremental_agg_merge", oracle=INCREMENTAL_AGG_ORACLE)
+def pipeline_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: the per-customer revenue
+    rollup is built as a mergeable agg state from a historical batch
+    (orders before 1998-01-01), then two later delta batches are
+    folded in by key-wise state merge (operators/incremental.py) —
+    the oracle recomputes the whole rollup from scratch and the two
+    must agree exactly, which is the algebraic point: cnt/sum/min/max
+    are mergeable, so incremental == full recompute.
+
+    At 100 TB the state table is orders-of-magnitude smaller than the
+    fact stream; each refresh shuffles only the delta's keyspace plus
+    the touched state rows, never re-reading history.  avg is derived
+    at read time (finalize) because it is not mergeable.
+    """
+    from taps_spark.operators.incremental import agg_state, finalize, merge_states
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    hist = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    d1 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01"))
+    )
+    d2 = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    state = merge_states(
+        agg_state(hist, ["o_custkey"], "o_totalprice"),
+        agg_state(d1, ["o_custkey"], "o_totalprice"),
+        agg_state(d2, ["o_custkey"], "o_totalprice"),
+    )
+    return finalize(state).orderBy("o_custkey")

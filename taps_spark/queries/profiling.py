@@ -456,3 +456,52 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("x", "y")
     )
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         (('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000 + 1)
+           / 1000000.0 AS unif
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       ROUND(POW(unif, 1.0 / n_chars), 6) AS es_key
+FROM u
+ORDER BY POW(unif, 1.0 / n_chars) DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("sample_weighted", oracle=WEIGHTED_SAMPLE_ORACLE)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row gets key u^(1/w) with u a DETERMINISTIC uniform
+    derived from md5(doc_id) (same idiom as sample_hash_10pct — no
+    RNG, so any engine on any partitioning selects the same rows);
+    the global top-k by key IS a weight-proportional sample, here
+    weighted by document length.
+
+    A-ES is the distributed-native weighted sampler: the key is
+    row-local (map-only) and selection is a top-k, which Spark
+    executes as per-partition partial top-k + tiny final merge
+    (TakeOrderedAndProject) — no global sort materialization at
+    100 TB.  How training-data pipelines take length-weighted
+    corpus subsamples.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    unif = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+            "bigint"
+        )
+        % 1000000
+        + 1
+    ) / 1000000.0
+    keyed = docs.select(
+        "doc_id", "n_chars", F.pow(unif, 1.0 / F.col("n_chars")).alias("raw_key")
+    )
+    return (
+        keyed.orderBy(F.desc("raw_key"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_chars", F.round("raw_key", 6).alias("es_key"))
+    )
