@@ -414,3 +414,67 @@ def test_pq_adc_lookup_is_broadcast(spark, sf_dir):
     plan = formatted_plan(spark, "similarity_ann_pq", sf_dir)
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan  # partial top-k still reduces map-side
+
+
+def test_expectation_suite_is_single_aggregation(spark, sf_dir):
+    """All six declared constraints must ride ONE aggregate over the
+    joined relation (that's the operator's whole point): exactly one
+    aggregate subtree reading the scan, no per-constraint jobs. The
+    verdict explode runs on the single result row."""
+    plan = formatted_plan(spark, "validation_expectations", sf_dir)
+    assert "Generate" in plan  # the one-row verdict explode
+    # One distinct-style expand is allowed (uniqueness), but there
+    # must be no join strategy heavier than hash for the key set.
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_before_explode_and_broadcasts_stats(spark, sf_dir):
+    """BM25 must explode only query-term hits (filter() inside the
+    array before Generate) and bring term stats back by broadcast —
+    a sort-merge join on (doc, term) would shuffle the corpus
+    token stream."""
+    plan = formatted_plan(spark, "text_bm25_search", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "explode(filter(" in plan, (
+        "explode input must be the filtered token array, not the raw one"
+    )
+
+
+def test_weighted_sample_is_partial_topk(spark, sf_dir):
+    """A-ES selection must compile to TakeOrderedAndProject
+    (per-partition partial top-k + driver merge), never a global
+    range-partitioned sort."""
+    plan = formatted_plan(spark, "sample_weighted", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_dim_standardize_combines_map_side(spark, sf_dir):
+    """The posexplode fan-out must be collapsed by a partial
+    aggregate BEFORE the exchange — the shuffle carries ≤ partitions
+    × 64 rows, not corpus × 64."""
+    import re
+
+    plan = formatted_plan(spark, "similarity_dim_standardize", sf_dir)
+    assert "partial_avg" in plan, "map-side partial aggregate missing"
+
+    def node_num(pattern):
+        m = re.search(r"\((\d+)\) " + pattern, plan)
+        assert m, pattern
+        return int(m.group(1))
+
+    # Formatted detail numbers increase leaf→root: the explode must
+    # feed the partial aggregate, which must run BEFORE the exchange.
+    gen, agg, exch = node_num("Generate"), node_num("HashAggregate"), node_num("Exchange")
+    assert gen < agg < exch
+
+
+def test_incremental_merge_no_sort_merge_join(spark, sf_dir):
+    """State build + merge is union + groupBy — there must be no join
+    at all in the maintained-rollup plan, and the merge must reuse
+    hash aggregation (mergeable-state algebra), not sorts."""
+    plan = formatted_plan(spark, "pipeline_incremental_agg_merge", sf_dir)
+    assert "Join" not in plan
+    assert "Union" in plan
