@@ -153,3 +153,51 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     only through the catalog — a path read would lose it)."""
     tune(spark)
     return spark.table(table)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """XML source (built into Spark 4 — migrated from spark-xml).
+    Schema is inferred per rowTag element; at scale pass an explicit
+    schema to skip the inference scan, exactly as with JSON."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """binaryFile source: each file becomes one row (path,
+    modificationTime, length, content BINARY) — the ingestion front
+    door for multimodal assets (operators/multimodal.py consumes the
+    content column).  Spark parallelizes at file granularity; pair
+    with spark.sql.files.maxPartitionBytes for many-small-files
+    corpora, and prefer pushing a pathGlobFilter so listing prunes
+    non-matching files before any read."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source. The spark-avro module is EXTERNAL (not bundled in
+    pyspark wheels); raise a clear error when the jar is absent
+    instead of Spark's generic ClassNotFound."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as ex:  # pragma: no cover - depends on jar presence
+        raise NotImplementedError(
+            "avro requires the external spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+            "not bundled in this environment"
+        ) from ex

@@ -326,3 +326,41 @@ def test_pull_source_pushes_pk_filter_into_chunk_planning(spark, orders_sqlite):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "4000" not in plan, plan
     assert df.count() == df.filter(F.col("o_orderkey") > 4000).count()
+
+
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    """Spark 4 built-in XML: write nation as XML, read it back with
+    the same rowTag, and get identical rows."""
+    from taps_spark.io.sources import read_xml, write_xml
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation.select("n_nationkey", "n_name"), path)
+    back = read_xml(spark, path)
+    assert sorted(back.columns) == ["n_name", "n_nationkey"]
+    a = sorted(tuple(r) for r in back.select("n_nationkey", "n_name").collect())
+    b = sorted(tuple(r) for r in nation.select("n_nationkey", "n_name").collect())
+    assert a == b
+
+
+def test_binary_file_source_reads_assets(spark, sf_dir):
+    """binaryFile: every fixture parquet file arrives as one row with
+    its on-disk length and a non-empty content column — the
+    multimodal ingestion path."""
+    from taps_spark.io.sources import read_binary_files
+
+    df = read_binary_files(spark, sf_dir, glob="*.parquet")
+    rows = df.selectExpr("path", "length", "length(content) AS n").collect()
+    assert len(rows) == 10  # the ten fixture tables
+    assert all(r.n == r.length and r.n > 0 for r in rows)
+
+
+def test_avro_raises_actionable_error_without_jar(spark, sf_dir):
+    """Without the external spark-avro jar the reader must fail with
+    instructions, not a raw ClassNotFoundException."""
+    import pytest
+
+    from taps_spark.io.sources import read_avro
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, f"{sf_dir}/nation.avro")
