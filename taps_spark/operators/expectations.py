@@ -69,19 +69,28 @@ def verify(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     agg_row = df.agg(
         *[F.round(e.metric.cast("double"), 6).alias(e.name) for e in expectations]
     )
+    return verdict(agg_row, [(e.name, e.threshold, e.op) for e in expectations])
+
+
+def verdict(agg_row: DataFrame, specs: list[tuple[str, float, str]]) -> DataFrame:
+    """Explode a one-row metrics frame (column per check, already
+    rounded) into the long-format verdict relation.  Split out of
+    `verify` so STREAMING pipelines can compute the metrics as a
+    stateful streaming aggregation (mergeable across micro-batches)
+    and derive the identical verdict from the materialized state."""
     structs = [
         F.struct(
-            F.lit(e.name).alias("check_name"),
-            F.col(e.name).alias("metric"),
-            F.lit(float(e.threshold)).alias("threshold"),
-            F.lit(e.op).alias("op"),
+            F.lit(name).alias("check_name"),
+            F.col(name).alias("metric"),
+            F.lit(float(threshold)).alias("threshold"),
+            F.lit(op).alias("op"),
             (
-                (F.col(e.name) >= F.lit(float(e.threshold)))
-                if e.op == GE
-                else (F.col(e.name) <= F.lit(float(e.threshold)))
+                (F.col(name) >= F.lit(float(threshold)))
+                if op == GE
+                else (F.col(name) <= F.lit(float(threshold)))
             ).alias("passed"),
         )
-        for e in expectations
+        for name, threshold, op in specs
     ]
     return (
         agg_row.select(F.explode(F.array(*structs)).alias("r"))

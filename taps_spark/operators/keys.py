@@ -1,0 +1,65 @@
+"""Distributed surrogate-key assignment.
+
+The reference relies on database-side autoincrement/sequences for
+identity (lib/taps/utils.rb single_integer_primary_key; sequence
+reset on push) — a single-node counter.  Distributed ingestion needs
+gap-free ordered ids WITHOUT a single counter or a global sort to
+one machine.  Classic two-phase scheme:
+
+  1. range-shuffle on the ordering key and sort within partitions
+     (one exchange; partition p owns a contiguous key range)
+  2. count rows per partition (a jobs-scale driver aggregate:
+     n_partitions rows), prefix-sum the counts into per-partition
+     OFFSETS, broadcast them
+  3. map-only pass assigns offset[p] + local_index
+
+The result equals ROW_NUMBER() OVER (ORDER BY key) - 1 computed on
+one node, but the only global structure is the n_partitions-row
+offset table: at 100 TB stage 3 is embarrassingly parallel and no
+machine ever sees more than its partition.  Range boundaries are
+sample-based and may vary run-to-run, but ids depend only on the
+TOTAL order (range order across partitions + sorted order inside),
+so the assignment is deterministic for a unique ordering key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_surrogate_keys(
+    df: DataFrame, order_col: str, id_col: str = "sk", num_partitions: int | None = None
+) -> DataFrame:
+    """Add a dense 0-based surrogate id `id_col` ordered by
+    `order_col` (must be unique for a deterministic assignment)."""
+    ranged = (
+        df.repartitionByRange(num_partitions, order_col)
+        if num_partitions
+        else df.repartitionByRange(order_col)
+    ).sortWithinPartitions(order_col)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # Driver-side offsets: one row per partition — jobs-scale, not data-scale.
+    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = with_pid.drop("_pid").schema.add(id_col, "long", False)
+
+    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for b in batches:
+            if len(b) == 0:
+                yield b.drop(columns=["_pid"]).assign(**{id_col: pd.Series(dtype="int64")})
+                continue
+            base = offsets[int(b["_pid"].iloc[0])] + local
+            out = b.drop(columns=["_pid"]).copy()
+            out[id_col] = range(base, base + len(b))
+            local += len(b)
+            yield out
+
+    return with_pid.mapInPandas(number, schema=out_schema)

@@ -280,3 +280,24 @@ def pipeline_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFram
         agg_state(d2, ["o_custkey"], "o_totalprice"),
     )
     return finalize(state).orderBy("o_custkey")
+
+
+SURROGATE_KEYS_ORACLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS sk
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("pipeline_assign_surrogate_keys", oracle=SURROGATE_KEYS_ORACLE)
+def pipeline_assign_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense gap-free surrogate ids without a global sort to one
+    node: range-shuffle + per-partition offsets + map-only numbering
+    (operators/keys.py).  The oracle is the single-node
+    ROW_NUMBER() — the distributed two-phase assignment must be
+    indistinguishable from it."""
+    from taps_spark.operators.keys import assign_surrogate_keys
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    return assign_surrogate_keys(docs, "doc_id", num_partitions=8).orderBy("doc_id")

@@ -284,3 +284,37 @@ def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delay_s"),
     )
     return run_to_memory(joined, "append").orderBy("view_event_id", "click_event_id")
+
+
+STREAM_EXPECTATIONS_ORACLE = """
+WITH m AS (
+  SELECT
+    ROUND(AVG(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS completeness_user_id,
+    ROUND(AVG(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+                   THEN 1.0 ELSE 0.0 END), 6) AS domain_event_type,
+    ROUND(CAST(MAX(value) AS DOUBLE), 6) AS max_value,
+    ROUND(AVG(CASE WHEN value >= 0 THEN 1.0 ELSE 0.0 END), 6) AS nonneg_value
+  FROM events
+)
+SELECT 'completeness_user_id' AS check_name, completeness_user_id AS metric,
+       1.0 AS threshold, '>=' AS op, completeness_user_id >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'domain_event_type', domain_event_type, 1.0, '>=',
+       domain_event_type >= 1.0 FROM m
+UNION ALL
+SELECT 'max_value', max_value, 1000.0, '<=', max_value <= 1000.0 FROM m
+UNION ALL
+SELECT 'nonneg_value', nonneg_value, 1.0, '>=', nonneg_value >= 1.0 FROM m
+ORDER BY check_name
+"""
+
+
+@query("events_stream_expectations", oracle=STREAM_EXPECTATIONS_ORACLE)
+def events_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-on-streams: the constraint metrics accumulate as ONE
+    stateful streaming aggregation (mergeable across micro-batches by
+    construction), and the batch oracle gates the streaming verdict —
+    stream state merge must equal a from-scratch batch pass."""
+    from taps_spark.streaming.jobs import stream_expectations
+
+    return stream_expectations(spark, sf_dir)

@@ -377,3 +377,43 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
     )
     return run_to_memory(agg, "complete").orderBy("c_mktsegment")
+
+
+def stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations evaluated ON THE STREAM: the metric
+    state (avg fractions, max) is a single global stateful streaming
+    aggregation — Spark merges partial state across micro-batches
+    exactly like the batch planner merges map-side partials, which is
+    why the streaming verdict equals the batch verdict (the oracle).
+    The verdict explode happens on the one materialized state row.
+
+    This is Deequ-on-streams: at 100 TB the same plan watches a Kafka
+    topic in update mode and each trigger emits the current corpus-
+    wide verdict; a foreachBatch hook can then gate downstream sinks
+    on `passed`."""
+    from taps_spark.operators.expectations import GE, LE, verdict
+
+    ev = read_events_stream(spark, sf_dir)
+    domain = ("click", "error", "purchase", "signup", "view")
+    agg = ev.agg(
+        F.round(
+            F.avg(F.when(F.col("user_id").isNotNull(), 1.0).otherwise(0.0)), 6
+        ).alias("completeness_user_id"),
+        F.round(
+            F.avg(F.when(F.col("event_type").isin(*domain), 1.0).otherwise(0.0)), 6
+        ).alias("domain_event_type"),
+        F.round(F.avg(F.when(F.col("value") >= 0, 1.0).otherwise(0.0)), 6).alias(
+            "nonneg_value"
+        ),
+        F.round(F.max("value").cast("double"), 6).alias("max_value"),
+    )
+    state = run_to_memory(agg, "complete")
+    return verdict(
+        state,
+        [
+            ("completeness_user_id", 1.0, GE),
+            ("domain_event_type", 1.0, GE),
+            ("nonneg_value", 1.0, GE),
+            ("max_value", 1000.0, LE),
+        ],
+    )
