@@ -207,6 +207,30 @@ def _run_repair(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over the fixture tables: every parquet table in
+    --data registers as a view, the query runs on the engine session,
+    and rows print in the chosen format.  The interactive analog of
+    the library's spark.sql surface (queries/advanced.py
+    sql_interface_revenue)."""
+    from taps_spark.io.tables import register_views
+    from taps_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, args.data)
+    df = spark.sql(args.query).limit(args.limit)
+    if args.format == "table":
+        df.show(args.limit, truncate=False)
+    elif args.format == "json":
+        for row in df.toJSON().collect():
+            print(row)
+    else:
+        pdf = df.toPandas()
+        print(pdf.to_csv(index=False), end="")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="taps_spark")
     sub = parser.add_subparsers(dest="command")
@@ -226,6 +250,11 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--chunk-rows", type=int, default=1024)
     sub.add_parser("version")
     sub.add_parser("server")
+    qp = sub.add_parser("sql", help="ad-hoc SQL over a fixture/table directory")
+    qp.add_argument("query")
+    qp.add_argument("--data", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    qp.add_argument("--format", choices=("table", "json", "csv"), default="table")
+    qp.add_argument("--limit", type=int, default=100)
 
     args = parser.parse_args(argv)
     if args.command in ("pull", "push"):
@@ -239,6 +268,8 @@ def main(argv: list[str] | None = None) -> int:
 
         print(f"taps_spark {__version__}")
         return 0
+    if args.command == "sql":
+        return _run_sql(args)
     if args.command == "server":
         print(
             "taps_spark has no server mode: Spark executors read and write "

@@ -1249,3 +1249,49 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+CDC_CHUNKING_ORACLE = """
+SELECT doc_id, n_chars,
+       LEN(LIST_FILTER(LIST_TRANSFORM(range(1, GREATEST(LENGTH(text)-7,0)+1),
+           i -> SUBSTRING(MD5(SUBSTRING(text, CAST(i AS INT), 8)), 1, 2)),
+           h -> h = '00')) + 1 AS n_chunks,
+       ROUND(n_chars * 1.0
+             / (LEN(LIST_FILTER(LIST_TRANSFORM(range(1, GREATEST(LENGTH(text)-7,0)+1),
+                    i -> SUBSTRING(MD5(SUBSTRING(text, CAST(i AS INT), 8)), 1, 2)),
+                    h -> h = '00')) + 1), 2) AS avg_chunk_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("text_cdc_chunking", oracle=CDC_CHUNKING_ORACLE)
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync shape): a chunk
+    boundary falls wherever the hash of the 8-char window at a
+    position lands in a 1/256 target band, so chunk cuts move WITH
+    the content — insert one word and only the surrounding chunk's
+    hash changes, unlike fixed-width windows where every downstream
+    chunk shifts.  The primitive under delta-sync and chunk-level
+    dedup of revised documents.
+
+    Map-only: boundaries come from array expressions over each doc
+    (sequence → transform → filter), no explode, no shuffle until
+    the final orderBy.  Production swaps the per-window md5 for a
+    Gear/Rabin ROLLING hash in a pandas_udf (O(1) per position, not
+    O(w)); the declarative form here pins the semantics the rolling
+    version must reproduce.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_chunks = F.expr(
+        "size(filter(transform(sequence(1, greatest(length(text)-7, 0)), "
+        "i -> substring(md5(substring(text, i, 8)), 1, 2)), h -> h = '00')) + 1"
+    )
+    return (
+        docs.select("doc_id", "n_chars", n_chunks.alias("n_chunks"))
+        .withColumn(
+            "avg_chunk_chars",
+            F.round(F.col("n_chars") * 1.0 / F.col("n_chunks"), 2),
+        )
+        .orderBy("doc_id")
+    )

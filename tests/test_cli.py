@@ -194,3 +194,20 @@ def test_repair_subcommand_ships_missing_rows(spark, sf_dir, tmp_path, capsys):
     rc = main(["verify", str(lake), sf_dir, "-t", "orders"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["tables"]["orders"]["ok"]
+
+
+def test_sql_subcommand_runs_adhoc_query(sf_dir, capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT n_name FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey",
+            "--data",
+            sf_dir,
+            "--format",
+            "csv",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "n_name"
+    assert len(out) == 4  # header + 3 nations
