@@ -1068,3 +1068,61 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+EWMA_ORACLE = """
+WITH r AS (
+  SELECT event_type, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+a AS (
+  SELECT event_type, LIST(value ORDER BY ts, event_id) AS vals
+  FROM r WHERE rn <= 10 GROUP BY event_type
+)
+SELECT event_type,
+       ROUND(LIST_REDUCE(vals,
+             (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 4) AS ewma_value
+FROM a
+ORDER BY event_type
+"""
+
+
+@query("events_ewma", oracle=EWMA_ORACLE)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.2) of each event
+    type's 10 most recent values — the recursive smoother windows
+    can't express, done as a deterministic left fold over an ordered
+    array.
+
+    Both engines fold the SAME ordered list with the SAME double
+    arithmetic, so the result is bit-identical (verified: identical
+    ulps) — no rounding-tie exposure.  Plan: one shuffle on
+    event_type; the row_number prefilter bounds the collected array
+    at 10 elements per key BEFORE collect_list, so state stays O(k)
+    per key at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    last10 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("event_type", "ts", "event_id", "value")
+    )
+    arr = last10.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
+    )
+    return arr.select(
+        "event_type",
+        F.round(
+            F.expr(
+                "aggregate(slice(transform(s, x -> x.value), 2, size(s) - 1), "
+                "CAST(transform(s, x -> x.value)[0] AS DOUBLE), "
+                "(acc, x) -> 0.2D * x + 0.8D * acc)"
+            ),
+            4,
+        ).alias("ewma_value"),
+    ).orderBy("event_type")

@@ -505,3 +505,49 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_chars", F.round("raw_key", 6).alias("es_key"))
     )
+
+
+EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("profile_equidepth_histogram", oracle=EQUIDEPTH_ORACLE)
+def profile_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals: 10
+    NTILE buckets with per-bucket count and value bounds — the
+    optimizer-statistics/skew-inspection companion to the equi-width
+    `profile_value_histogram`.  The NTILE order carries a unique
+    tiebreak (o_orderkey) so bucket membership is identical on any
+    engine.
+
+    NTILE needs a total order (single-partition window) — fine for a
+    profile sketch; at 100 TB swap to approx_percentile boundaries +
+    width_bucket and the output contract is unchanged (documented
+    trade: exact ranks vs one-pass sketch).
+    """
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
