@@ -402,3 +402,30 @@ def test_surrogate_keys_match_global_row_number(spark, sf_dir):
     ids = [r.sk for r in rows]
     assert ids == list(range(len(rows)))
     assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+
+
+def test_versioned_table_time_travel_and_rollback(spark, sf_dir, tmp_path):
+    """Snapshot versions: current follows the latest commit, explicit
+    versions time-travel, rollback is a pointer flip, and the
+    manifest survives it all."""
+    from taps_spark.io.versioned import read_version, rollback, versions, write_version
+
+    table = str(tmp_path / "nation_versions")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    v1 = write_version(nation.filter("n_nationkey < 10"), table)
+    v2 = write_version(nation, table)
+    assert (v1, v2) == (1, 2)
+    assert versions(table) == {"current": 2, "versions": [1, 2]}
+
+    assert read_version(spark, table).count() == nation.count()
+    assert read_version(spark, table, 1).count() == 10
+
+    rollback(table, 1)
+    assert read_version(spark, table).count() == 10
+    assert read_version(spark, table, 2).count() == nation.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, table, 99)

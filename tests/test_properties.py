@@ -189,3 +189,28 @@ def test_pagerank_mass_conservation_on_random_graphs(spark, seed):
     ranks = pagerank(df, iters=5).collect()
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
     assert all(r["rank"] > 0 for r in ranks)
+
+
+def test_results_invariant_under_shuffle_partition_count(spark, sf_dir):
+    """Partition-count invariance: the same query must return the
+    same rows at 3 and at 17 shuffle partitions — the property that
+    makes local[32] results transfer to a 1000-executor cluster.
+    Exercises an agg+join plan, an LSH dedup, and a window."""
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    names = ["q5_region_revenue", "dedup_minhash_lsh", "events_sessionize"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in names:
+                rows = REGISTRY[name].fn(spark, sf_dir).collect()
+                results.setdefault(name, []).append(
+                    sorted(tuple(r) for r in rows)
+                )
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
