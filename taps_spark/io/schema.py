@@ -108,3 +108,38 @@ def create_table_sql(
         cols.append(f"{f.name} {sql_t}{null}{pk}")
     ine = "IF NOT EXISTS " if if_not_exists else ""
     return f"CREATE TABLE {ine}{table} ({', '.join(cols)})"
+
+
+def diff_schemas(old: T.StructType, new: T.StructType) -> list[dict]:
+    """Schema-drift report between two table versions: added, removed,
+    retyped, and nullability-changed columns, in new-schema order
+    (removed columns last, in old order).
+
+    The reference transfers schemas wholesale and silently replaces
+    the target (lib/taps/schema.rb `down`+`up`); a 100 TB pipeline
+    instead needs to KNOW what changed before deciding merge vs
+    migrate — this is the pre-flight check for mergeSchema reads
+    (sources.read_parquet_evolved) and for evolving JDBC sinks.
+    """
+    old_f = {f.name: f for f in old.fields}
+    new_f = {f.name: f for f in new.fields}
+    report: list[dict] = []
+    for f in new.fields:
+        if f.name not in old_f:
+            report.append({"column": f.name, "change": "added",
+                           "old_type": None, "new_type": f.dataType.simpleString()})
+            continue
+        o = old_f[f.name]
+        if o.dataType != f.dataType:
+            report.append({"column": f.name, "change": "retyped",
+                           "old_type": o.dataType.simpleString(),
+                           "new_type": f.dataType.simpleString()})
+        elif o.nullable != f.nullable:
+            report.append({"column": f.name, "change": "nullability",
+                           "old_type": str(o.nullable).lower(),
+                           "new_type": str(f.nullable).lower()})
+    for f in old.fields:
+        if f.name not in new_f:
+            report.append({"column": f.name, "change": "removed",
+                           "old_type": f.dataType.simpleString(), "new_type": None})
+    return report

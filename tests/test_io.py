@@ -429,3 +429,37 @@ def test_versioned_table_time_travel_and_rollback(spark, sf_dir, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_version(spark, table, 99)
+
+
+def test_schema_drift_report(spark):
+    """diff_schemas flags added / removed / retyped / nullability
+    transitions and nothing else."""
+    from pyspark.sql import types as T
+
+    from taps_spark.io.schema import diff_schemas
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.IntegerType(), True),
+            T.StructField("legacy", T.StringType(), True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),       # nullability
+            T.StructField("name", T.StringType(), True),   # unchanged
+            T.StructField("score", T.DoubleType(), True),  # retyped
+            T.StructField("added_at", T.TimestampType(), True),  # added
+        ]
+    )
+    report = diff_schemas(old, new)
+    by_col = {r["column"]: r for r in report}
+    assert by_col["id"]["change"] == "nullability"
+    assert by_col["score"] == {
+        "column": "score", "change": "retyped", "old_type": "int", "new_type": "double"
+    }
+    assert by_col["added_at"]["change"] == "added"
+    assert by_col["legacy"]["change"] == "removed"
+    assert "name" not in by_col
