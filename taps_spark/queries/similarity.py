@@ -250,3 +250,75 @@ def similarity_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+STANDARDIZE_APPLY_ORACLE = """
+WITH s AS (
+  SELECT i, AVG(x) AS m, STDDEV_SAMP(x) AS sd
+  FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY i
+),
+arrs AS (
+  SELECT LIST(m ORDER BY i) AS means, LIST(sd ORDER BY i) AS sds FROM s
+),
+z AS (
+  SELECT e.vec_id,
+         LIST_TRANSFORM(range(1, LEN(e.embedding) + 1),
+             i -> (e.embedding[CAST(i AS INT)] - arrs.means[CAST(i AS INT)])
+                  / arrs.sds[CAST(i AS INT)]) AS zs
+  FROM embeddings e CROSS JOIN arrs
+)
+SELECT vec_id,
+       LIST_REDUCE(LIST_TRANSFORM(zs, z -> CAST(ROUND(z * 1000) AS BIGINT)),
+                   (a, b) -> a + b) AS z_millis_sum,
+       LEN(LIST_FILTER(zs, z -> ABS(z) > 3.0)) AS n_clipped
+FROM z
+ORDER BY vec_id
+"""
+
+
+@query("similarity_standardize_apply", oracle=STANDARDIZE_APPLY_ORACLE)
+def similarity_standardize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM step of feature standardization: z-score every
+    embedding coordinate against the corpus per-dimension moments
+    (the fit step is similarity_dim_standardize), reporting an exact
+    integer checksum of the standardized vector plus its |z|>3
+    outlier count.
+
+    Fully declarative fit→transform: the 64 per-dimension moments
+    collapse into one row of ordered arrays (sort_array∘collect_list)
+    that CROSS-JOIN-broadcasts onto the corpus; the transform is a
+    zip-indexed array expression — map-only after one KB-scale
+    exchange, no driver collect, no Python.  The checksum sums
+    per-element integer millis so it is order-insensitive AND exact —
+    the cross-engine-safe way to fingerprint a float vector.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"), F.stddev_samp("x").alias("sd"))
+    )
+    arrs = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"),
+        F.array_sort(F.collect_list(F.struct("pos", "sd"))).alias("ss"),
+    ).select(
+        F.expr("transform(ms, e -> e.m)").alias("means"),
+        F.expr("transform(ss, e -> e.sd)").alias("sds"),
+    )
+    z = emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, size(embedding)), "
+            "i -> (CAST(embedding[i - 1] AS DOUBLE) - means[i - 1]) / sds[i - 1])"
+        ).alias("zs"),
+    )
+    return z.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(zs, z -> CAST(ROUND(z * 1000, 0) AS BIGINT)), "
+            "0L, (a, b) -> a + b)"
+        ).alias("z_millis_sum"),
+        F.expr("size(filter(zs, z -> ABS(z) > 3.0D))").alias("n_clipped"),
+    ).orderBy("vec_id")
