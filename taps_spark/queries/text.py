@@ -1295,3 +1295,59 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+LANG_CONFUSION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+lang_tok AS (SELECT lang AS m_lang, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+lang_tot AS (SELECT lang AS m_lang, COUNT(*) AS tot FROM tok GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+scored AS (
+  SELECT t.doc_id, l.m_lang,
+         SUM(LN(COALESCE(
+           CAST(m.cnt + 1 AS DOUBLE) / (l.tot + vocab.v),
+           CAST(1.0 AS DOUBLE) / (l.tot + vocab.v)))) AS score
+  FROM (SELECT doc_id, tok FROM tok) t
+  CROSS JOIN lang_tot l
+  CROSS JOIN vocab
+  LEFT JOIN lang_tok m ON m.m_lang = l.m_lang AND m.tok = t.tok
+  GROUP BY t.doc_id, l.m_lang
+),
+pred AS (
+  SELECT doc_id, m_lang AS predicted_lang
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, m_lang) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT d.lang AS true_lang, p.predicted_lang, COUNT(*) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.predicted_lang
+ORDER BY true_lang, predicted_lang
+"""
+
+
+@query("text_lang_id_confusion", oracle=LANG_CONFUSION_ORACLE)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class pipeline op: the
+    language-ID confusion matrix (true label × predicted label ×
+    count) — how a curation pipeline audits its own labeling stage
+    before filtering on it.
+
+    Reuses the trained NB scorer (operators/text.language_id); the
+    label join keys on doc_id and the matrix rollup is a tiny
+    grouped count, so the added cost over text_lang_id is one
+    keyed join + a 25-cell aggregate.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pred = language_id(docs).select("doc_id", "predicted_lang")
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "predicted_lang")
+    )
