@@ -1351,3 +1351,88 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+DATASET_CARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         LEN(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         MD5(text) AS fp
+  FROM documents
+),
+m AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         ROUND(AVG(n_tokens), 4) AS avg_tokens,
+         ROUND(AVG(n_chars), 4) AS avg_chars,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT fp) AS n_unique,
+         ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS en_share
+  FROM t
+)
+SELECT 'avg_chars' AS metric, avg_chars AS value FROM m
+UNION ALL SELECT 'avg_tokens', avg_tokens FROM m
+UNION ALL SELECT 'dup_rate', ROUND(1.0 - n_unique * 1.0 / n_docs, 4) FROM m
+UNION ALL SELECT 'en_share', en_share FROM m
+UNION ALL SELECT 'n_docs', n_docs FROM m
+UNION ALL SELECT 'n_langs', n_langs FROM m
+UNION ALL SELECT 'n_sources', n_sources FROM m
+UNION ALL SELECT 'total_tokens', total_tokens FROM m
+ORDER BY metric
+"""
+
+
+@query("pipeline_dataset_card", oracle=DATASET_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card in one pass: the corpus summary a training-data
+    release ships with (size, token budget, language/source spread,
+    exact-dup rate) as a long-format metric relation.
+
+    Every metric — including the dup rate via COUNT(DISTINCT md5) —
+    rides ONE aggregation over one scan; the count-distincts expand
+    but stay map-side partial.  At 100 TB swap the exact distincts
+    for approx_count_distinct and the card generates in a single
+    shuffle-light pass (documented trade, same output contract).
+    """
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    m = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.round(
+            F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)), 4
+        ).alias("en_share"),
+    )
+    rows = [
+        ("avg_chars", F.col("avg_chars")),
+        ("avg_tokens", F.col("avg_tokens")),
+        ("dup_rate", F.round(1.0 - F.col("n_unique") * 1.0 / F.col("n_docs"), 4)),
+        ("en_share", F.col("en_share")),
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("total_tokens", F.col("total_tokens").cast("double")),
+    ]
+    structs = [
+        F.struct(F.lit(name).alias("metric"), expr.cast("double").alias("value"))
+        for name, expr in rows
+    ]
+    return (
+        m.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("metric")
+    )
