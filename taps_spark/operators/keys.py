@@ -41,7 +41,14 @@ def assign_surrogate_keys(
         if num_partitions
         else df.repartitionByRange(order_col)
     ).sortWithinPartitions(order_col)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # CRITICAL: materialize the partitioning ONCE.  repartitionByRange
+    # picks boundaries by sampling, independently per job — without
+    # this the offset-count job and the numbering job can see
+    # DIFFERENT partitionings (observed at sf0.1: duplicate/gapped
+    # ids).  localCheckpoint pins one materialization both jobs read.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     # Driver-side offsets: one row per partition — jobs-scale, not data-scale.
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
