@@ -1126,3 +1126,78 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ewma_value"),
     ).orderBy("event_type")
+
+
+RFM_ORACLE = """
+WITH ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+p AS (
+  SELECT user_id,
+         DATE_DIFF('day', MAX(ts), (SELECT ref_ts FROM ref)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+s AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM p
+)
+SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s
+ORDER BY user_id
+"""
+
+
+@query("events_rfm_segments", oracle=RFM_ORACLE)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    purchase vs corpus max ts), frequency, and monetary value, each
+    quartiled into 1–4 scores with unique tiebreaks, concatenated
+    into the classic 'rfm' segment label.
+
+    One grouped agg (decimal-exact monetary sum), then three NTILE
+    windows over the USER-level relation — which is already
+    aggregates-sized, so the total-order windows rank thousands of
+    rows, not events; at larger user counts swap NTILE for
+    approx_percentile cut points, same output contract.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.queries.numeric import dsum
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("value", 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff(F.col("ref_ts"), F.col("last_ts")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    s = p.select(
+        "*",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), "user_id")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_score"),
+    )
+    return s.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    ).orderBy("user_id")

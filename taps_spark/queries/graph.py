@@ -36,3 +36,35 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+DEGREE_DIST_ORACLE = """
+WITH deg AS (
+  SELECT l_suppkey AS suppkey, COUNT(DISTINCT l_partkey) AS degree
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT degree, COUNT(*) AS n_suppliers
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@query("graph_degree_distribution", oracle=DEGREE_DIST_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier→part graph (distinct parts
+    shipped per supplier, bucketed into a histogram) — the first
+    diagnostic before any graph algorithm: a heavy-tailed degree
+    histogram is what makes naive vertex-partitioned algorithms skew
+    (and why graph_pagerank_suppliers pre-aggregates by edge).
+
+    Two grouped aggs, both map-side combinable; the second groups on
+    degree (tiny key space).  No joins, no explosion.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    deg = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.countDistinct("l_partkey").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("degree")
+    )

@@ -1436,3 +1436,62 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("metric")
     )
+
+
+NGRAM_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, UNNEST(range(1, GREATEST(LEN(t) - 2, 0) + 1)) AS r(i)
+),
+df AS (SELECT gram, COUNT(*) AS gram_df FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       ROUND(AVG(CASE WHEN df.gram_df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+FROM grams g JOIN df USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("text_ngram_novelty", oracle=NGRAM_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct word
+    3-grams that appear NOWHERE else in the corpus — high novelty is
+    fresh signal, low novelty is near-boilerplate (the inverse of
+    memorization risk).
+
+    Shape: doc-distinct grams (one explode + distinct), corpus gram
+    document-frequencies (one grouped count, map-side combined), one
+    equi-join back on gram, per-doc average.  Shuffles key on the
+    gram — the same fingerprint-only discipline as the dedup family:
+    raw text never moves, only 3-gram strings.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 0)), "
+                    "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    return (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.avg(F.when(F.col("gram_df") == 1, 1.0).otherwise(0.0)), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
