@@ -1201,3 +1201,48 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     ).orderBy("user_id")
+
+
+CUMULATIVE_USERS_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+ORDER BY day
+"""
+
+
+@query("events_cumulative_unique_users", oracle=CUMULATIVE_USERS_ORACLE)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth curve metric.
+    COUNT(DISTINCT) OVER a running frame is unsupported (and would be
+    quadratic anyway); the first-seen trick makes it linear: each
+    user contributes once at their MIN(ts) day, then a running SUM
+    over the per-day new-user counts IS the cumulative distinct.
+
+    Two grouped aggs (user → first day, day → new users) and one
+    window over a days-sized relation.  At 100 TB the window ranks
+    a few thousand rows regardless of event volume.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
