@@ -304,6 +304,38 @@ class JdbcEndpoint:
     def apply_ddl(self, spark: SparkSession, *statements: str) -> None:
         execute_jdbc_sql(spark, self.url, *statements)
 
+    def publish_staged(self, spark: SparkSession, table: str, df: DataFrame) -> None:
+        """Replace `table` via a staged swap instead of in-place
+        overwrite: load the full dataset into `<table>_stage`, then
+        flip names.  The reference drops the target BEFORE reloading
+        it (lib/taps/schema.rb `down` then `up`) — a crashed push
+        leaves nothing; here a crash before the flip leaves the OLD
+        table fully intact and a crash between renames is repaired by
+        re-running (the stage table is rebuilt from scratch).
+
+        On dialects with transactional DDL (Postgres) the three
+        renames belong in one transaction for a truly atomic flip;
+        Derby autocommits DDL, so the swap is near-atomic (a reader
+        can observe a missing-table window of two statements) — the
+        honest embedded-engine approximation, stated rather than
+        hidden.
+        """
+        existing = set(self.tables())
+        stage, old = f"{table}_stage", f"{table}_old"
+        for leftover in (stage, old):
+            if leftover.lower() in existing:
+                execute_jdbc_sql(spark, self.url, f"DROP TABLE {leftover}")
+        from taps_spark.io.sinks import write_jdbc
+
+        write_jdbc(df, self.url, stage, mode="overwrite", batchsize=self.batchsize)
+        statements = []
+        if table.lower() in existing:
+            statements.append(f"RENAME TABLE {table} TO {old}")
+        statements.append(f"RENAME TABLE {stage} TO {table}")
+        execute_jdbc_sql(spark, self.url, *statements)
+        if table.lower() in existing:
+            execute_jdbc_sql(spark, self.url, f"DROP TABLE {old}")
+
 
 # --------------------------------------------------------------------------
 # DDL passthrough (not expressible as DataFrame ops)

@@ -319,3 +319,26 @@ def test_jdbc_v2_catalog_pushes_aggregate_into_database(spark, seeded):
             "spark.sql.catalog.livedb.pushDownAggregate",
         ):
             spark.conf.unset(k)
+
+
+def test_publish_staged_swaps_without_data_loss(spark, sf_dir, derby_url):
+    """Staged publish: the new dataset replaces the table by rename
+    flip; no stage/old leftovers remain, and re-publishing is safe."""
+    ep = JdbcEndpoint(derby_url)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    ep.publish_staged(spark, "pubtest", nation.filter(F.col("n_nationkey") < 5))
+    assert (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", "pubtest").load().count() == 5
+    )
+
+    ep.publish_staged(spark, "pubtest", nation)  # full replace
+    got = (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", "pubtest").load()
+    )
+    assert got.count() == nation.count()
+    tables = set(ep.tables())
+    assert "pubtest" in tables
+    assert "pubtest_stage" not in tables and "pubtest_old" not in tables

@@ -1,0 +1,57 @@
+"""Flag per-query bench regressions against the previous rounds'
+BENCH_r*.json artifacts (the judge's own rule: >1.2x a prior round's
+time is a regression).
+
+Usage: python bench.py 2>/dev/null | python tools/bench_compare.py
+   or: python tools/bench_compare.py <bench_json_line_file>
+Exit 1 when any query regresses vs the most recent prior round.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+
+def main() -> int:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if len(sys.argv) > 1:
+        text = open(sys.argv[1]).read()
+    else:
+        text = sys.stdin.read()
+    line = next(l for l in text.splitlines() if l.startswith('{"metric"'))
+    now = json.loads(line)
+
+    priors = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not priors:
+        print("no prior BENCH_r*.json; nothing to compare")
+        return 0
+    with open(priors[-1]) as f:
+        prior_doc = json.load(f)
+    prior = prior_doc.get("parsed") or prior_doc
+    label = os.path.basename(priors[-1])
+
+    regressions = []
+    for q, t in now["queries"].items():
+        p = prior.get("queries", {}).get(q)
+        if p and t > 1.2 * p:
+            regressions.append((q, p, t))
+    print(
+        json.dumps(
+            {
+                "vs": label,
+                "total_prev": prior.get("value"),
+                "total_now": now.get("value"),
+                "regressions": [
+                    {"query": q, "prev_s": p, "now_s": t} for q, p, t in regressions
+                ],
+            }
+        )
+    )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
