@@ -1210,7 +1210,7 @@ WITH first_seen AS (
 per_day AS (
   SELECT first_day AS day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
 )
-SELECT day, new_users,
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, new_users,
        CAST(SUM(new_users) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cumulative_users
@@ -1242,7 +1242,7 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return per_day.select(
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("day")
