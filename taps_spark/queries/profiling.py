@@ -551,3 +551,51 @@ def profile_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+JOIN_CARDINALITY_ORACLE = """
+WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+c AS (SELECT DISTINCT c_custkey AS k FROM customer),
+m AS (
+  SELECT (SELECT COUNT(*) FROM o) AS n_orders_keys,
+         (SELECT COUNT(*) FROM c) AS n_customer_keys,
+         (SELECT COUNT(*) FROM o JOIN c USING (k)) AS n_common
+)
+SELECT n_orders_keys, n_customer_keys, n_common,
+       n_orders_keys + n_customer_keys - n_common AS n_union,
+       ROUND(n_common * 1.0 / (n_orders_keys + n_customer_keys - n_common), 6)
+         AS key_jaccard
+FROM m
+"""
+
+
+@query("stats_join_cardinality", oracle=JOIN_CARDINALITY_ORACLE)
+def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key-overlap profile: distinct keys on each side,
+    their intersection/union, and the key Jaccard — what an optimizer
+    (or an engineer sizing a 100 TB join) wants BEFORE running it:
+    near-zero overlap means the join is a filter, near-total overlap
+    means it is an explosion risk.
+
+    Exact here (two distincts + one semi-join on deduped keys); the
+    scale path replaces each side with an HLL sketch union/intersect
+    (events_hll_sketch_union shows the primitive) so the estimate
+    costs one pass and kilobytes of state.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    o = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    c = t["customer"].select(F.col("c_custkey").alias("k")).distinct()
+    common = o.join(c, "k", "left_semi").agg(F.count(F.lit(1)).alias("n_common"))
+    counts = o.agg(F.count(F.lit(1)).alias("n_orders_keys")).crossJoin(
+        c.agg(F.count(F.lit(1)).alias("n_customer_keys"))
+    )
+    return (
+        counts.crossJoin(common)
+        .withColumn(
+            "n_union",
+            F.col("n_orders_keys") + F.col("n_customer_keys") - F.col("n_common"),
+        )
+        .withColumn(
+            "key_jaccard", F.round(F.col("n_common") * 1.0 / F.col("n_union"), 6)
+        )
+    )
