@@ -214,3 +214,45 @@ def test_results_invariant_under_shuffle_partition_count(spark, sf_dir):
             assert a == b, f"{name} changed under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_merge_states_equals_full_recompute_for_any_split(spark):
+    """Algebraic law behind incremental rollup maintenance: for ANY
+    partition of the rows into batches, merging per-batch agg states
+    equals aggregating everything at once — including the decimal
+    sums, which is the whole reason they are decimal."""
+    import random
+
+    from taps_spark.operators.incremental import agg_state, finalize, merge_states
+
+    rng = random.Random(7)
+    rows = [(i % 13, round(rng.uniform(1, 500), 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    full = sorted(tuple(r) for r in finalize(agg_state(df, ["k"], "v")).collect())
+
+    for n_batches in (2, 3, 7):
+        marked = [(k, v, rng.randrange(n_batches)) for (k, v) in rows]
+        mdf = spark.createDataFrame(marked, "k int, v double, b int")
+        states = [
+            agg_state(mdf.filter(f"b = {b}").drop("b"), ["k"], "v")
+            for b in range(n_batches)
+        ]
+        merged = sorted(tuple(r) for r in finalize(merge_states(*states)).collect())
+        assert merged == full, f"split into {n_batches} batches diverged"
+
+
+def test_surrogate_keys_invariant_under_partition_count(spark, sf_dir):
+    """The id assignment must depend ONLY on the ordering key — not
+    on how many range partitions executed it (the sf0.1 bug class:
+    per-job boundary sampling)."""
+    from taps_spark.operators.keys import assign_surrogate_keys
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    baseline = None
+    for n in (2, 5, 11):
+        keyed = assign_surrogate_keys(docs, "doc_id", num_partitions=n)
+        got = sorted((r.doc_id, r.sk) for r in keyed.collect())
+        if baseline is None:
+            baseline = got
+        else:
+            assert got == baseline, f"ids changed at num_partitions={n}"
