@@ -1246,3 +1246,86 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("day")
+
+
+CUSUM_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+k AS (
+  SELECT event_type,
+         (CAST(SUM(cnt) * 10000 AS BIGINT) // COUNT(*)) / 10000.0 AS kref
+  FROM daily GROUP BY event_type
+),
+idx AS (
+  SELECT d.event_type, d.cnt - k.kref AS dev,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN k USING (event_type)
+),
+c AS (
+  SELECT event_type, rn, GREATEST(0, dev) AS s, GREATEST(0, dev) AS m
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.rn,
+         GREATEST(0, c.s + i.dev),
+         GREATEST(c.m, GREATEST(0, c.s + i.dev))
+  FROM c JOIN idx i ON i.event_type = c.event_type AND i.rn = c.rn + 1
+),
+last AS (
+  SELECT event_type, s, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rn DESC) AS r
+  FROM c
+)
+SELECT event_type, ROUND(m, 4) AS max_cusum, ROUND(s, 4) AS final_cusum
+FROM last WHERE r = 1
+ORDER BY event_type
+"""
+
+
+@query("events_cusum_changepoint", oracle=CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic per event type: the running
+    max(0, S + deviation) accumulation over daily volumes whose peak
+    signals a sustained rate shift — the sequential-detection
+    primitive behind drift monitors.
+
+    Inherently recursive, so it runs as an ordered-array fold with a
+    STRUCT accumulator (running S plus its max) — the same
+    deterministic-fold discipline as events_ewma, and the reference
+    level is an integer floor-division mean so both engines fold
+    bit-identical doubles.  The oracle walks the identical recurrence
+    via a recursive CTE.  State per key = days, not events.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    k = daily.groupBy("event_type").agg(
+        (
+            F.expr("CAST(SUM(cnt) * 10000 AS BIGINT) div COUNT(*)") / 10000.0
+        ).alias("kref")
+    )
+    devs = (
+        daily.join(k, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, cnt - kref as dev))), "
+                "e -> e.dev)"
+            ).alias("devs")
+        )
+    )
+    folded = devs.select(
+        "event_type",
+        F.expr(
+            "aggregate(devs, struct(CAST(0.0 AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS m), "
+            "(acc, x) -> struct(greatest(0D, acc.s + x), "
+            "greatest(acc.m, greatest(0D, acc.s + x))))"
+        ).alias("c"),
+    )
+    return folded.select(
+        "event_type",
+        F.round(F.col("c.m"), 4).alias("max_cusum"),
+        F.round(F.col("c.s"), 4).alias("final_cusum"),
+    ).orderBy("event_type")
