@@ -1329,3 +1329,73 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c.m"), 4).alias("max_cusum"),
         F.round(F.col("c.s"), 4).alias("final_cusum"),
     ).orderBy("event_type")
+
+
+HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+h AS (
+  SELECT event_type, rn, n, cnt AS level, 0.0::DOUBLE AS trend FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.rn, i.n,
+         0.5::DOUBLE * i.cnt + 0.5::DOUBLE * (h.level + h.trend),
+         0.3::DOUBLE * ((0.5::DOUBLE * i.cnt + 0.5::DOUBLE * (h.level + h.trend)) - h.level)
+           + 0.7::DOUBLE * h.trend
+  FROM h JOIN idx i ON i.event_type = h.event_type AND i.rn = h.rn + 1
+)
+SELECT event_type,
+       ROUND(level, 4) AS level,
+       ROUND(trend, 4) AS trend,
+       ROUND(level + 3 * trend, 4) AS forecast_3
+FROM h WHERE rn = n
+ORDER BY event_type
+"""
+
+
+@query("events_holt_trend", oracle=HOLT_ORACLE)
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α=0.5, β=0.3) of daily
+    event volumes: recursive level+trend state folded over the
+    ordered day series, with a 3-step-ahead linear forecast — the
+    capacity-planning smoother.
+
+    Same deterministic-fold discipline as events_ewma/CUSUM: a
+    struct accumulator (level, trend) over an array bounded at
+    days-per-key, initial level = first observation; the oracle walks
+    the identical recurrence recursively, so doubles match
+    bit-for-bit before rounding.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    arr = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cnt))), e -> e.cnt)"
+        ).alias("xs")
+    )
+    folded = arr.select(
+        "event_type",
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), "
+            "struct(CAST(xs[0] AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend), "
+            "(acc, x) -> struct("
+            "0.5D * x + 0.5D * (acc.level + acc.trend), "
+            "0.3D * ((0.5D * x + 0.5D * (acc.level + acc.trend)) - acc.level) "
+            "+ 0.7D * acc.trend))"
+        ).alias("h"),
+    )
+    return folded.select(
+        "event_type",
+        F.round(F.col("h.level"), 4).alias("level"),
+        F.round(F.col("h.trend"), 4).alias("trend"),
+        F.round(F.col("h.level") + 3 * F.col("h.trend"), 4).alias("forecast_3"),
+    ).orderBy("event_type")
