@@ -53,6 +53,14 @@ HEADLINE = [
     "multimodal_audio_windows",
     "dedup_incremental",
     "pipeline_corpus_prep",
+    # Round-3 additions (appended — the original 24 keys stay stable
+    # so cross-round regression diffs keep working).
+    "validation_expectations",
+    "text_bm25_search",
+    "pipeline_incremental_agg_merge",
+    "events_cusum_changepoint",
+    "similarity_standardize_apply",
+    "pipeline_dataset_card",
 ]
 
 
