@@ -1399,3 +1399,61 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h.trend"), 4).alias("trend"),
         F.round(F.col("h.level") + 3 * F.col("h.trend"), 4).alias("forecast_3"),
     ).orderBy("event_type")
+
+
+AB_TEST_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         ('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 2 AS variant,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted,
+         ROUND(AVG(CAST(converted AS DOUBLE)), 6) AS conv_rate
+  FROM u WHERE exposed = 1 GROUP BY variant
+)
+SELECT variant, n_users, n_converted, conv_rate
+FROM v
+ORDER BY variant
+"""
+
+
+@query("events_ab_test_analysis", oracle=AB_TEST_ORACLE)
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically bucketed into
+    two variants by content hash (the same no-RNG discipline as
+    sample_hash_10pct — assignment is reproducible on any engine and
+    stable under reprocessing), exposure-filtered (saw a view), with
+    per-variant conversion counts and rates.
+
+    One grouped pass to the user grain, then a 2-row rollup — the
+    whole experiment readout costs one shuffle keyed on user_id at
+    any event volume.  The z-statistic is a driver-side formula over
+    these four numbers; the engine's job is the heavy user-grain
+    collapse.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("exposed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    ).withColumn(
+        "variant",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2,
+    )
+    return (
+        u.filter(F.col("exposed") == 1)
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(F.avg(F.col("converted").cast("double")), 6).alias("conv_rate"),
+        )
+        .orderBy("variant")
+    )
