@@ -318,3 +318,49 @@ def events_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.streaming.jobs import stream_expectations
 
     return stream_expectations(spark, sf_dir)
+
+
+SESSION_DYNAMIC_GAP_ORACLE = """
+WITH ends AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) + CASE WHEN event_type = 'error'
+                             THEN 600000000 ELSE 1800000000 END AS ev_end,
+         MAX(epoch_us(ts) + CASE WHEN event_type = 'error'
+                                 THEN 600000000 ELSE 1800000000 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sess_end
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN sess_end IS NULL OR epoch_us(ts) >= sess_end
+              THEN 1 ELSE 0 END AS new_s
+  FROM ends
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts)              AS session_start,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@query("events_stream_session_dynamic_gap", oracle=SESSION_DYNAMIC_GAP_ORACLE)
+def events_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap streaming sessionization (per-row timeout via the
+    expression form of F.session_window); the oracle reproduces the
+    interval-union merge with a running-max island detection — state
+    merge across micro-batches must equal the batch interval union."""
+    from taps_spark.streaming.jobs import stream_session_dynamic_gap
+
+    return stream_session_dynamic_gap(spark, sf_dir).orderBy(
+        "user_id", "session_start"
+    )

@@ -417,3 +417,35 @@ def stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("max_value", 1000.0, LE),
         ],
     )
+
+
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC gap: each event extends its
+    session by a per-row duration (errors time out after 10 minutes,
+    everything else after 30) — F.session_window's expression-gap
+    form, which fixed-gap sessionization can't express.
+
+    Merge semantics are interval union over [ts, ts + gap(row)): the
+    session end is the running MAX of event ends, and an event at or
+    past that end opens a new session (half-open, matching the
+    fixed-gap convention).  The batch oracle reproduces exactly that
+    with a running-max island detection.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
