@@ -342,3 +342,29 @@ def test_publish_staged_swaps_without_data_loss(spark, sf_dir, derby_url):
     tables = set(ep.tables())
     assert "pubtest" in tables
     assert "pubtest_stage" not in tables and "pubtest_old" not in tables
+
+
+def test_cli_pull_from_live_database(spark, seeded, tmp_path, capsys, monkeypatch):
+    """The user-facing CLI moves rows out of a LIVE SQL database: taps
+    pull <local> <jdbc-url> lands both seeded tables in the parquet
+    lake and hash-verifies them — the reference's headline workflow
+    (bin/taps pull) end to end through taps_spark/cli.py."""
+    import json as _json
+    import os as _os
+
+    from taps_spark.cli import main as cli_main
+
+    monkeypatch.chdir(tmp_path)
+    lake = str(tmp_path / "from_derby")
+    rc = cli_main(
+        [
+            "pull", lake, seeded,
+            "-t", "nation,region",
+            "--keys", "nation:n_nationkey,region:r_regionkey",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["transferred"] == {"nation": 25, "region": 5}
+    assert sorted(out["verified"]) == ["nation", "region"]
+    assert spark.read.parquet(_os.path.join(lake, "nation.parquet")).count() == 25
