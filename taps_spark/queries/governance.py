@@ -301,3 +301,67 @@ def pipeline_assign_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
     return assign_surrogate_keys(docs, "doc_id", num_partitions=8).orderBy("doc_id")
+
+
+ORDER_RECON_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+                  * (1 - CAST(l_discount AS DECIMAL(27,6)))
+                  * (1 + CAST(l_tax AS DECIMAL(27,6)))) AS DOUBLE) AS rebuilt
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey, o.o_totalprice, li.rebuilt,
+         ABS(li.rebuilt - o.o_totalprice) / o.o_totalprice AS rel_err
+  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT COUNT(*) AS n_orders_with_lines,
+       CAST(SUM(CASE WHEN rel_err <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(SUM(CASE WHEN rel_err > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_1pct,
+       ROUND(MAX(rel_err), 4) AS max_rel_err
+FROM j
+"""
+
+
+@query("validate_order_totals", oracle=ORDER_RECON_ORACLE)
+def validate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: rebuild each order's total from its
+    line items (price × (1−discount) × (1+tax), summed in exact
+    decimal) and band the relative error against the stored
+    o_totalprice — the financial-audit query a replicated warehouse
+    runs to prove the copy is internally consistent, beyond the
+    per-table checksums the reference stops at.
+
+    One grouped decimal agg on lineitem keyed by orderkey + one
+    equi-join to orders + a 1-row banding agg.  At 100 TB both sides
+    shuffle on the same orderkey; bucketed layout makes the join
+    exchange-free (tests/test_plans.py::test_bucketed_join).
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    from taps_spark.queries.numeric import DECIMAL_T
+
+    li = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DECIMAL_T)
+            * (F.lit(1) - F.col("l_discount").cast(DECIMAL_T))
+            * (F.lit(1) + F.col("l_tax").cast(DECIMAL_T))
+        )
+        .cast("double")
+        .alias("rebuilt")
+    )
+    j = t["orders"].join(li, t["orders"]["o_orderkey"] == li["l_orderkey"]).select(
+        (F.abs(F.col("rebuilt") - F.col("o_totalprice")) / F.col("o_totalprice")).alias(
+            "rel_err"
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders_with_lines"),
+        F.sum(F.when(F.col("rel_err") <= 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.sum(F.when(F.col("rel_err") > 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_beyond_1pct"),
+        F.round(F.max("rel_err"), 4).alias("max_rel_err"),
+    )

@@ -1495,3 +1495,53 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+INVERTED_INDEX_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, doc_id FROM toks GROUP BY term, doc_id
+),
+idx AS (
+  SELECT term, COUNT(*) AS df,
+         ARRAY_TO_STRING(LIST(doc_id ORDER BY doc_id)[1:10], ',') AS posting_head
+  FROM postings GROUP BY term
+)
+SELECT term, df, posting_head
+FROM idx
+ORDER BY df DESC, term
+LIMIT 20
+"""
+
+
+@query("text_inverted_index", oracle=INVERTED_INDEX_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the batch side of a search
+    engine): term → document frequency + ordered postings, shown for
+    the 20 highest-df terms with the first 10 doc ids as a portable
+    string.
+
+    One explode + distinct to (term, doc) grain, one grouped
+    aggregation building sorted postings.  At 100 TB the full index
+    writes out partitioned/bucketed BY TERM HASH so a query term's
+    postings are one partition read — this relation IS that layout's
+    content, and text_bm25_search is its query-side consumer.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    idx = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+        ).alias("posting_head"),
+    )
+    return idx.orderBy(F.desc("df"), "term").limit(20)
