@@ -195,45 +195,3 @@ def compact_small_files(
     shutil.rmtree(old)
     after = len(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     return {"files_before": len(files), "files_after": after, "bytes": total}
-
-
-def compact_files(
-    spark,
-    path: str,
-    dest: str,
-    target_file_bytes: int = 512 * 1024 * 1024,
-    cluster_cols: list[str] | None = None,
-    codec: str = "zstd",
-) -> int:
-    """OPTIMIZE-style small-file compaction: rewrite a parquet
-    directory into ~target-size files, optionally re-clustering.
-
-    Small files are the silent scale killer: a 100 TB table in 4 MB
-    files is 25M files — listing alone takes minutes, every scan pays
-    per-file open cost, and the driver's file index bloats.  Bin
-    count comes from the ACTUAL on-disk bytes (filesystem listing,
-    not a data scan); the rewrite is one job — coalesce() when only
-    merging (no shuffle, preserves existing order) or a range
-    shuffle when re-clustering (restores stat-based pruning too,
-    see write_clustered).  Returns the output file count.
-    """
-    import glob as _glob
-    import math
-    import os
-
-    files = [
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    ]
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    if cluster_cols:
-        out = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
-            *cluster_cols
-        )
-    else:
-        out = df.coalesce(n_out)
-    out.write.mode("overwrite").option("compression", codec).parquet(dest)
-    return n_out

@@ -195,9 +195,14 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     instead of Spark's generic ClassNotFound."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as ex:  # pragma: no cover - depends on jar presence
-        raise NotImplementedError(
-            "avro requires the external spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<version>); "
-            "not bundled in this environment"
-        ) from ex
+    except Exception as ex:
+        # Only translate the missing-data-source case; a path error or
+        # corrupt file with the jar PRESENT must surface as itself.
+        msg = str(ex)
+        if "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
+            raise NotImplementedError(
+                "avro requires the external spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+                "not bundled in this environment"
+            ) from ex
+        raise

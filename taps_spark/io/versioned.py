@@ -54,6 +54,13 @@ def write_version(df: DataFrame, table_path: str, codec: str = "zstd") -> int:
     m = _load_manifest(table_path)
     next_id = (max(m["versions"]) + 1) if m["versions"] else 1
     dest = os.path.join(table_path, f"v={next_id}")
+    if os.path.exists(dest):
+        # A directory for an id NOT in the manifest is an orphan from a
+        # crashed write (the pointer never flipped, so no reader ever
+        # saw it) — reclaim it instead of failing forever.
+        import shutil
+
+        shutil.rmtree(dest)
     df.write.mode("errorifexists").option("compression", codec).parquet(dest)
     m["versions"].append(next_id)
     m["current"] = next_id

@@ -67,21 +67,26 @@ def verify(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     the comparison so the verdict is engine-portable.
     """
     agg_row = df.agg(
-        *[F.round(e.metric.cast("double"), 6).alias(e.name) for e in expectations]
+        *[e.metric.cast("double").alias(e.name) for e in expectations]
     )
     return verdict(agg_row, [(e.name, e.threshold, e.op) for e in expectations])
 
 
 def verdict(agg_row: DataFrame, specs: list[tuple[str, float, str]]) -> DataFrame:
-    """Explode a one-row metrics frame (column per check, already
-    rounded) into the long-format verdict relation.  Split out of
-    `verify` so STREAMING pipelines can compute the metrics as a
-    stateful streaming aggregation (mergeable across micro-batches)
-    and derive the identical verdict from the materialized state."""
+    """Explode a one-row RAW metrics frame (column per check) into the
+    long-format verdict relation.  Split out of `verify` so STREAMING
+    pipelines can compute the metrics as a stateful streaming
+    aggregation (mergeable across micro-batches) and derive the
+    identical verdict from the materialized state.
+
+    The comparison runs on the UNROUNDED metric; rounding is display
+    only.  Rounding first would let an exact constraint (completeness
+    >= 1.0) pass with up to ~5e-7 violations — thousands of bad rows
+    at the scale this suite exists to police."""
     structs = [
         F.struct(
             F.lit(name).alias("check_name"),
-            F.col(name).alias("metric"),
+            F.round(F.col(name), 6).alias("metric"),
             F.lit(float(threshold)).alias("threshold"),
             F.lit(op).alias("op"),
             (

@@ -34,30 +34,33 @@ WITH j AS (
     ON o.o_custkey = c.c_custkey
 ),
 m AS (
+  -- RAW metrics: the pass/fail comparison must see the unrounded
+  -- value (rounding first would let completeness 0.9999996 "pass"
+  -- an exact >= 1.0 constraint); ROUND is display-only below.
   SELECT
-    ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS completeness_custkey,
-    ROUND(AVG(CASE WHEN ck IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)        AS fk_customer_containment,
-    ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6)                          AS max_totalprice_bound,
-    ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6)                          AS min_totalprice_nonneg,
-    ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) AS status_domain,
-    ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(*), 6)                AS uniqueness_orderkey
+    CAST(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS completeness_custkey,
+    CAST(AVG(CASE WHEN ck IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE)        AS fk_customer_containment,
+    CAST(MAX(o_totalprice) AS DOUBLE)                                          AS max_totalprice_bound,
+    CAST(MIN(o_totalprice) AS DOUBLE)                                          AS min_totalprice_nonneg,
+    CAST(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS status_domain,
+    CAST(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(*) AS DOUBLE)                AS uniqueness_orderkey
   FROM j
 )
-SELECT 'completeness_custkey' AS check_name, completeness_custkey AS metric,
+SELECT 'completeness_custkey' AS check_name, ROUND(completeness_custkey, 6) AS metric,
        1.0 AS threshold, '>=' AS op, completeness_custkey >= 1.0 AS passed FROM m
 UNION ALL
-SELECT 'fk_customer_containment', fk_customer_containment, 1.0, '>=',
+SELECT 'fk_customer_containment', ROUND(fk_customer_containment, 6), 1.0, '>=',
        fk_customer_containment >= 1.0 FROM m
 UNION ALL
-SELECT 'max_totalprice_bound', max_totalprice_bound, 1000000.0, '<=',
+SELECT 'max_totalprice_bound', ROUND(max_totalprice_bound, 6), 1000000.0, '<=',
        max_totalprice_bound <= 1000000.0 FROM m
 UNION ALL
-SELECT 'min_totalprice_nonneg', min_totalprice_nonneg, 0.0, '>=',
+SELECT 'min_totalprice_nonneg', ROUND(min_totalprice_nonneg, 6), 0.0, '>=',
        min_totalprice_nonneg >= 0.0 FROM m
 UNION ALL
-SELECT 'status_domain', status_domain, 1.0, '>=', status_domain >= 1.0 FROM m
+SELECT 'status_domain', ROUND(status_domain, 6), 1.0, '>=', status_domain >= 1.0 FROM m
 UNION ALL
-SELECT 'uniqueness_orderkey', uniqueness_orderkey, 1.0, '>=',
+SELECT 'uniqueness_orderkey', ROUND(uniqueness_orderkey, 6), 1.0, '>=',
        uniqueness_orderkey >= 1.0 FROM m
 ORDER BY check_name
 """

@@ -288,23 +288,24 @@ def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_EXPECTATIONS_ORACLE = """
 WITH m AS (
+  -- RAW metrics; ROUND is display-only (see operators/expectations.py)
   SELECT
-    ROUND(AVG(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS completeness_user_id,
-    ROUND(AVG(CASE WHEN event_type IN ('click','error','purchase','signup','view')
-                   THEN 1.0 ELSE 0.0 END), 6) AS domain_event_type,
-    ROUND(CAST(MAX(value) AS DOUBLE), 6) AS max_value,
-    ROUND(AVG(CASE WHEN value >= 0 THEN 1.0 ELSE 0.0 END), 6) AS nonneg_value
+    CAST(AVG(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS completeness_user_id,
+    CAST(AVG(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+                  THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS domain_event_type,
+    CAST(MAX(value) AS DOUBLE) AS max_value,
+    CAST(AVG(CASE WHEN value >= 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS nonneg_value
   FROM events
 )
-SELECT 'completeness_user_id' AS check_name, completeness_user_id AS metric,
+SELECT 'completeness_user_id' AS check_name, ROUND(completeness_user_id, 6) AS metric,
        1.0 AS threshold, '>=' AS op, completeness_user_id >= 1.0 AS passed FROM m
 UNION ALL
-SELECT 'domain_event_type', domain_event_type, 1.0, '>=',
+SELECT 'domain_event_type', ROUND(domain_event_type, 6), 1.0, '>=',
        domain_event_type >= 1.0 FROM m
 UNION ALL
-SELECT 'max_value', max_value, 1000.0, '<=', max_value <= 1000.0 FROM m
+SELECT 'max_value', ROUND(max_value, 6), 1000.0, '<=', max_value <= 1000.0 FROM m
 UNION ALL
-SELECT 'nonneg_value', nonneg_value, 1.0, '>=', nonneg_value >= 1.0 FROM m
+SELECT 'nonneg_value', ROUND(nonneg_value, 6), 1.0, '>=', nonneg_value >= 1.0 FROM m
 ORDER BY check_name
 """
 
@@ -332,14 +333,14 @@ WITH ends AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN sess_end IS NULL OR epoch_us(ts) >= sess_end
               THEN 1 ELSE 0 END AS new_s
   FROM ends
 ),
 sess AS (
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )

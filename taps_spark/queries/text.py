@@ -1283,10 +1283,18 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     version must reproduce.
     """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    n_chunks = F.expr(
-        "size(filter(transform(sequence(1, greatest(length(text)-7, 0)), "
-        "i -> substring(md5(substring(text, i, 8)), 1, 2)), h -> h = '00')) + 1"
-    )
+    # Docs shorter than the 8-char window have NO boundary positions:
+    # Spark's sequence(1, 0) is [1, 0] (descending), which would test
+    # the window twice where the oracle's empty range tests none —
+    # guard to zero boundaries (single chunk) instead.
+    n_boundaries = F.when(
+        F.length("text") >= 8,
+        F.expr(
+            "size(filter(transform(sequence(1, length(text) - 7), "
+            "i -> substring(md5(substring(text, i, 8)), 1, 2)), h -> h = '00'))"
+        ),
+    ).otherwise(F.lit(0))
+    n_chunks = n_boundaries + 1
     return (
         docs.select("doc_id", "n_chars", n_chunks.alias("n_chunks"))
         .withColumn(
@@ -1471,14 +1479,23 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw text never moves, only 3-gram strings.
     """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # Tokenize ONCE per doc (a split inside the transform lambda would
+    # re-run per gram position), and guard docs under 3 tokens:
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], whose 0 start
+    # makes slice() throw — short docs must yield an empty gram set,
+    # exactly like the oracle's empty range.
     grams = (
-        docs.select(
+        docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .select(
             "doc_id",
             F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 0)), "
-                    "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3)))"
-                )
+                F.when(
+                    F.size("toks") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2), "
+                        "i -> concat_ws(' ', slice(toks, i, 3)))"
+                    ),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
             ).alias("gram"),
         )
         .distinct()

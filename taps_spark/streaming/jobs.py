@@ -395,17 +395,17 @@ def stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     domain = ("click", "error", "purchase", "signup", "view")
+    # RAW metrics in the stream state; verdict() rounds for display and
+    # compares unrounded (rounding first would mask tiny violations).
     agg = ev.agg(
-        F.round(
-            F.avg(F.when(F.col("user_id").isNotNull(), 1.0).otherwise(0.0)), 6
-        ).alias("completeness_user_id"),
-        F.round(
-            F.avg(F.when(F.col("event_type").isin(*domain), 1.0).otherwise(0.0)), 6
-        ).alias("domain_event_type"),
-        F.round(F.avg(F.when(F.col("value") >= 0, 1.0).otherwise(0.0)), 6).alias(
-            "nonneg_value"
+        F.avg(F.when(F.col("user_id").isNotNull(), 1.0).otherwise(0.0)).alias(
+            "completeness_user_id"
         ),
-        F.round(F.max("value").cast("double"), 6).alias("max_value"),
+        F.avg(F.when(F.col("event_type").isin(*domain), 1.0).otherwise(0.0)).alias(
+            "domain_event_type"
+        ),
+        F.avg(F.when(F.col("value") >= 0, 1.0).otherwise(0.0)).alias("nonneg_value"),
+        F.max("value").cast("double").alias("max_value"),
     )
     state = run_to_memory(agg, "complete")
     return verdict(

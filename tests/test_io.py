@@ -366,30 +366,6 @@ def test_avro_raises_actionable_error_without_jar(spark, sf_dir):
         read_avro(spark, f"{sf_dir}/nation.avro")
 
 
-def test_compact_files_merges_small_files(spark, sf_dir, tmp_path):
-    """64 tiny files compact into the computed bin count with
-    identical rows; clustered mode restores range layout."""
-    import glob
-
-    from taps_spark.io.layout import compact_files
-
-    src = str(tmp_path / "shattered")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.repartition(64).write.parquet(src)
-    assert len(glob.glob(f"{src}/*.parquet")) == 64
-
-    dest = str(tmp_path / "compacted")
-    n = compact_files(spark, src, dest, target_file_bytes=1 << 40)
-    assert n == 1
-    assert len(glob.glob(f"{dest}/*.parquet")) == 1
-    assert spark.read.parquet(dest).count() == ev.count()
-
-    dest2 = str(tmp_path / "clustered")
-    compact_files(spark, src, dest2, target_file_bytes=1 << 40, cluster_cols=["ts"])
-    back = spark.read.parquet(dest2)
-    assert back.count() == ev.count()
-
-
 def test_surrogate_keys_match_global_row_number(spark, sf_dir):
     """Two-phase distributed assignment must equal the single-node
     ROW_NUMBER() OVER (ORDER BY doc_id) - 1, with a dense gap-free

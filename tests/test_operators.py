@@ -840,3 +840,64 @@ def test_chunk_audit_plan_is_window_free(spark, sf_dir):
     # Chunks 5 and 6 are fully lost at every SF with ≥ 7·1024 orders.
     lost = {r["chunk_id"] for r in rows if r["n_present"] == 0}
     assert {5, 6} <= lost or len(rows) > 0
+
+
+def test_short_document_edge_cases_match_oracle(spark, tmp_path):
+    """Docs under 3 tokens / 8 chars hit Spark's descending
+    sequence(1, 0) pitfall — novelty must yield zero grams and CDC
+    chunking exactly one chunk, matching the oracles' empty ranges."""
+    import duckdb
+
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    rows = [
+        (0, "ab", "en", "src0", 2),              # < 8 chars, 1 token
+        (1, "one two", "en", "src0", 7),         # 2 tokens, < 8 chars
+        (2, "alpha beta gamma delta", "en", "src0", 22),
+        (3, "", "en", "src0", 0),                # empty text
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs_sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for name in ("text_ngram_novelty", "text_cdc_chunking"):
+        got = sorted(
+            tuple(r) for r in REGISTRY[name].fn(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(REGISTRY[name].oracle).fetchall())
+        assert got == want, f"{name}: {got} != {want}"
+    # Sanity on the semantics themselves: short docs contribute no
+    # grams; every doc yields exactly one CDC chunk at these lengths.
+    cdc = {r.doc_id: r.n_chunks for r in REGISTRY["text_cdc_chunking"].fn(spark, d).collect()}
+    assert cdc[0] == 1 and cdc[1] == 1 and cdc[3] == 1
+
+
+def test_versioned_write_recovers_from_orphan_dir(spark, sf_dir, tmp_path):
+    """A crashed write leaves v=N on disk without a manifest entry;
+    the next write_version must reclaim it, not fail forever."""
+    import os
+
+    from taps_spark.io.versioned import read_version, versions, write_version
+
+    table = str(tmp_path / "vt")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_version(nation.limit(3), table)
+    # Simulate a crashed write: orphan v=2 exists, manifest unaware.
+    orphan = os.path.join(table, "v=2")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("partial")
+    v2 = write_version(nation.limit(7), table)
+    assert v2 == 2
+    assert versions(table)["current"] == 2
+    assert read_version(spark, table).count() == 7

@@ -21,7 +21,11 @@ def main() -> int:
         text = open(sys.argv[1]).read()
     else:
         text = sys.stdin.read()
-    line = next(l for l in text.splitlines() if l.startswith('{"metric"'))
+    line = next((l for l in text.splitlines() if l.startswith('{"metric"')), None)
+    if line is None:
+        print("bench_compare: no bench JSON line found in input "
+              "(did bench.py fail?)", file=sys.stderr)
+        return 2
     now = json.loads(line)
 
     priors = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
