@@ -368,3 +368,66 @@ def validate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_beyond_1pct"),
         F.round(F.max("rel_err"), 4).alias("max_rel_err"),
     )
+
+
+K_ANONYMITY_ORACLE = """
+WITH qid AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acct_band,
+         COUNT(*) AS grp_size
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+ks AS (SELECT UNNEST([2, 5, 10]) AS k)
+SELECT k,
+       (SELECT COUNT(*) FROM qid)                 AS n_groups,
+       (SELECT CAST(MIN(grp_size) AS BIGINT) FROM qid) AS min_group_size,
+       CAST(COALESCE(SUM(CASE WHEN grp_size < k THEN 1 ELSE 0 END), 0) AS BIGINT) AS groups_below_k,
+       CAST(COALESCE(SUM(CASE WHEN grp_size < k THEN grp_size ELSE 0 END), 0) AS BIGINT) AS rows_below_k
+FROM qid CROSS JOIN ks
+GROUP BY k
+ORDER BY k
+"""
+
+
+@query("governance_k_anonymity", oracle=K_ANONYMITY_ORACLE)
+def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit before a data release: group the table by its
+    quasi-identifiers (nation, market segment, account-balance band)
+    and report, for k in {2, 5, 10}, how many equivalence classes and
+    rows fall below the re-identification threshold — the standard
+    privacy gate a 100 TB corpus must pass before leaving the
+    governed zone (the reference moves rows verbatim and has no
+    notion of release safety).
+
+    Scale: one hash aggregation on the QID tuple (map-side combined),
+    then a constant-size (groups × 3 thresholds) summary agg — the
+    second stage's input is one row per equivalence class, already
+    orders of magnitude smaller than the table. No joins, no windows.
+    """
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    qid = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("acct_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_size"))
+
+    ks = [2, 5, 10]
+    per_k = qid.select(
+        "grp_size",
+        F.explode(F.array(*[F.lit(k) for k in ks])).alias("k"),
+    )
+    return (
+        per_k.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("grp_size").alias("min_group_size"),
+            F.sum(F.when(F.col("grp_size") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("groups_below_k"),
+            F.sum(F.when(F.col("grp_size") < F.col("k"), F.col("grp_size")).otherwise(0))
+            .cast("long")
+            .alias("rows_below_k"),
+        )
+        .orderBy("k")
+    )

@@ -599,3 +599,178 @@ def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_jaccard", F.round(F.col("n_common") * 1.0 / F.col("n_union"), 6)
         )
     )
+
+
+KS_TEST_ORACLE = """
+WITH a AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders WHERE o_orderstatus = 'F'
+),
+b AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders WHERE o_orderstatus = 'O'
+),
+counts AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM (
+    SELECT v, 'a' AS side FROM a
+    UNION ALL
+    SELECT v, 'b' AS side FROM b
+  )
+  GROUP BY v
+),
+tot AS (SELECT (SELECT COUNT(*) FROM a) AS n, (SELECT COUNT(*) FROM b) AS m),
+ecdf AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM counts
+)
+SELECT n AS n_a, m AS n_b,
+       CAST(MAX(ABS(cum_a * m - cum_b * n)) AS BIGINT) AS d_numerator,
+       ROUND(CAST(MAX(ABS(cum_a * m - cum_b * n)) AS DOUBLE) / (n * m), 6) AS ks_stat
+FROM ecdf CROSS JOIN tot
+GROUP BY n, m
+"""
+
+
+@query("stats_ks_test", oracle=KS_TEST_ORACLE)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: are finished ('F') and
+    open ('O') orders drawn from the same price distribution? D =
+    max_v |F_a(v) - F_b(v)|, computed EXACTLY: the supremum is
+    maximized over the integer cross-products |cum_a*m - cum_b*n|, so
+    the verdict never touches a float until the final display
+    division — bit-exact cross-engine (the drift-detection primitive
+    for corpus refreshes: yesterday's length/score distribution vs
+    today's).
+
+    Scale: pre-aggregating to per-distinct-value (ca, cb) counts
+    shrinks the window input from |rows| to |distinct values| with a
+    map-side combine; the running sum then orders by value. At 100 TB
+    the distinct grid can still be large — the production form
+    range-partitions by v and two-passes the prefix sum exactly like
+    pipeline_assign_surrogate_keys; the single-exchange form here is
+    the per-batch shape. The final max is a 1-row agg.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+    sided = orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        v.alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("long").alias("is_a"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).cast("long").alias("is_b"),
+    )
+    counts = sided.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = counts.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    totals = sided.agg(
+        F.sum("is_a").alias("n"), F.sum("is_b").alias("m")
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n").alias("n_a"),
+            F.first("m").alias("n_b"),
+            F.max(F.abs(F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n")))
+            .cast("long")
+            .alias("d_numerator"),
+            F.round(
+                F.max(F.abs(F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n")))
+                .cast("double")
+                / (F.first("n") * F.first("m")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+CHI_SQUARE_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cell AS (SELECT seg, prio, COUNT(*) AS o FROM j GROUP BY 1, 2),
+rt AS (SELECT seg, SUM(o) AS row_tot FROM cell GROUP BY 1),
+ct AS (SELECT prio, SUM(o) AS col_tot FROM cell GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM cell),
+terms AS (
+  SELECT cell.seg, cell.prio, cell.o,
+         ROUND(CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.n, 4) AS expected,
+         ROUND(
+           POW(CAST(cell.o * n.n - rt.row_tot * ct.col_tot AS DOUBLE), 2)
+             / (CAST(n.n AS DOUBLE) * rt.row_tot * ct.col_tot),
+           6
+         ) AS contrib
+  FROM cell JOIN rt USING (seg) JOIN ct USING (prio) CROSS JOIN n
+)
+SELECT seg, prio, o AS observed, expected, contrib,
+       CAST((SELECT SUM(CAST(contrib AS DECIMAL(18,6))) FROM terms) AS DOUBLE) AS chi_square_total
+FROM terms
+ORDER BY seg, prio
+"""
+
+
+@query("stats_chi_square", oracle=CHI_SQUARE_ORACLE)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the market-segment ×
+    order-priority contingency table — the categorical-drift /
+    association primitive (is the label mix independent of the
+    source?), with per-cell observed/expected/contribution and the
+    grand total.
+
+    Determinism: each cell's contribution is ((O·N − rt·ct)² /
+    (N·rt·ct)) — the numerator is an exact integer (< 2⁵³ up to
+    ~90 M-row cells) so the IEEE double square/divide is identical
+    cross-engine; contributions round to 6 dp and the TOTAL is the
+    exact DECIMAL sum of the rounded cells, immune to float
+    summation order.
+
+    Scale: one equi-join (orders↔customer, both shuffled on custkey —
+    AQE may broadcast the dim side) + a grouped count; everything
+    after the `cell` relation is constant-size (|segments|×|priorities|
+    rows), broadcast-joined against the two marginal vectors.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    j = t["orders"].join(
+        t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio"))
+    cell = j.groupBy("seg", "prio").agg(F.count(F.lit(1)).alias("o"))
+    rt = cell.groupBy("seg").agg(F.sum("o").alias("row_tot"))
+    ct = cell.groupBy("prio").agg(F.sum("o").alias("col_tot"))
+    n = cell.agg(F.sum("o").alias("n"))
+    terms = (
+        cell.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "prio")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "seg",
+            "prio",
+            F.col("o"),
+            F.round((F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n"), 4).alias(
+                "expected"
+            ),
+            F.round(
+                F.pow(
+                    (F.col("o") * F.col("n") - F.col("row_tot") * F.col("col_tot")).cast(
+                        "double"
+                    ),
+                    2,
+                )
+                / (F.col("n").cast("double") * F.col("row_tot") * F.col("col_tot")),
+                6,
+            ).alias("contrib"),
+        )
+    )
+    total = terms.agg(
+        F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double").alias("chi_square_total")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("seg", "prio", F.col("o").alias("observed"), "expected", "contrib", "chi_square_total")
+        .orderBy("seg", "prio")
+    )

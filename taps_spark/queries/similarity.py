@@ -322,3 +322,56 @@ def similarity_standardize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_millis_sum"),
         F.expr("size(filter(zs, z -> ABS(z) > 3.0D))").alias("n_clipped"),
     ).orderBy("vec_id")
+
+
+MIPS_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.q_id, c.vec_id, list_dot_product(q.q_vec, c.v) AS _score
+  FROM q CROSS JOIN c
+  WHERE c.vec_id <> q.q_id
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(_score, 4) AS score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY _score DESC, vec_id) AS rank
+  FROM s
+)
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+@query("similarity_mips_topk", oracle=MIPS_ORACLE)
+def similarity_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) top-5 — the retrieval
+    scoring used by dot-product-trained embedding models (DPR-style
+    retrievers), where the UN-normalized inner product is the ranking
+    key and cosine would wrongly discount high-norm items.
+
+    Exact baseline on the same machinery as the cosine path: the
+    scored pairs reduce map-side via WindowGroupLimit(Partial). For
+    the ANN path at corpus scale, MIPS reduces to cosine by norm
+    augmentation (append sqrt(M² − ‖v‖²) to each vector, Shrivastava
+    & Li 2014), after which the existing hyperplane-LSH / IVF /
+    PQ routes (similarity_ann_*) apply unchanged.
+    """
+    from taps_spark.operators.similarity import _topk_reduce, as_double, dot
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        emb.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            dot(as_double(F.col("q_vec")), as_double(F.col("embedding"))).alias("_score"),
+        )
+    )
+    return _topk_reduce(scored, "q_id", "vec_id", 5).orderBy("q_id", "rank")

@@ -365,3 +365,35 @@ def events_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
     return stream_session_dynamic_gap(spark, sf_dir).orderBy(
         "user_id", "session_start"
     )
+
+
+HOURLY_TOPK_ORACLE = """
+WITH counts AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour_start,
+         event_type,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT hour_start, event_type, n_events, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start
+                               ORDER BY n_events DESC, event_type) AS rank
+  FROM counts
+)
+WHERE rank <= 3
+ORDER BY hour_start, rank
+"""
+
+
+@query("events_stream_hourly_topk", oracle=HOURLY_TOPK_ORACLE)
+def events_stream_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k leaderboard: the stream maintains hourly
+    per-type counts (watermarked tumbling windows — additive,
+    merge-safe state); ranking happens on the materialized sink,
+    because a rank is not incrementally maintainable under append
+    semantics. Integer counts + lexicographic tiebreak make the
+    result exactly oracle-checkable against the batch SQL."""
+    from taps_spark.streaming.jobs import stream_hourly_topk
+
+    return stream_hourly_topk(spark, sf_dir, k=3)

@@ -1562,3 +1562,123 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("posting_head"),
     )
     return idx.orderBy(F.desc("df"), "term").limit(20)
+
+
+GOPHER_RULES_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS sum_len,
+         CAST(list_sum(list_transform(toks,
+              t -> CASE WHEN regexp_matches(t, '[A-Za-z]') THEN 1 ELSE 0 END)) AS BIGINT) AS n_alpha,
+         CAST(list_sum(list_transform(toks,
+              t -> CASE WHEN t IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+         CAST(list_sum(list_transform(toks,
+              t -> CASE WHEN t LIKE '#%' OR t LIKE '%...%' THEN 1 ELSE 0 END)) AS BIGINT) AS n_sym
+  FROM tok
+),
+flags AS (
+  SELECT
+    CASE WHEN n_tok >= 50 AND n_tok <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+    CASE WHEN sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok THEN 1 ELSE 0 END AS r_mean_word_len,
+    CASE WHEN 5 * n_alpha >= 4 * n_tok THEN 1 ELSE 0 END AS r_alpha_ratio,
+    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopword,
+    CASE WHEN 10 * n_sym <= n_tok THEN 1 ELSE 0 END AS r_symbol_ratio
+  FROM st
+),
+agg AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(r_word_count) AS BIGINT) AS p_word_count,
+         CAST(SUM(r_mean_word_len) AS BIGINT) AS p_mean_word_len,
+         CAST(SUM(r_alpha_ratio) AS BIGINT) AS p_alpha_ratio,
+         CAST(SUM(r_stopword) AS BIGINT) AS p_stopword,
+         CAST(SUM(r_symbol_ratio) AS BIGINT) AS p_symbol_ratio,
+         CAST(SUM(r_word_count * r_mean_word_len * r_alpha_ratio
+                  * r_stopword * r_symbol_ratio) AS BIGINT) AS p_all
+  FROM flags
+)
+SELECT rule, n_pass, n_docs - n_pass AS n_fail,
+       ROUND(CAST(n_docs - n_pass AS DOUBLE) / n_docs, 4) AS fail_rate
+FROM (
+  SELECT 'alpha_ratio' AS rule, p_alpha_ratio AS n_pass, n_docs FROM agg
+  UNION ALL SELECT 'keep_all', p_all, n_docs FROM agg
+  UNION ALL SELECT 'mean_word_len', p_mean_word_len, n_docs FROM agg
+  UNION ALL SELECT 'stopword', p_stopword, n_docs FROM agg
+  UNION ALL SELECT 'symbol_ratio', p_symbol_ratio, n_docs FROM agg
+  UNION ALL SELECT 'word_count', p_word_count, n_docs FROM agg
+)
+ORDER BY rule
+"""
+
+
+@query("text_gopher_rules", oracle=GOPHER_RULES_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rule suite (Rae et al. 2021
+    §A1.1, re-expressed): word-count bounds [50, 100k], mean word
+    length in [3, 10], >=80% tokens containing an alphabetic char,
+    >=2 stopword hits, <=10% symbol tokens (#-prefixed / ellipsis) —
+    plus the conjunction (`keep_all`), reported as per-rule pass/fail
+    counts over the corpus.
+
+    Every threshold is evaluated as an INTEGER cross-multiplication
+    (e.g. mean length >= 3  <=>  sum_len >= 3*n_tok), so the verdict
+    is bit-exact cross-engine — no float ratios on the compare path.
+
+    Scale: one narrow map over the text column (all counters are
+    codegen'd array folds, no explode, no Python) into one 1-row
+    partial-aggregated global agg, then a constant-width unpivot.
+    Shuffle payload = one row of counters per task, at any corpus
+    size. The reference has no text surface at all (its rows are
+    opaque payloads — lib/taps/data_stream.rb serializes, never
+    inspects); this is §2c extension territory.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"))).cast("long")
+    n_sym = F.size(
+        F.filter(toks, lambda t: t.startswith("#") | t.contains("..."))
+    ).cast("long")
+
+    flags = docs.select(
+        ((n_tok >= 50) & (n_tok <= 100000)).cast("long").alias("r_word_count"),
+        ((sum_len >= 3 * n_tok) & (sum_len <= 10 * n_tok)).cast("long").alias("r_mean_word_len"),
+        (5 * n_alpha >= 4 * n_tok).cast("long").alias("r_alpha_ratio"),
+        (n_stop >= 2).cast("long").alias("r_stopword"),
+        (10 * n_sym <= n_tok).cast("long").alias("r_symbol_ratio"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("r_word_count").alias("p_word_count"),
+        F.sum("r_mean_word_len").alias("p_mean_word_len"),
+        F.sum("r_alpha_ratio").alias("p_alpha_ratio"),
+        F.sum("r_stopword").alias("p_stopword"),
+        F.sum("r_symbol_ratio").alias("p_symbol_ratio"),
+        F.sum(
+            F.col("r_word_count") * F.col("r_mean_word_len") * F.col("r_alpha_ratio")
+            * F.col("r_stopword") * F.col("r_symbol_ratio")
+        ).alias("p_all"),
+    )
+    long = agg.selectExpr(
+        "n_docs",
+        """stack(6,
+           'alpha_ratio',   p_alpha_ratio,
+           'keep_all',      p_all,
+           'mean_word_len', p_mean_word_len,
+           'stopword',      p_stopword,
+           'symbol_ratio',  p_symbol_ratio,
+           'word_count',    p_word_count
+        ) AS (rule, n_pass)""",
+    )
+    return long.select(
+        "rule",
+        "n_pass",
+        (F.col("n_docs") - F.col("n_pass")).alias("n_fail"),
+        F.round((F.col("n_docs") - F.col("n_pass")) / F.col("n_docs"), 4).alias("fail_rate"),
+    ).orderBy("rule")

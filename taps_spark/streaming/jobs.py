@@ -449,3 +449,39 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_hourly_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Streaming leaderboard: hourly tumbling counts per event type
+    maintained by the stream, top-k per hour ranked at read time.
+
+    The RANKING deliberately lives outside the streaming graph:
+    Structured Streaming cannot update a rank row retroactively under
+    append semantics, so the stream maintains the additive state
+    (per-window counts — merge-safe, watermark-bounded) and the
+    finalization ranks the materialized result. That split is the
+    production shape too: the sink table holds counts; the dashboard
+    query ranks. Rank ties break on event_type, so the result is
+    deterministic and oracle-gated, not rows-only.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    counts = run_to_memory(agg, "complete")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hour_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("hour_start", "rank")
+    )
