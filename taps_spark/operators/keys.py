@@ -70,3 +70,61 @@ def assign_surrogate_keys(
             yield out
 
     return with_pid.mapInPandas(number, schema=out_schema)
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: tuple[str, ...],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running totals of `sum_cols` in `order_col` order,
+    WITHOUT a global single-partition window.
+
+    Same two-phase shape as assign_surrogate_keys: range-shuffle +
+    in-partition sort (pinned once — see the localCheckpoint note
+    above), a jobs-scale per-partition totals collect prefix-summed
+    into per-partition starting offsets, then a map-only pass adds
+    offset + local cumulative sum. Equivalent to
+    SUM(c) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING) for a
+    unique ordering key, but no executor ever holds more than its
+    partition — the ECDF/prefix-sum primitive at 100 TB.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, order_col)
+        if num_partitions
+        else df.repartitionByRange(order_col)
+    ).sortWithinPartitions(order_col)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    totals = with_pid.groupBy("_pid").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).collect()
+    per_pid = {r["_pid"]: [r[c] or 0 for c in sum_cols] for r in totals}
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(sum_cols)
+    for pid in sorted(per_pid):
+        offsets[pid] = list(acc)
+        acc = [a + t for a, t in zip(acc, per_pid[pid])]
+    out_schema = with_pid.drop("_pid").schema
+    for c in sum_cols:
+        out_schema = out_schema.add(f"cum_{c}", "long", False)
+
+    def running(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carried: list[int] | None = None
+        for b in batches:
+            if len(b) == 0:
+                yield b.drop(columns=["_pid"]).assign(
+                    **{f"cum_{c}": pd.Series(dtype="int64") for c in sum_cols}
+                )
+                continue
+            if carried is None:
+                carried = list(offsets[int(b["_pid"].iloc[0])])
+            out = b.drop(columns=["_pid"]).copy()
+            for i, c in enumerate(sum_cols):
+                out[f"cum_{c}"] = b[c].cumsum() + carried[i]
+                carried[i] += int(b[c].sum())
+            yield out
+
+    return with_pid.mapInPandas(running, schema=out_schema)

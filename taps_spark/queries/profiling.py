@@ -645,12 +645,13 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     today's).
 
     Scale: pre-aggregating to per-distinct-value (ca, cb) counts
-    shrinks the window input from |rows| to |distinct values| with a
-    map-side combine; the running sum then orders by value. At 100 TB
-    the distinct grid can still be large — the production form
-    range-partitions by v and two-passes the prefix sum exactly like
-    pipeline_assign_surrogate_keys; the single-exchange form here is
-    the per-batch shape. The final max is a 1-row agg.
+    shrinks the ECDF input from |rows| to |distinct values| with a
+    map-side combine; the running totals then come from the
+    DISTRIBUTED prefix-sum primitive (operators/keys.prefix_sums:
+    range-shuffle + jobs-scale offset collect + map-only cumsum) —
+    there is NO single-partition global window anywhere, so the plan
+    survives a distinct grid of any size. The final max is a 1-row
+    partial-aggregated agg.
     """
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     v = F.col("o_totalprice").cast("decimal(18,2)")
@@ -662,11 +663,10 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = sided.groupBy("v").agg(
         F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
     )
-    from pyspark.sql import Window
+    from taps_spark.operators.keys import prefix_sums
 
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ecdf = counts.select(
-        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    ecdf = prefix_sums(counts, "v", ("ca", "cb")).select(
+        F.col("cum_ca").alias("cum_a"), F.col("cum_cb").alias("cum_b")
     )
     totals = sided.agg(
         F.sum("is_a").alias("n"), F.sum("is_b").alias("m")

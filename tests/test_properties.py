@@ -256,3 +256,29 @@ def test_surrogate_keys_invariant_under_partition_count(spark, sf_dir):
             baseline = got
         else:
             assert got == baseline, f"ids changed at num_partitions={n}"
+
+
+def test_prefix_sums_invariant_and_match_global_window(spark, sf_dir):
+    """prefix_sums must equal the single-partition global-window
+    running total exactly, at EVERY partition count — the distributed
+    ECDF primitive stats_ks_test rides on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from taps_spark.operators.keys import prefix_sums
+
+    counts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = sorted(
+        (r.v, r.cum) for r in counts.select("v", F.sum("c").over(w).alias("cum")).collect()
+    )
+    for n in (2, 7):
+        got = sorted(
+            (r.v, r.cum_c)
+            for r in prefix_sums(counts, "v", ("c",), num_partitions=n).collect()
+        )
+        assert got == expected, f"prefix sums diverged at num_partitions={n}"
