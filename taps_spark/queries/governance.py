@@ -431,3 +431,122 @@ def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+ENTITY_RESOLUTION_ORACLE = """
+WITH RECURSIVE p AS (
+  SELECT doc_id, lang,
+         array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ') AS prefix
+  FROM documents
+),
+edges AS (
+  SELECT b.doc_id AS src, a.doc_id AS dst
+  FROM p a JOIN p b
+    ON a.lang = b.lang
+   AND split_part(a.prefix, ' ', 1) = split_part(b.prefix, ' ', 1)
+   AND b.doc_id < a.doc_id
+  WHERE levenshtein(a.prefix, b.prefix) <= 3
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS entity_id
+  FROM reach GROUP BY a
+),
+members AS (
+  SELECT c.entity_id, d.doc_id, d.lang, LEN(d.text) AS n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+golden AS (
+  SELECT entity_id, doc_id AS survivor_id
+  FROM (
+    SELECT entity_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY entity_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM members
+  ) WHERE rn = 1
+)
+SELECT m.entity_id,
+       COUNT(*)                        AS n_records,
+       COUNT(DISTINCT m.lang)          AS n_langs,
+       CAST(SUM(m.n_chars) AS BIGINT)  AS total_chars,
+       MAX(g.survivor_id)              AS survivor_id
+FROM members m JOIN golden g USING (entity_id)
+GROUP BY m.entity_id
+ORDER BY m.entity_id
+"""
+
+
+@query("pipeline_entity_resolution", oracle=ENTITY_RESOLUTION_ORACLE)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (the MDM golden-record pipeline):
+    (1) block on (language, first title token) and match by bounded
+    Levenshtein <= 3 over 5-token prefixes — the same match rule as
+    text_fuzzy_match_pairs; (2) resolve the match graph to entities
+    by iterative min-label connected components (transitive closure:
+    A~B, B~C => one entity even if A,C never matched directly);
+    (3) survivorship — the longest record (tiebreak: lowest id) wins
+    as the golden record; per-entity rollup of members, languages,
+    and merged bytes.
+
+    The DuckDB oracle replays the whole pipeline as a recursive-CTE
+    closure. Scale: blocking bounds candidate pairs by sum-of-block²,
+    label propagation is O(diameter) rounds of equi-join +
+    min-aggregate (near-clique match graphs converge in 2-4), and
+    survivorship is one WindowGroupLimit-reduced rank per entity.
+    The reference moves records verbatim and can only ever have
+    exact-duplicate awareness (pk collisions); this is the §2c
+    generalization.
+    """
+    from taps_spark.operators.dedup import connected_components
+    from taps_spark.operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    p = docs.select(
+        "doc_id",
+        "lang",
+        F.array_join(F.slice(tokens("text"), 1, 5), " ").alias("prefix"),
+    )
+    a = p.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("prefix").alias("pa"),
+        F.split("prefix", " ")[0].alias("tok1"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("pb"), F.split("prefix", " ")[0].alias("tok1_b"),
+    )
+    edges = (
+        a.join(b, (a.lang == b.lang_b) & (a.tok1 == b.tok1_b) & (b.doc_b < a.doc_a))
+        .filter(F.levenshtein("pa", "pb", 3) >= 0)
+        .select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("entity_id")
+    )
+    members = comp.join(docs.select("doc_id", "lang", F.length("text").alias("n_chars")), "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    golden = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("doc_id").alias("survivor_id"))
+    )
+    return (
+        members.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .join(golden, "entity_id")
+        .select("entity_id", "n_records", "n_langs", "total_chars", "survivor_id")
+        .orderBy("entity_id")
+    )
