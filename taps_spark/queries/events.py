@@ -1457,3 +1457,122 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+HOLT_WINTERS_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+arr AS (
+  SELECT event_type, list(cnt ORDER BY day) AS xs, COUNT(*) AS n
+  FROM daily GROUP BY event_type
+  HAVING COUNT(*) >= 14
+),
+h AS (
+  SELECT event_type, 7 AS rn, n, xs,
+         list_sum(xs[1:7]) / 7.0 AS level,
+         0.0::DOUBLE AS trend,
+         list_transform(xs[1:7], x -> x - list_sum(xs[1:7]) / 7.0) AS seas
+  FROM arr
+  UNION ALL
+  SELECT event_type, rn + 1, n, xs,
+         0.3 * (xs[rn + 1] - seas[rn + 1 - 7]) + 0.7 * (level + trend),
+         0.2 * ((0.3 * (xs[rn + 1] - seas[rn + 1 - 7]) + 0.7 * (level + trend)) - level)
+           + 0.8 * trend,
+         list_append(seas,
+           0.4 * (xs[rn + 1] - (0.3 * (xs[rn + 1] - seas[rn + 1 - 7])
+                                + 0.7 * (level + trend)))
+             + 0.6 * seas[rn + 1 - 7])
+  FROM h WHERE rn < n
+)
+SELECT event_type,
+       ROUND(level, 4) AS level,
+       ROUND(trend, 4) AS trend,
+       ROUND(level + 1 * trend + seas[n + 1 - 7], 4) AS forecast_1,
+       ROUND(level + 2 * trend + seas[n + 2 - 7], 4) AS forecast_2,
+       ROUND(level + 3 * trend + seas[n + 3 - 7], 4) AS forecast_3
+FROM h WHERE rn = n
+ORDER BY event_type
+"""
+
+
+@query("events_holt_winters_seasonal", oracle=HOLT_WINTERS_ORACLE)
+def events_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE-SEASONAL smoothing (α=0.3, β=0.2, γ=0.4,
+    weekly period m=7) of daily event volumes, with 1/2/3-step-ahead
+    forecasts that re-apply the matching day-of-week seasonal — the
+    capacity-planning model when traffic has genuine weekly shape
+    that events_holt_trend's trend-only fit smears.
+
+    Seeding: level₀ = mean of the first period, trend₀ = 0,
+    sᵢ = xᵢ − level₀ (i ≤ m); the fold then walks t = m+1..n keeping
+    the FULL seasonal history so s_{t−m} is an exact array lookup.
+    Determinism: daily counts are integers, so the seed mean is exact
+    in doubles regardless of summation order; every later operation
+    is the same literal IEEE expression on both engines, so doubles
+    match bit-for-bit before the display rounding (same discipline as
+    events_ewma / events_cusum_changepoint / events_holt_trend).
+
+    Scale: one shuffle to (type, day) grain, one to type grain; the
+    fold is a per-key codegen'd array aggregate over days-per-key
+    elements (bounded: 100 TB of events is still ≤ a few thousand
+    days), and series shorter than two periods are filtered out
+    rather than mis-seeded.
+    """
+    m = 7
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, cnt))), e -> e.cnt)"
+            ).alias("xs")
+        )
+        .filter(F.size("xs") >= 2 * m)
+    )
+    seeded = arr.select(
+        "event_type",
+        "xs",
+        F.size("xs").alias("n"),
+        F.expr(f"aggregate(slice(xs, 1, {m}), CAST(0.0 AS DOUBLE), (a, x) -> a + x) / {m}.0D").alias(
+            "lvl0"
+        ),
+    ).select(
+        "event_type",
+        "xs",
+        "n",
+        "lvl0",
+        F.expr(f"transform(slice(xs, 1, {m}), x -> x - lvl0)").alias("seas0"),
+    )
+    prev_s = f"element_at(acc.seas, size(acc.seas) - {m} + 1)"
+    new_level = f"0.3D * (x - {prev_s}) + 0.7D * (acc.level + acc.trend)"
+    folded = seeded.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"aggregate(slice(xs, {m} + 1, size(xs) - {m}), "
+            "struct(CAST(lvl0 AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend, seas0 AS seas), "
+            "(acc, x) -> struct("
+            f"{new_level}, "
+            f"0.2D * (({new_level}) - acc.level) + 0.8D * acc.trend, "
+            f"concat(acc.seas, array(0.4D * (x - ({new_level})) + 0.6D * {prev_s}))"
+            "))"
+        ).alias("hw"),
+    )
+    fc = lambda h: F.round(  # noqa: E731
+        F.col("hw.level") + h * F.col("hw.trend")
+        + F.element_at(F.col("hw.seas"), F.col("n").cast("int") + h - m),
+        4,
+    ).alias(f"forecast_{h}")
+    return folded.select(
+        "event_type",
+        F.round("hw.level", 4).alias("level"),
+        F.round("hw.trend", 4).alias("trend"),
+        fc(1),
+        fc(2),
+        fc(3),
+    ).orderBy("event_type")

@@ -774,3 +774,94 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg", "prio", F.col("o").alias("observed"), "expected", "contrib", "chi_square_total")
         .orderBy("seg", "prio")
     )
+
+
+WINSORIZE_ORACLE = """
+WITH v AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+ranked AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM v
+),
+cuts AS (
+  SELECT seg,
+         MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN cents END) AS p05,
+         MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN cents END) AS p95
+  FROM ranked GROUP BY seg
+)
+SELECT v.seg,
+       COUNT(*) AS n,
+       MAX(c.p05) AS p05_cents,
+       MAX(c.p95) AS p95_cents,
+       CAST(SUM(CASE WHEN v.cents < c.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN v.cents > c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       ROUND(CAST(SUM(v.cents) AS DOUBLE) / COUNT(*), 4) AS mean_cents,
+       ROUND(CAST(SUM(LEAST(GREATEST(v.cents, c.p05), c.p95)) AS DOUBLE) / COUNT(*), 4)
+         AS mean_winsorized_cents
+FROM v JOIN cuts c USING (seg)
+GROUP BY v.seg
+ORDER BY v.seg
+"""
+
+
+@query("stats_winsorized_moments", oracle=WINSORIZE_ORACLE)
+def stats_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) robust mean per market segment —
+    the outlier-resistant statistic a feature-normalization pass
+    computes before z-scoring heavy-tailed columns.
+
+    Percentiles are DISCRETE order statistics on an integer cents
+    domain (value at rank ceil(q·n)), so the cut points — and every
+    clipped sum — are exact integers cross-engine; only the final
+    display means divide (exactly representable bigint / count).
+
+    Scale: one partitioned (per-segment) rank window over the value
+    column + one broadcast-joined clamp-and-aggregate pass. No global
+    window; per-segment partitions are AQE-splittable, and at real
+    scale the rank window swaps for the prefix_sums ECDF primitive
+    (operators/keys) or approx_percentile with the same plan shape.
+    """
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    v = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg").orderBy("cents")
+    ranked = v.select(
+        "seg",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+    cuts = ranked.groupBy("seg").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"), F.col("cents"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"), F.col("cents"))
+        ).alias("p95"),
+    )
+    j = v.join(F.broadcast(cuts), "seg")
+    clipped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    return (
+        j.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("p05").alias("p05_cents"),
+            F.max("p95").alias("p95_cents"),
+            F.sum((F.col("cents") < F.col("p05")).cast("int")).cast("long").alias("n_clipped_low"),
+            F.sum((F.col("cents") > F.col("p95")).cast("int")).cast("long").alias("n_clipped_high"),
+            F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 4).alias("mean_cents"),
+            F.round(F.sum(clipped).cast("double") / F.count(F.lit(1)), 4).alias(
+                "mean_winsorized_cents"
+            ),
+        )
+        .orderBy("seg")
+    )
