@@ -1682,3 +1682,121 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") - F.col("n_pass")).alias("n_fail"),
         F.round((F.col("n_docs") - F.col("n_pass")) / F.col("n_docs"), 4).alias("fail_rate"),
     ).orderBy("rule")
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round: pair counts from s{r-1}, winning merge
+    m{r}, and merged sequences s{r} via a per-position recursive fold
+    (state = last symbol + emitted prefix) — the exact left-to-right
+    greedy merge the Spark array fold performs."""
+    return f"""
+toks{r} AS (SELECT rowid_{r} AS rid, wc, string_split(seq, ' ') AS t
+            FROM (SELECT ROW_NUMBER() OVER (ORDER BY seq) AS rowid_{r}, wc, seq
+                  FROM s{r - 1})),
+pc{r} AS (
+  SELECT a, b, CAST(SUM(wc) AS BIGINT) AS c
+  FROM (SELECT wc, t[i + 1] AS a, t[i + 2] AS b
+        FROM (SELECT wc, t, unnest(range(len(t) - 1)) AS i FROM toks{r}))
+  GROUP BY a, b
+),
+m{r} AS (SELECT a, b, c FROM pc{r} ORDER BY c DESC, a, b LIMIT 1),
+f{r} AS (
+  SELECT rid, wc, t, 1 AS pos, t[1] AS last, '' AS prefix FROM toks{r}
+  UNION ALL
+  SELECT f.rid, f.wc, f.t, f.pos + 1,
+         CASE WHEN f.last = m.a AND f.t[f.pos + 1] = m.b
+              THEN f.last || m.b ELSE f.t[f.pos + 1] END,
+         CASE WHEN f.last = m.a AND f.t[f.pos + 1] = m.b THEN f.prefix
+              ELSE f.prefix || CASE WHEN f.prefix = '' THEN '' ELSE ' ' END || f.last END
+  FROM f{r} f, m{r} m WHERE f.pos < len(f.t)
+),
+s{r} AS (
+  SELECT wc,
+         CASE WHEN prefix = '' THEN last ELSE prefix || ' ' || last END AS seq
+  FROM f{r} WHERE pos = len(t)
+)"""
+
+
+BPE_TRAIN_ORACLE = (
+    """
+WITH RECURSIVE w AS (
+  SELECT tok, COUNT(*) AS wc
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+  WHERE regexp_matches(tok, '^[a-z]+$')
+  GROUP BY tok
+),
+s0 AS (SELECT wc, array_to_string(string_split(tok, ''), ' ') AS seq FROM w),
+"""
+    + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT merge_rank, sym_a, sym_b, pair_count FROM (
+  SELECT 1 AS merge_rank, a AS sym_a, b AS sym_b, c AS pair_count FROM m1
+  UNION ALL SELECT 2, a, b, c FROM m2
+  UNION ALL SELECT 3, a, b, c FROM m3
+) ORDER BY merge_rank
+"""
+)
+
+
+@query("text_bpe_train_merges", oracle=BPE_TRAIN_ORACLE)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (the first 3 merge rounds): count
+    adjacent symbol pairs over the word-frequency dictionary, adopt
+    the most frequent pair (ties: lexicographic), greedily merge it
+    left-to-right in every word, repeat — Sennrich et al. 2016, the
+    algorithm behind every modern LLM vocabulary.
+
+    Determinism: integer pair counts, total tie order (count desc,
+    pair asc), and a left-to-right fold whose oracle twin is a
+    per-position recursive CTE carrying (last symbol, emitted prefix)
+    — the two engines produce identical merge tables.
+
+    Scale: BPE training never touches the corpus after the first
+    pass — it runs on the DISTINCT-WORD frequency dict (vocabulary-
+    scale, millions of rows at 100 TB, not trillions). Each round is
+    one pair-explode (bounded by word length) + one weighted count +
+    a jobs-scale top-1 collect, and the merge itself is a map-only
+    array fold. The driver loop is rounds-deep (3 here, ~50k for a
+    production vocab — at which point you batch non-conflicting
+    merges per round, same plan shape).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seqs = words.select("wc", F.split("tok", "").alias("syms"))
+    merges = []
+    for r in (1, 2, 3):
+        pairs = seqs.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("wc").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((r, top["a"], top["b"], top["c"]))
+        a, b = top["a"], top["b"]
+        seqs = seqs.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),"
+                f" (acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}',"
+                f" concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')),"
+                " concat(acc, array(x))))"
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, pair_count bigint"
+    )
