@@ -1576,3 +1576,90 @@ def events_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         fc(2),
         fc(3),
     ).orderBy("event_type")
+
+
+SCD2_ASOF_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+    FROM events
+  )
+  WHERE prev_state IS NULL OR prev_state <> event_type
+),
+probes AS (
+  SELECT 'day_10' AS probe_label, MIN(ts) + INTERVAL 10 DAY AS probe_ts FROM events
+  UNION ALL
+  SELECT 'day_20', MIN(ts) + INTERVAL 20 DAY FROM events
+)
+SELECT p.probe_label, c.state, COUNT(*) AS n_users
+FROM changes c JOIN probes p
+  ON c.valid_from <= p.probe_ts
+ AND (c.valid_to IS NULL OR c.valid_to > p.probe_ts)
+GROUP BY p.probe_label, c.state
+ORDER BY p.probe_label, c.state
+"""
+
+
+@query("events_scd2_asof_lookup", oracle=SCD2_ASOF_ORACLE)
+def events_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal) lookup over the SCD-type-2
+    dimension: reconstruct every user's state AS OF two probe
+    instants (10 and 20 days into the window) and roll up the state
+    census — the "what did the world look like on date X" query that
+    SCD2 exists to answer, and the read side of
+    events_scd2_intervals' build.
+
+    The change-row formulation needs NO interval materialization:
+    a user's state at probe T is the last change at or before T, so
+    the half-open [valid_from, valid_to) containment finds exactly
+    one row per user per probe (users with no history yet are
+    correctly absent).
+
+    Scale: intervals come from the same single user_id exchange as
+    the SCD2 build; the probe set is a broadcast dim (2 rows here,
+    thousands in a backfill audit); the containment join fans out at
+    most |probes| rows per interval before the tiny state census agg.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    base = ev.agg(F.min("ts").alias("min_ts"))
+    probes = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("day_10").alias("probe_label"),
+                    F.expr("min_ts + INTERVAL 10 DAYS").alias("probe_ts"),
+                ),
+                F.struct(
+                    F.lit("day_20").alias("probe_label"),
+                    F.expr("min_ts + INTERVAL 20 DAYS").alias("probe_ts"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.probe_label", "p.probe_ts")
+    return (
+        changes.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("probe_ts"))),
+        )
+        .groupBy("probe_label", "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("probe_label", "state")
+    )

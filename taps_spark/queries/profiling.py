@@ -865,3 +865,66 @@ def stats_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+CONTRASTIVE_ORACLE = """
+WITH anchors AS (
+  SELECT doc_id AS anchor_id, lang, source FROM documents WHERE doc_id < 10
+),
+cand AS (SELECT doc_id AS neg_id, lang, source FROM documents)
+SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank
+FROM (
+  SELECT a.anchor_id, c.neg_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.anchor_id
+           ORDER BY MD5(CAST(a.anchor_id AS VARCHAR) || '|' || CAST(c.neg_id AS VARCHAR)),
+                    c.neg_id) AS rank
+  FROM anchors a JOIN cand c
+    ON c.lang = a.lang AND c.source <> a.source
+)
+WHERE rank <= 4
+ORDER BY anchor_id, rank
+"""
+
+
+@query("sample_contrastive_negatives", oracle=CONTRASTIVE_ORACLE)
+def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor document, draw 4 pseudo-random same-language,
+    different-source negatives by ranking candidates on
+    md5(anchor_id | candidate_id) — a keyed hash, so the draw is
+    reproducible on any cluster, any partitioning, any engine
+    (df.sample's RNG is none of those), yet statistically uniform
+    per anchor.
+
+    Scale: anchors broadcast against one candidate scan; the hash
+    rank reduces map-side via WindowGroupLimit(Partial) exactly like
+    the similarity top-k family — the shuffle carries ~k rows per
+    anchor per partition, never the candidate set.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    anchors = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("source").alias("a_source"),
+    )
+    cand = docs.select(F.col("doc_id").alias("neg_id"), "lang", "source")
+    from pyspark.sql import Window
+
+    scored = cand.join(
+        F.broadcast(anchors),
+        (F.col("lang") == F.col("a_lang")) & (F.col("source") != F.col("a_source")),
+    ).select(
+        "anchor_id",
+        "neg_id",
+        F.md5(
+            F.concat_ws("|", F.col("anchor_id").cast("string"), F.col("neg_id").cast("string"))
+        ).alias("h"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select("anchor_id", "neg_id", "rank")
+        .orderBy("anchor_id", "rank")
+    )
