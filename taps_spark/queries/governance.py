@@ -550,3 +550,63 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("entity_id", "n_records", "n_langs", "total_chars", "survivor_id")
         .orderBy("entity_id")
     )
+
+
+FRESHNESS_ORACLE = """
+WITH per_type AS (
+  SELECT event_type,
+         MIN(CAST(ts AS DATE)) AS first_day,
+         MAX(CAST(ts AS DATE)) AS last_day,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS n_days_observed
+  FROM events GROUP BY event_type
+),
+g AS (SELECT MAX(CAST(ts AS DATE)) AS global_last FROM events)
+SELECT event_type,
+       STRFTIME(last_day, '%Y-%m-%d') AS last_seen,
+       n_days_observed,
+       CAST(DATEDIFF('day', first_day, last_day) + 1 - n_days_observed AS BIGINT)
+         AS missing_days,
+       CAST(DATEDIFF('day', last_day, g.global_last) AS BIGINT) AS staleness_days,
+       CAST(CASE WHEN DATEDIFF('day', last_day, g.global_last) <= 1
+                 THEN 1 ELSE 0 END AS INT) AS fresh
+FROM per_type CROSS JOIN g
+ORDER BY event_type
+"""
+
+
+@query("validation_freshness", oracle=FRESHNESS_ORACLE)
+def validation_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness / cadence audit per event stream: last-seen day,
+    gap days inside the observed span (a feed that skipped Tuesdays),
+    staleness versus the most recent arrival anywhere, and a
+    fresh-within-1-day verdict — the SLA check a scheduler gates
+    downstream jobs on (the reference trusts whatever rows exist;
+    it has no notion of a LATE table).
+
+    All day arithmetic is integer; dates render as formatted strings
+    so both engines hash identically. Scale: one map-side-combined
+    aggregation to event_type grain + a 1-row global max broadcast.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = F.col("ts").cast("date")
+    per_type = ev.groupBy("event_type").agg(
+        F.min(d).alias("first_day"),
+        F.max(d).alias("last_day"),
+        F.countDistinct(d).alias("n_days_observed"),
+    )
+    g = ev.agg(F.max(d).alias("global_last"))
+    stale = F.datediff(F.col("global_last"), F.col("last_day"))
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.date_format("last_day", "yyyy-MM-dd").alias("last_seen"),
+            "n_days_observed",
+            (F.datediff(F.col("last_day"), F.col("first_day")) + 1 - F.col("n_days_observed"))
+            .cast("long")
+            .alias("missing_days"),
+            stale.cast("long").alias("staleness_days"),
+            (stale <= 1).cast("int").alias("fresh"),
+        )
+        .orderBy("event_type")
+    )

@@ -872,3 +872,49 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+WINDOW_DISTRIBUTION_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(DENSE_RANK() OVER w_price AS INT)          AS price_dense_rank,
+       ROUND(CUME_DIST() OVER w_price, 6)              AS price_cume_dist,
+       NTH_VALUE(o_orderkey, 2) OVER w_full            AS second_order,
+       LAG(o_orderkey, 2, -1) OVER w_time              AS order_2_back,
+       LAST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END IGNORE NULLS)
+         OVER w_time                                   AS last_finished_order
+FROM orders
+WINDOW w_time  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+       w_full  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("window_distribution_family", oracle=WINDOW_DISTRIBUTION_ORACLE)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution/navigation window functions the first family
+    left out: dense_rank + cume_dist over value order, nth_value over
+    the full-partition frame, offset lag with an explicit default,
+    and IGNORE NULLS last_value (latest *finished* order as of each
+    row — the conditional carry-forward idiom behind
+    events_attribution_last_touch).
+
+    Scale: all three windows share PARTITION BY o_custkey — one hash
+    exchange, in-partition sorts only (the same single-exchange
+    discipline tests/test_plans.py pins for the first family)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w_time.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("price_cume_dist"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        F.lag("o_orderkey", 2, -1).over(w_time).alias("order_2_back"),
+        F.last(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey")), ignorenulls=True
+        ).over(w_time).alias("last_finished_order"),
+    ).orderBy("o_custkey", "o_orderkey")
