@@ -231,6 +231,69 @@ def _run_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def _run_schema(args: argparse.Namespace) -> int:
+    """bin/schema console parity (reference bin/schema:15-22):
+    dump / dump_table emit portable DDL, indexes emits index DDL,
+    load applies a DDL file to a live database, reset_db_sequences
+    restarts identities past current MAX(pk). Works on both endpoint
+    kinds: a parquet directory derives DDL from the file schemas; a
+    jdbc: URL reads the live catalog."""
+    from taps_spark.io.jdbc import create_index_sql
+    from taps_spark.io.schema import create_table_sql
+    from taps_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    keys = _parse_keys(args.keys)
+    ep = _endpoint(args.url, keys)
+    dialect = "derby" if args.url.startswith("jdbc:") else "postgres"
+
+    if args.action in ("dump", "dump_table"):
+        tables = [args.table] if args.action == "dump_table" else ep.tables()
+        for t in sorted(tables):
+            print(create_table_sql(t, ep.read(spark, t).schema, dialect=dialect) + ";")
+        return 0
+    if args.action == "indexes":
+        for t in sorted(ep.tables()):
+            if t in keys:
+                print(create_index_sql(t, keys[t], dialect=dialect) + ";")
+        return 0
+    if args.action == "load":
+        if not args.url.startswith("jdbc:"):
+            print("schema load needs a jdbc: URL", file=sys.stderr)
+            return 2
+        # `schema load <url> <file>`: the file rides the third
+        # positional (parsed into `table` when schema_file is absent).
+        path = args.schema_file or args.table
+        if not path:
+            print("schema load needs a DDL file path", file=sys.stderr)
+            return 2
+        with open(path) as f:
+            ddl = [s.strip() for s in f.read().split(";") if s.strip()]
+        ep.apply_ddl(spark, *ddl)
+        print(f"applied {len(ddl)} statements")
+        return 0
+    if args.action == "reset_db_sequences":
+        if not args.url.startswith("jdbc:"):
+            print("reset_db_sequences needs a jdbc: URL", file=sys.stderr)
+            return 2
+        from pyspark.sql import functions as F
+
+        from taps_spark.io.jdbc import reset_sequence_sql
+
+        n = 0
+        for t, cols in sorted(keys.items()):
+            pk = cols[0]
+            mx = ep.read(spark, t).agg(F.max(pk).alias("m")).head()["m"]
+            nxt = int(mx) + 1 if mx is not None else 1
+            ep.apply_ddl(spark, reset_sequence_sql(t, pk, "derby", next_value=nxt))
+            n += 1
+        print(f"reset sequences on {n} tables")
+        return 0
+    print(f"unknown schema action {args.action!r}", file=sys.stderr)
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="taps_spark")
     sub = parser.add_subparsers(dest="command")
@@ -250,6 +313,15 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--chunk-rows", type=int, default=1024)
     sub.add_parser("version")
     sub.add_parser("server")
+    sp = sub.add_parser("schema", help="schema console (reference bin/schema parity)")
+    sp.add_argument(
+        "action",
+        choices=("dump", "dump_table", "indexes", "load", "reset_db_sequences"),
+    )
+    sp.add_argument("url")
+    sp.add_argument("table", nargs="?", default=None)
+    sp.add_argument("schema_file", nargs="?", default=None)
+    sp.add_argument("--keys", default=None)
     qp = sub.add_parser("sql", help="ad-hoc SQL over a fixture/table directory")
     qp.add_argument("query")
     qp.add_argument("--data", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
@@ -268,6 +340,8 @@ def main(argv: list[str] | None = None) -> int:
 
         print(f"taps_spark {__version__}")
         return 0
+    if args.command == "schema":
+        return _run_schema(args)
     if args.command == "sql":
         return _run_sql(args)
     if args.command == "server":

