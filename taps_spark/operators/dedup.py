@@ -430,6 +430,54 @@ def _portable_sign(band: int, plane: int, pos: Column) -> Column:
     return F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1))
 
 
+def portable_band_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    planes: int = 4,
+) -> DataFrame:
+    """Engine-portable banded hyperplane buckets: DataFrame[band,
+    bucket, id, v]. Projections run on 1e3-quantized integer
+    components with md5-parity ±1 weights (_portable_sign), so bucket
+    ids are exact integer math a SQL oracle reproduces bit-for-bit.
+    Shared by embedding_lsh_band_stats (per-band dedup stats) and the
+    similarity recall report."""
+    from functools import reduce
+
+    from taps_spark.operators.similarity import as_double
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("q"),
+    )
+
+    def _signed_term(band: int, plane: int):
+        # Closure factory: PySpark HOF lambdas must take exactly the
+        # declared operands (default args count toward arity).
+        return lambda x, i: _portable_sign(band, plane, i) * x
+
+    per_band = []
+    for band in range(bands):
+        bucket = F.lit(0).cast("long")
+        for plane in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.sequence(F.lit(0), F.size("q") - 1),
+                    _signed_term(band, plane),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << plane)).otherwise(F.lit(0))
+        per_band.append(base.select(F.lit(band).alias("band"), bucket.alias("bucket"), "id", "v"))
+    return reduce(lambda x, y: x.unionByName(y), per_band)
+
+
 def embedding_lsh_band_stats(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -456,38 +504,9 @@ def embedding_lsh_band_stats(
     quadratic only in bucket size, linear overall; stats aggregate
     per band, so output size is O(bands).
     """
-    from functools import reduce
+    from taps_spark.operators.similarity import cosine
 
-    from taps_spark.operators.similarity import as_double, cosine
-
-    base = emb.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-        F.expr(
-            f"transform({vec_col}, x -> cast(round(cast(x as double) * 1000) as bigint))"
-        ).alias("q"),
-    )
-    def _signed_term(band: int, plane: int):
-        # Closure factory: PySpark HOF lambdas must take exactly the
-        # declared operands (default args count toward arity).
-        return lambda x, i: _portable_sign(band, plane, i) * x
-
-    per_band = []
-    for band in range(bands):
-        bucket = F.lit(0).cast("long")
-        for plane in range(planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.sequence(F.lit(0), F.size("q") - 1),
-                    _signed_term(band, plane),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(proj > 0, F.lit(1 << plane)).otherwise(F.lit(0))
-        per_band.append(base.select(F.lit(band).alias("band"), bucket.alias("bucket"), "id", "v"))
-    allb = reduce(lambda x, y: x.unionByName(y), per_band)
+    allb = portable_band_buckets(emb, id_col=id_col, vec_col=vec_col, bands=bands, planes=planes)
 
     sizes = allb.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     stats = sizes.groupBy("band").agg(

@@ -375,3 +375,118 @@ def similarity_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk_reduce(scored, "q_id", "vec_id", 5).orderBy("q_id", "rank")
+
+
+LSH_RECALL_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         [CAST(ROUND(x * 1000) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS q
+  FROM embeddings
+),
+exact AS (
+  SELECT q_id, vec_id AS neighbor_id
+  FROM (
+    SELECT a.vec_id AS q_id, b.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, b.e)
+                      / SQRT(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) DESC,
+                      b.vec_id) AS rank
+    FROM v a JOIN v b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < 32
+  ) WHERE rank <= 3
+),
+w AS (
+  SELECT b.band, p.plane, i.pos,
+         CASE WHEN ('0x' || SUBSTR(MD5(b.band || '_' || p.plane || '_' || i.pos), 1, 15))::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS wgt
+  FROM (SELECT unnest(range(4)) AS band) b
+  CROSS JOIN (SELECT unnest(range(4)) AS plane) p
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) i
+),
+proj AS (
+  SELECT v.vec_id, w.band, w.plane, SUM(w.wgt * v.q[w.pos + 1]) AS proj
+  FROM v CROSS JOIN w
+  GROUP BY 1, 2, 3
+),
+bucketed AS (
+  SELECT vec_id, band,
+         SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+blocked AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
+  FROM bucketed a
+  JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 32
+),
+hits AS (
+  SELECT e.q_id,
+         CAST(COUNT(b.neighbor_id) AS INT) AS n_hits
+  FROM exact e LEFT JOIN blocked b
+    ON b.q_id = e.q_id AND b.neighbor_id = e.neighbor_id
+  GROUP BY e.q_id
+)
+SELECT n_hits, COUNT(*) AS n_queries,
+       ROUND(CAST(n_hits AS DOUBLE) / 3, 4) AS recall_at_3
+FROM hits GROUP BY n_hits ORDER BY n_hits
+"""
+
+
+@query("similarity_lsh_recall_report", oracle=LSH_RECALL_ORACLE)
+def similarity_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit, exactly: for 32 query vectors, how many of
+    the true cosine top-3 neighbors does banded hyperplane-LSH
+    blocking (4 bands × 4 planes) recover? Reported as a recall@3
+    histogram — the measurement you run before trusting a blocking
+    configuration at corpus scale, where a recall miss is silent data
+    loss in a dedup pass.
+
+    Fully oracle-gated (unlike the xxhash64 ANN paths) because the
+    buckets use the md5-parity portable projections shared with
+    dedup_embedding_lsh — both the EXACT side and the BLOCKED side
+    are bit-reproducible in DuckDB.
+
+    Scale: exact side is broadcast(32 queries) × corpus with
+    WindowGroupLimit partial top-k; blocked side is the linear
+    (band, bucket) equi-join. The report join touches 96 exact rows.
+    """
+    from taps_spark.operators.dedup import portable_band_buckets
+    from taps_spark.operators.similarity import _topk_reduce, cosine
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        emb.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine(F.col("q_vec"), F.col("embedding")).alias("_score"))
+    )
+    exact = _topk_reduce(scored, "q_id", "vec_id", 3).select("q_id", "neighbor_id")
+
+    buckets = portable_band_buckets(emb, bands=4, planes=4).select("band", "bucket", "id")
+    qb = buckets.filter(F.col("id") < 32).select(
+        "band", "bucket", F.col("id").alias("q_id")
+    )
+    blocked = (
+        qb.join(buckets, ["band", "bucket"])
+        .filter(F.col("id") != F.col("q_id"))
+        .select("q_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        exact.join(blocked, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("n_hits"))
+    )
+    return (
+        hits.groupBy("n_hits")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.col("n_hits").cast("double") / 3, 4).alias("recall_at_3"),
+        )
+        .select("n_hits", "n_queries", "recall_at_3")
+        .orderBy("n_hits")
+    )
