@@ -373,3 +373,57 @@ def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+MINMAX_BY_ORACLE = """
+-- DuckDB's arg_max rejects composite ordering keys, so the oracle
+-- emulates the deterministic max_by([value, event_id]) with rank
+-- windows over the identical total order.
+WITH r AS (
+  SELECT event_type, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rn_top,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn_bot,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_events
+  FROM events
+)
+SELECT event_type,
+       MAX(n_events) AS n_events,
+       MAX(CASE WHEN rn_top = 1 THEN user_id END) AS top_user,
+       ROUND(MAX(value), 4) AS top_value,
+       MAX(CASE WHEN rn_bot = 1 THEN user_id END) AS bottom_user,
+       ROUND(MIN(value), 4) AS bottom_value
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("agg_minmax_by", oracle=MINMAX_BY_ORACLE)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max / arg-min aggregates (max_by / min_by): which user
+    produced each event type's highest- and lowest-valued event — the
+    'who caused the extreme' lookup that otherwise costs a rank
+    window + filter. The ordering key is [value, event_id], so ties
+    on value resolve by the unique event id and the answer is
+    deterministic cross-engine (bare max_by on a tied key is
+    engine-arbitrary — the same discipline as every rank tiebreak
+    here).
+
+    Scale: plain hash aggregation with map-side partial max_by state
+    (one candidate row per key per partition) — strictly cheaper than
+    the window formulation, no per-group sort at all.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("max_by(user_id, array(value, cast(event_id as double)))").alias("top_user"),
+            F.round(F.max("value"), 4).alias("top_value"),
+            F.expr("min_by(user_id, array(value, cast(event_id as double)))").alias("bottom_user"),
+            F.round(F.min("value"), 4).alias("bottom_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -928,3 +928,119 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_id", "rank")
         .orderBy("anchor_id", "rank")
     )
+
+
+# Poisson(1) CDF thresholds scaled to the 24-bit hash domain
+# (floor(CDF_k * 16^6)): draw k copies of a row in replicate b when
+# hash(row,b) lands in [t_{k-1}, t_k). Integer-exact cross-engine.
+_POIS_T = (6171992, 12343985, 15429982, 16458647, 16715813, 16767247, 16775819, 16777044)
+
+
+def _pois_case_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {cases} ELSE 8 END"
+
+
+BOOTSTRAP_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+reps AS (
+  SELECT b.b, base.cents,
+         {_pois_case_sql("('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 6))::BIGINT")} AS w
+  FROM base CROSS JOIN (SELECT unnest(range(100)) AS b) b
+),
+means AS (
+  SELECT b, ROUND(CAST(SUM(w * cents) AS DOUBLE) / SUM(w), 4) AS m
+  FROM reps GROUP BY b HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn, COUNT(*) OVER () AS n FROM means
+),
+point AS (
+  SELECT ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 4) AS mean_cents,
+         COUNT(*) AS n_rows
+  FROM base
+)
+SELECT point.mean_cents, point.n_rows,
+       (SELECT CAST(n AS INT) FROM ranked LIMIT 1) AS n_replicates,
+       (SELECT m FROM ranked WHERE rn = CAST(CEIL(0.05 * n) AS BIGINT)) AS ci_lo,
+       (SELECT m FROM ranked WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT)) AS ci_hi
+FROM point
+"""
+
+
+@query("stats_bootstrap_ci", oracle=BOOTSTRAP_ORACLE)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean order value
+    — the distributed bootstrap (Chamandy et al., Google 2012):
+    instead of resampling n rows WITH replacement (which needs global
+    coordination), each row independently appears Poisson(1) times in
+    each replicate, which converges to the multinomial bootstrap and
+    needs only a per-row hash draw. 100 replicates; the 5th/95th
+    order statistics of the replicate means bound the CI.
+
+    Determinism: the Poisson draw inverts an integer 24-bit md5 hash
+    against precomputed integer CDF thresholds — no float compare, no
+    RNG state; replicate means divide exact integer cent sums. Same
+    rows, same draws, any engine, any partitioning.
+
+    Scale: the replicate dimension fans each row out ×100 BEFORE a
+    map-side-combined (b)-keyed aggregation — the shuffle carries 100
+    rows of partial sums per task, not the fanned data. At 100 TB you
+    bootstrap a deterministic hash-sample of the table (same
+    machinery as sample_hash_10pct) rather than the full corpus;
+    the plan shape is identical.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    reps = base.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+        F.col("o_orderkey"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.col("o_orderkey").cast("string"), F.col("b").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(8)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(h < _POIS_T[k], k).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("b", F.round(F.col("swc").cast("double") / F.col("sw"), 4).alias("m"))
+    )
+    from pyspark.sql import Window
+
+    ranked = means.select(
+        "m",
+        F.row_number().over(Window.orderBy("m", "b")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ci = ranked.agg(
+        F.first("n").cast("int").alias("n_replicates"),
+        F.max(F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"), F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"), F.col("m"))).alias("ci_hi"),
+    )
+    point = base.agg(
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 4).alias("mean_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "mean_cents", "n_rows", "n_replicates", "ci_lo", "ci_hi"
+    )
