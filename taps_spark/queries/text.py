@@ -1800,3 +1800,105 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, sym_a string, sym_b string, pair_count bigint"
     )
+
+
+MIX_APPLY_ORACLE = """
+WITH tc AS (
+  SELECT doc_id, source,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 AS bucket
+  FROM documents
+),
+s AS (SELECT source, SUM(n_tok) AS toks, COUNT(*) AS n_docs FROM tc GROUP BY source),
+t AS (SELECT SUM(toks) AS total, COUNT(*) AS n_sources FROM s),
+plan AS (
+  SELECT s.source, s.toks,
+         CAST(ROUND(LEAST(1.0, (t.total / t.n_sources) / s.toks) * 10000) AS BIGINT) AS keep_bp
+  FROM s CROSS JOIN t
+),
+kept AS (
+  SELECT tc.source,
+         CAST(SUM(CASE WHEN tc.bucket < p.keep_bp THEN tc.n_tok ELSE 0 END) AS BIGINT) AS toks_after,
+         CAST(SUM(CASE WHEN tc.bucket < p.keep_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept
+  FROM tc JOIN plan p ON p.source = tc.source
+  GROUP BY tc.source
+)
+SELECT k.source, p.toks AS toks_before, k.toks_after, k.n_docs_kept,
+       ROUND(CAST(p.toks AS DOUBLE) / t.total, 4) AS share_before,
+       ROUND(CAST(k.toks_after AS DOUBLE)
+             / (SELECT SUM(toks_after) FROM kept), 4) AS share_after
+FROM kept k JOIN plan p ON p.source = k.source CROSS JOIN t
+ORDER BY k.source
+"""
+
+
+@query("pipeline_mix_apply", oracle=MIX_APPLY_ORACLE)
+def pipeline_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the training-mix rebalance text_mix_plan plans: convert
+    each source's equalizing rate to integer basis points, keep a
+    document when its content-hash bucket falls under the threshold,
+    and report achieved vs original token share — planner and
+    executor in one Catalyst plan, with the deterministic nested-
+    sample guarantee (a lower rate keeps a subset of a higher rate's
+    docs, so successive rebalances only ever shrink).
+
+    Scale: one token-count pass to (source) grain, a broadcast of the
+    few-row rate plan back onto the scan, and a second source-grain
+    aggregate — the corpus is read once; no row ever shuffles.
+    """
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % 10000
+        ).alias("bucket"),
+    )
+    s = tc.groupBy("source").agg(F.sum("n_tok").alias("toks"), F.count("*").alias("n_docs"))
+    t = s.agg(F.sum("toks").alias("total"), F.count("*").alias("n_sources"))
+    plan = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "toks",
+        "total",
+        F.round(
+            F.least(F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("toks")) * 10000
+        )
+        .cast("long")
+        .alias("keep_bp"),
+    )
+    kept = (
+        tc.join(F.broadcast(plan), "source")
+        .groupBy("source")
+        .agg(
+            F.first("toks").alias("toks_before"),
+            F.first("total").alias("total"),
+            F.sum(F.when(F.col("bucket") < F.col("keep_bp"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("toks_after"),
+            F.sum(F.when(F.col("bucket") < F.col("keep_bp"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+        )
+    )
+    after_total = kept.agg(F.sum("toks_after").alias("after_total"))
+    return (
+        kept.crossJoin(F.broadcast(after_total))
+        .select(
+            "source",
+            "toks_before",
+            "toks_after",
+            "n_docs_kept",
+            F.round(F.col("toks_before").cast("double") / F.col("total"), 4).alias(
+                "share_before"
+            ),
+            F.round(F.col("toks_after").cast("double") / F.col("after_total"), 4).alias(
+                "share_after"
+            ),
+        )
+        .orderBy("source")
+    )
