@@ -1760,6 +1760,15 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     production vocab — at which point you batch non-conflicting
     merges per round, same plan shape).
     """
+    merges, _ = _bpe_train(spark, sf_dir, rounds=3)
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 3):
+    """Shared BPE trainer: returns ([(rank, a, b, count)], seqs) where
+    seqs is the word-frequency dict with merges applied (wc, syms)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     words = (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
@@ -1769,7 +1778,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seqs = words.select("wc", F.split("tok", "").alias("syms"))
     merges = []
-    for r in (1, 2, 3):
+    for r in range(1, rounds + 1):
         pairs = seqs.select(
             "wc",
             F.explode(
@@ -1797,8 +1806,74 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " concat(acc, array(x))))"
             ),
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, sym_a string, sym_b string, pair_count bigint"
+    return merges, seqs
+
+
+BPE_ENCODE_ORACLE = (
+    """
+WITH RECURSIVE w AS (
+  SELECT tok, COUNT(*) AS wc
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+  WHERE regexp_matches(tok, '^[a-z]+$')
+  GROUP BY tok
+),
+s0 AS (SELECT wc, array_to_string(string_split(tok, ''), ' ') AS seq FROM w),
+"""
+    + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wc * len(replace(seq, ' ', ''))) AS BIGINT) AS chars_total,
+       CAST(SUM(wc * len(string_split(seq, ' '))) AS BIGINT) AS symbols_after,
+       (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+        FROM (SELECT unnest(string_split(seq, ' ')) AS sym FROM s3)) AS vocab_after,
+       ROUND(CAST(SUM(wc * len(replace(seq, ' ', ''))) AS DOUBLE)
+             / SUM(wc * len(string_split(seq, ' '))), 4) AS chars_per_symbol
+FROM s3
+"""
+)
+
+
+@query("text_bpe_apply_encode", oracle=BPE_ENCODE_ORACLE)
+def text_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE step — apply the 3 learned merges to the word dict
+    and measure what the tokenizer bought: corpus-weighted symbol
+    count after merging, the resulting symbol vocabulary, and the
+    chars-per-symbol compression ratio (1.0 = character tokenizer;
+    every merge pushes it up). With text_bpe_train_merges this
+    completes the tokenizer loop: train → encode → measure.
+
+    Same determinism contract as training (the oracle replays all
+    three greedy folds); all reported quantities are exact integers
+    except the final display ratio.
+
+    Scale: identical to training — everything runs on the
+    vocabulary-scale word dict; encoding a corpus afterwards is a
+    broadcast-join of the (word → symbols) dict back onto the token
+    stream, map-only.
+    """
+    _, seqs = _bpe_train(spark, sf_dir, rounds=3)
+    stats = seqs.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(
+            F.col("wc")
+            * F.aggregate(F.col("syms"), F.lit(0).cast("long"), lambda a, s: a + F.length(s))
+        )
+        .cast("long")
+        .alias("chars_total"),
+        F.sum(F.col("wc") * F.size("syms")).cast("long").alias("symbols_after"),
+    )
+    vocab = (
+        seqs.select(F.explode("syms").alias("sym"))
+        .agg(F.countDistinct("sym").alias("vocab_after"))
+    )
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        "n_words",
+        "chars_total",
+        "symbols_after",
+        "vocab_after",
+        F.round(F.col("chars_total").cast("double") / F.col("symbols_after"), 4).alias(
+            "chars_per_symbol"
+        ),
     )
 
 

@@ -478,3 +478,39 @@ def test_incremental_merge_no_sort_merge_join(spark, sf_dir):
     plan = formatted_plan(spark, "pipeline_incremental_agg_merge", sf_dir)
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_minmax_by_is_windowless_hash_agg(spark, sf_dir):
+    """agg_minmax_by's whole point vs a rank window: arg-max state
+    merges map-side inside one hash aggregation — the plan must have
+    NO window and show a partial max_by before the exchange."""
+    plan = formatted_plan(spark, "agg_minmax_by", sf_dir)
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_maxby" in plan.replace("_", ""), plan[:2000]
+
+
+def test_ks_test_has_no_global_window(spark, sf_dir):
+    """stats_ks_test must compute its ECDF via the distributed
+    prefix-sum primitive (mapInPandas numbering pass), never a
+    single-partition global window."""
+    plan = formatted_plan(spark, "stats_ks_test", sf_dir)
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+
+
+def test_contrastive_negatives_partial_topk(spark, sf_dir):
+    """The per-anchor hash rank must reduce map-side: WindowGroupLimit
+    in Partial mode before the exchange, same as the similarity
+    top-k family."""
+    plan = formatted_plan(spark, "sample_contrastive_negatives", sf_dir)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_arrow_quantize_is_map_only_arrow(spark, sf_dir):
+    """udf_arrow_quantize: Python enters via mapInArrow only, and the
+    job is map-only — no aggregation or join exchange before the
+    display sort."""
+    plan = formatted_plan(spark, "udf_arrow_quantize", sf_dir)
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan or "ArrowEvalPython" in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" not in plan and "SortMergeJoin" not in plan
