@@ -1044,3 +1044,80 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.crossJoin(F.broadcast(ci)).select(
         "mean_cents", "n_rows", "n_replicates", "ci_lo", "ci_hi"
     )
+
+
+# log10(1 + 1/d) baked as literals so neither engine's libm is on the
+# compare path.
+_BENFORD = {
+    1: "0.3010299957", 2: "0.1760912591", 3: "0.1249387366",
+    4: "0.0969100130", 5: "0.0791812460", 6: "0.0669467896",
+    7: "0.0579919470", 8: "0.0511525224", 9: "0.0457574906",
+}
+
+_BENFORD_SQL_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD.items()
+) + " END"
+
+
+BENFORD_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS first_digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (
+  SELECT first_digit, COUNT(*) AS n FROM v GROUP BY first_digit
+),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT c.first_digit, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.total, 4) AS observed_share,
+       {_BENFORD_SQL_CASE} AS benford_share,
+       ROUND(ABS(CAST(c.n AS DOUBLE) / t.total - {_BENFORD_SQL_CASE}), 4) AS abs_deviation
+FROM c CROSS JOIN t
+ORDER BY c.first_digit
+"""
+
+
+@query("stats_benford_check", oracle=BENFORD_ORACLE)
+def stats_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic fabricated-data / pipeline-corruption screen: natural
+    multi-scale amounts follow P(d) = log10(1 + 1/d); a flat or
+    spiked digit histogram flags synthetic or truncated values.
+    (TPC-H's uniform price generator fails Benford hard, which is
+    exactly what the deviation column shows.)
+
+    Determinism: the first digit comes from the integer-cents string
+    (no float formatting), and the Benford shares are baked literals
+    so no libm log is on the compare path.
+
+    Scale: one map + a 9-key hash aggregation; the totals row is a
+    broadcast 1-row reduce. As cheap as a count(*).
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    c = v.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    expr = None
+    for d, share in _BENFORD.items():
+        cond = F.when(F.col("first_digit") == d, F.lit(float(share)))
+        expr = cond if expr is None else expr.when(F.col("first_digit") == d, F.lit(float(share)))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "first_digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 4).alias("observed_share"),
+            expr.alias("benford_share"),
+            F.round(
+                F.abs(F.col("n").cast("double") / F.col("total") - expr), 4
+            ).alias("abs_deviation"),
+        )
+        .orderBy("first_digit")
+    )

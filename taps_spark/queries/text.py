@@ -1977,3 +1977,79 @@ def pipeline_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SHARD_MANIFEST_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS payload_bytes
+  FROM documents
+),
+cum AS (
+  SELECT asset_id, modality, payload_bytes,
+         SUM(payload_bytes) OVER (PARTITION BY modality ORDER BY asset_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_bytes
+  FROM a
+),
+binned AS (
+  SELECT modality, asset_id, payload_bytes,
+         CAST((cum_bytes - payload_bytes) // 16384 AS BIGINT) AS shard_id
+  FROM cum
+)
+SELECT modality, shard_id,
+       COUNT(*) AS n_assets,
+       CAST(SUM(payload_bytes) AS BIGINT) AS shard_bytes,
+       MIN(asset_id) AS first_asset,
+       MAX(asset_id) AS last_asset
+FROM binned
+GROUP BY modality, shard_id
+ORDER BY modality, shard_id
+"""
+
+
+@query("multimodal_shard_manifest", oracle=SHARD_MANIFEST_ORACLE)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: pack each modality's assets
+    into ~16 KB shards by start-offset binning over the running
+    payload-byte total (the same binning rule as
+    text_pack_sequences), and emit the manifest a training loader
+    consumes — shard id, member count, byte size, id range.
+
+    Scale: the cumulative sum partitions by MODALITY (bounded key
+    space, no global window at this grain — for a single giant
+    modality the prefix_sums primitive swaps in, identical semantics)
+    and shards aggregate map-side. The payload column itself never
+    shuffles; only (id, modality, byte-count) rows move.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.operators.multimodal import synthesize_assets
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs).select(
+        "asset_id", "modality", F.octet_length("payload").cast("long").alias("payload_bytes")
+    )
+    w = (
+        Window.partitionBy("modality")
+        .orderBy("asset_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = assets.select(
+        "modality",
+        "asset_id",
+        "payload_bytes",
+        (
+            (F.sum("payload_bytes").over(w) - F.col("payload_bytes")) / 16384
+        ).cast("long").alias("shard_id"),
+    )
+    return (
+        binned.groupBy("modality", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("payload_bytes").cast("long").alias("shard_bytes"),
+            F.min("asset_id").alias("first_asset"),
+            F.max("asset_id").alias("last_asset"),
+        )
+        .orderBy("modality", "shard_id")
+    )
