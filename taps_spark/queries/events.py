@@ -1663,3 +1663,60 @@ def events_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("probe_label", "state")
     )
+
+
+TRIGRAM_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path,
+         COUNT(*) AS n_paths,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_paths, n_users, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS rank FROM paths
+)
+WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+@query("events_trigram_paths", oracle=TRIGRAM_PATHS_ORACLE)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining one step beyond the Markov transition matrix:
+    top-20 length-3 event paths (A>B>C) with traversal and distinct-
+    user counts — the navigation-funnel discovery query (which
+    3-step journeys dominate?) that bigram transitions cannot see.
+
+    Scale: two LEADs share one user_id window exchange; paths
+    aggregate map-side to the (|event types|^3)-bounded key space and
+    the top-20 reduces via WindowGroupLimit/TakeOrderedAndProject.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    rw = Window.orderBy(F.desc("n_paths"), "path")
+    return (
+        paths.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
