@@ -60,10 +60,41 @@ def _coverage_counts() -> dict[str, int]:
     return counts
 
 
+def _failed_latest_round() -> set[str]:
+    """Queries with a non-green row in the MOST RECENT driver
+    artifact. These must re-gate before anything else: a recorded
+    failure with a fix in the tree is worth more than first coverage
+    of a new query."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not paths:
+        return set()
+    try:
+        with open(paths[-1]) as f:
+            rows = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return set()
+    failed = set()
+    for name, row in rows.items():
+        if not isinstance(row, dict):
+            continue
+        ok = (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+            and row.get("err") is None
+        ) or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
+        if not ok:
+            failed.add(name)
+    return failed
+
+
 def _rotated(names: list[str]) -> list[str]:
     counts = _coverage_counts()
-    # Stable sort: registry order breaks ties, least-covered first.
-    return sorted(names, key=lambda n: counts.get(n, 0))
+    failed = _failed_latest_round()
+    # Failed-last-round first, then least-covered; registry order
+    # breaks ties (stable sort).
+    return sorted(names, key=lambda n: (n not in failed, counts.get(n, 0)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
