@@ -670,3 +670,68 @@ def transfer_stream_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_DRYRUN_TABLES = (
+    ("customer", "c_custkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("events", "event_id"),
+    ("nation", "n_nationkey"),
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("region", "r_regionkey"),
+    ("supplier", "s_suppkey"),
+)
+
+TRANSFER_DRYRUN_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{t}' AS table_name, COUNT(*) AS n_rows,
+       MIN({pk}) AS min_pk, MAX({pk}) AS max_pk,
+       CAST(CEIL(COUNT(*) / 10000.0) AS BIGINT) AS n_chunks,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                 ELSE (MAX({pk}) - MIN({pk}) + 1) - COUNT(*) END AS BIGINT) AS pk_gaps
+FROM {t}"""
+    for t, pk in _DRYRUN_TABLES
+) + "\nORDER BY table_name"
+
+
+@query("transfer_dryrun_plan", oracle=TRANSFER_DRYRUN_ORACLE)
+def transfer_dryrun_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer DRY RUN: the chunk plan the reference computes
+    implicitly per table (lib/taps/operation.rb:273-286 iterates
+    tables; data_stream.rb keyset-pages by single-int pk;
+    chunksize.rb sizes chunks), surfaced as a queryable manifest —
+    per table: row count, pk bounds, 10k-row chunk count, and pk GAPS
+    (max−min+1 − rows), the number every keyset pager needs to know
+    because gap-heavy ranges make range-partitioned reads skewed.
+
+    Scale: one count/min/max aggregate per table (metadata-cheap
+    map-side partials), unioned — the same shape `plan_jdbc_scan`
+    consumes to pick partitionColumn bounds, so this is literally the
+    planner's input relation.
+    """
+    from functools import reduce
+
+    t = load_tables(spark, sf_dir, [n for n, _ in _DRYRUN_TABLES])
+    parts = []
+    for name, pk in _DRYRUN_TABLES:
+        df = t[name]
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(pk).alias("min_pk"),
+                F.max(pk).alias("max_pk"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                F.col("min_pk").cast("long").alias("min_pk"),
+                F.col("max_pk").cast("long").alias("max_pk"),
+                F.ceil(F.col("n_rows") / 10000.0).cast("long").alias("n_chunks"),
+                F.when(F.col("n_rows") == 0, F.lit(0))
+                .otherwise(F.col("max_pk") - F.col("min_pk") + 1 - F.col("n_rows"))
+                .cast("long")
+                .alias("pk_gaps"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("table_name")
