@@ -1080,3 +1080,112 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
     return duplicated_span_stats(docs, "doc_id", "text", width=8).orderBy("doc_id")
+
+
+THRESHOLD_SWEEP_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+tsets AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / LEN(list_distinct(list_concat(ta.toks, tb.toks))) AS j
+  FROM cand
+  JOIN tsets ta ON ta.doc_id = doc_a
+  JOIN tsets tb ON tb.doc_id = doc_b
+),
+th AS (SELECT UNNEST([0.7, 0.8, 0.9]) AS threshold)
+SELECT th.threshold,
+       CAST(COALESCE(SUM(CASE WHEN s.j >= th.threshold THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN s.j >= th.threshold THEN s.doc_a END)
+            + COUNT(DISTINCT CASE WHEN s.j >= th.threshold THEN s.doc_b END) AS BIGINT)
+         AS n_doc_slots
+FROM th CROSS JOIN scored s
+GROUP BY th.threshold
+ORDER BY th.threshold
+"""
+
+
+@query("dedup_threshold_sweep", oracle=THRESHOLD_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold SENSITIVITY analysis: how many verified
+    pairs (and how many left/right document slots) survive at Jaccard
+    ≥ 0.7 / 0.8 / 0.9 — computed in ONE pass over the blocked
+    candidate set, because the expensive part (candidate generation +
+    exact verification) is threshold-independent. This is the audit
+    you run before committing a dedup threshold at corpus scale,
+    where each 0.05 of threshold can mean billions of documents kept
+    or dropped.
+
+    Scale: candidates come from the same MinHash band join as
+    dedup_lsh_verified_pairs (linear, bucketed); each candidate's
+    Jaccard computes once; the sweep itself is a constant-width
+    conditional aggregation — thresholds add zero scans.
+    """
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    banded = sigs.withColumn("band", F.expr("seed div 2"))
+    band_sigs = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+            ),
+        ).alias("band_sig")
+    )
+    a = band_sigs.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = band_sigs.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    scored = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jaccard(F.col("toks_a"), F.col("toks_b")).alias("j"))
+    )
+    swept = scored.select(
+        "doc_a", "doc_b", "j", F.explode(F.array(F.lit(0.7), F.lit(0.8), F.lit(0.9))).alias("threshold")
+    )
+    return (
+        swept.groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("j") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            (
+                F.countDistinct(F.when(F.col("j") >= F.col("threshold"), F.col("doc_a")))
+                + F.countDistinct(F.when(F.col("j") >= F.col("threshold"), F.col("doc_b")))
+            )
+            .cast("long")
+            .alias("n_doc_slots"),
+        )
+        .orderBy("threshold")
+    )

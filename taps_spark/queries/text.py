@@ -2053,3 +2053,60 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality", "shard_id")
     )
+
+
+ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+ranked AS (
+  SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+  FROM freq
+),
+top1 AS (SELECT n AS n1 FROM ranked WHERE rank = 1)
+SELECT tok, CAST(rank AS INT) AS rank, n,
+       ROUND(CAST(n * rank AS DOUBLE) / t.n1, 4) AS zipf_ratio
+FROM ranked CROSS JOIN top1 t
+WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+@query("text_zipf_check", oracle=ZIPF_ORACLE)
+def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law conformity check on the token frequency
+    distribution: under Zipf, freq(rank) ∝ 1/rank, so
+    freq·rank / freq(1) ≈ 1 down the head of the distribution —
+    deviations flag synthetic, templated, or boilerplate-heavy text
+    (the corpus-level cousin of the Benford digit audit). Reported
+    for the top-20 tokens; integer counts and one final display
+    division keep it exact cross-engine.
+
+    Scale: one token count (map-side combined); the rank window runs
+    on the VOCABULARY relation, and rank<=20 reduces map-side via
+    WindowGroupLimit before the single exchange.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    freq = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "tok")
+    ranked = freq.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    top1 = ranked.filter(F.col("rank") == 1).select(F.col("n").alias("n1"))
+    return (
+        ranked.crossJoin(F.broadcast(top1))
+        .select(
+            "tok",
+            "rank",
+            "n",
+            F.round((F.col("n") * F.col("rank")).cast("double") / F.col("n1"), 4).alias(
+                "zipf_ratio"
+            ),
+        )
+        .orderBy("rank")
+    )
