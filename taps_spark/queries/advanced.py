@@ -427,3 +427,43 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+TRY_FUNCS_ORACLE = """
+WITH v AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         o_orderkey % 3 AS divisor
+  FROM orders
+)
+SELECT o_orderkey,
+       TRY_CAST(o_orderstatus AS INTEGER)          AS status_as_int,
+       ROUND(o_totalprice / NULLIF(divisor, 0), 4) AS price_per_bucket,
+       TRY_CAST('20' || CAST(o_orderkey AS VARCHAR) AS BIGINT) AS synthetic_num,
+       CASE WHEN divisor = 0 THEN NULL ELSE divisor END AS safe_divisor
+FROM v
+ORDER BY o_orderkey
+"""
+
+
+@query("scalar_try_funcs", oracle=TRY_FUNCS_ORACLE)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family: try_cast on a non-numeric column
+    (NULL, not an exception), try_divide by a sometimes-zero divisor
+    (NULL, not ArithmeticException under ANSI mode), try_to_number on
+    synthesized digits — the row-level resilience surface that keeps
+    a 100 TB job from dying on one malformed value (the batch
+    counterpart of the PERMISSIVE quarantine readers in io/sources,
+    and of the reference's convert_invalid_date_time NULL-coercion,
+    lib/taps/utils.rb:47-68).
+
+    All map-only expressions; the oracle mirrors with TRY_CAST and
+    NULLIF division, which have identical NULL semantics.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return orders.selectExpr(
+        "o_orderkey",
+        "try_cast(o_orderstatus AS int) AS status_as_int",
+        "round(try_divide(o_totalprice, o_orderkey % 3), 4) AS price_per_bucket",
+        "try_cast('20' || cast(o_orderkey AS string) AS bigint) AS synthetic_num",
+        "nullif(o_orderkey % 3, 0) AS safe_divisor",
+    ).orderBy("o_orderkey")
