@@ -1,0 +1,68 @@
+"""Per-query wall-time profile at a given SF — the optimization
+target finder. Runs every registered query once (warm session),
+counts the result (full execution, no display collect), and writes
+one JSON file sorted slowest-first.
+
+Usage: python tools/time_profile.py [sf_dir] [out.json] [--only a,b]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    out_path = argv[1] if len(argv) > 1 else "/tmp/time_profile.json"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("time_profile")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from taps_spark.queries import all_queries
+
+    qs = all_queries()
+    if only is not None:
+        qs = {n: f for n, f in qs.items() if n in only}
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — profile must survive one bad query
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    ranked = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+    out = {
+        "sf_dir": sf_dir,
+        "n_queries": len(times),
+        "total_seconds": round(sum(times.values()), 1),
+        "slowest": ranked,
+        "errors": errors,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    top = list(ranked.items())[:10]
+    print(json.dumps({"total": out["total_seconds"], "top10": top, "errors": len(errors)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
