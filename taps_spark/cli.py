@@ -34,6 +34,15 @@ import os
 import sys
 
 
+def safe_url(url: str) -> str:
+    """Mask the password segment of a database URL for display
+    (reference lib/taps/operation.rb:153-155 safe_url — URLs appear
+    in progress output and logs; credentials must not)."""
+    import re
+
+    return re.sub(r"//(.+?)?:(.*?)@", r"//\1:[hidden]@", url)
+
+
 def _endpoint(url: str, keys: dict[str, list[str]], compress: bool = True):
     from taps_spark.io.jdbc import JdbcEndpoint
     from taps_spark.transfer.operation import ParquetEndpoint
@@ -124,6 +133,8 @@ def _run_transfer(args: argparse.Namespace, direction: str) -> int:
         json.dumps(
             {
                 "direction": direction,
+                "source": safe_url(args.remote_url if direction == "pull" else args.local_url),
+                "target": safe_url(args.local_url if direction == "pull" else args.remote_url),
                 "transferred": result.transferred,
                 "skipped": result.skipped,
                 "verified": result.verified,

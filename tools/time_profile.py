@@ -9,8 +9,11 @@ Usage: python tools/time_profile.py [sf_dir] [out.json] [--only a,b]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
