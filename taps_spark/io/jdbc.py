@@ -19,6 +19,14 @@ PARALLEL, which is why the engine's floor throughput is ~numPartitions
 single-partition read (documented, like the reference's cliff) or to
 caller-supplied predicate ranges.
 
+Dissolved reference workaround: `incorrect_blobs`
+(lib/taps/utils.rb:75-95) exists because Sequel surfaces MySQL TEXT
+columns as blobs, so taps sniffs db_type =~ /text/ and coerces blob
+→ string per row. Spark's JDBC dialect layer maps TEXT/CLOB to
+StringType at schema-inference time, so there is no blob/text
+confusion to repair — no analog needed (kept here as the audit
+trail for SURVEY §2a completeness).
+
 The live path is exercised end-to-end against embedded Apache Derby
 (shipped on Spark's classpath): `JdbcEndpoint` lists tables from the
 database catalog, gathers TableStats with one aggregate pushdown,

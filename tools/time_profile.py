@@ -45,13 +45,18 @@ def main() -> int:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in sorted(qs.items()):
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).count()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — profile must survive one bad query
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    jsonl = out_path + ".jsonl"  # incremental log: survives a killed run
+    with open(jsonl, "w") as log:
+        for name, fn in sorted(qs.items()):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+                times[name] = round(time.time() - t0, 3)
+                log.write(json.dumps({"q": name, "sec": times[name]}) + "\n")
+            except Exception as e:  # noqa: BLE001 — profile must survive one bad query
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                log.write(json.dumps({"q": name, "error": errors[name]}) + "\n")
+            log.flush()
     ranked = dict(sorted(times.items(), key=lambda kv: -kv[1]))
     out = {
         "sf_dir": sf_dir,
