@@ -189,13 +189,13 @@ cand AS (
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
 tsets AS (
-  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  SELECT doc_id, list_sort(list_distinct(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT))) AS toks
   FROM documents
 ),
 verified AS (
   SELECT doc_a, doc_b,
          CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-           / LEN(list_distinct(list_concat(ta.toks, tb.toks))) AS j
+           / (LEN(ta.toks) + LEN(tb.toks) - LEN(list_intersect(ta.toks, tb.toks))) AS j
   FROM cand
   JOIN tsets ta ON ta.doc_id = doc_a
   JOIN tsets tb ON tb.doc_id = doc_b
@@ -242,21 +242,37 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    from taps_spark.operators.dedup import hashed_token_set, jaccard_hashed
+
+    tsets = docs.select("doc_id", hashed_token_set(tokens("text")).alias("toks"))
     ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    j = jaccard(F.col("toks_a"), F.col("toks_b"))
+    j = jaccard_hashed(F.col("toks_a"), F.col("toks_b"))
+    # Lossless size-ratio prefilter (prefix-filtering family):
+    # J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ 0.5 requires
+    # 2·|A| ≥ |B| and 2·|B| ≥ |A| — an integer compare that skips the
+    # per-pair set intersection for size-mismatched candidates.
+    ratio_ok = (2 * F.size("toks_a") >= F.size("toks_b")) & (
+        2 * F.size("toks_b") >= F.size("toks_a")
+    )
     # Roll up per doc: pair-level output is quadratic in cluster size
     # (exact-dup clusters make it explode); per-doc stats stay linear.
+    # PROJECT the jaccard scalar before aggregating: feeding the raw
+    # token arrays into the aggregate made every input row ~1 KB wide
+    # and re-evaluated the set intersection inside the agg (measured
+    # ~180 s at sf0.1 vs ~16 s for the scalar-projected shape the
+    # threshold sweep uses).
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(j >= 0.5)
+        .filter(ratio_ok)
+        .select("doc_a", "doc_b", j.alias("j"))
+        .filter(F.col("j") >= 0.5)
         .groupBy("doc_a")
         .agg(
             F.count("*").alias("n_dups"),
             F.min("doc_b").alias("first_dup"),
-            F.round(F.max(j), 4).alias("best_jaccard"),
+            F.round(F.max("j"), 4).alias("best_jaccard"),
         )
         .orderBy("doc_a")
     )
@@ -283,7 +299,7 @@ cand AS (
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
 tsets AS (
-  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  SELECT doc_id, list_sort(list_distinct(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT))) AS toks
   FROM documents
 ),
 edges AS (
@@ -291,7 +307,7 @@ edges AS (
   JOIN tsets ta ON ta.doc_id = src
   JOIN tsets tb ON tb.doc_id = dst
   WHERE CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-        / LEN(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.9
+        / (LEN(ta.toks) + LEN(tb.toks) - LEN(list_intersect(ta.toks, tb.toks))) >= 0.9
 ),
 sym AS (
   SELECT src AS a, dst AS b FROM edges
@@ -330,6 +346,14 @@ def _lsh_verified_edges(docs: DataFrame) -> DataFrame:
     )
     a = band_sigs.select(F.col("doc_id").alias("src"), "band", "band_sig")
     b = band_sigs.select(F.col("doc_id").alias("dst"), "band", "band_sig")
+    # Pre-verify distinct: collapses band-duplicate pairs before the
+    # token-array verify joins. Measured BOTH placements at sf0.1 —
+    # shuffling the narrow (src, dst) candidate pairs here is cheap
+    # (the whole threshold-sweep pipeline with this shape runs in
+    # ~16 s), while deferring the distinct multiplies the array-
+    # carrying verify rows by the band-collision factor (star variant
+    # regressed 197 s → 421 s). Dedup narrow rows early; join arrays
+    # once per unique pair.
     cand = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("src") < F.col("dst"))
@@ -339,13 +363,27 @@ def _lsh_verified_edges(docs: DataFrame) -> DataFrame:
     # Verify candidates before clustering (unverified LSH buckets chain
     # spurious collisions into one giant component — verification is
     # what keeps components meaningful).
-    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    from taps_spark.operators.dedup import hashed_token_set, jaccard_hashed
+
+    tsets = docs.select("doc_id", hashed_token_set(tokens("text")).alias("toks"))
     ta = tsets.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
     tb = tsets.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
+    # Lossless size-ratio prefilter: J ≥ 0.9 requires
+    # 10·|A| ≥ 9·|B| and 10·|B| ≥ 9·|A| (J ≤ min/max) — an integer
+    # compare that spares size-mismatched candidates the exact set
+    # intersection. At 0.9 this is highly selective. Verification
+    # runs on HASHED int64 token sets (operators/dedup
+    # .hashed_token_set): per-pair intersection probes 8-byte ints
+    # instead of ~60-char strings — measured severalfold cheaper at
+    # sf0.1 — and the md5-prefix family reproduces in the oracle.
+    ratio_ok = (10 * F.size("toks_a") >= 9 * F.size("toks_b")) & (
+        10 * F.size("toks_b") >= 9 * F.size("toks_a")
+    )
     return (
         cand.join(ta, "src")
         .join(tb, "dst")
-        .filter(jaccard(F.col("toks_a"), F.col("toks_b")) >= 0.9)
+        .filter(ratio_ok)
+        .filter(jaccard_hashed(F.col("toks_a"), F.col("toks_b")) >= 0.9)
         .select("src", "dst")
     )
 
@@ -1104,13 +1142,13 @@ cand AS (
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
 tsets AS (
-  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  SELECT doc_id, list_sort(list_distinct(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT))) AS toks
   FROM documents
 ),
 scored AS (
   SELECT doc_a, doc_b,
          CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-           / LEN(list_distinct(list_concat(ta.toks, tb.toks))) AS j
+           / (LEN(ta.toks) + LEN(tb.toks) - LEN(list_intersect(ta.toks, tb.toks))) AS j
   FROM cand
   JOIN tsets ta ON ta.doc_id = doc_a
   JOIN tsets tb ON tb.doc_id = doc_b
@@ -1163,13 +1201,22 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    tsets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    from taps_spark.operators.dedup import hashed_token_set, jaccard_hashed
+
+    tsets = docs.select("doc_id", hashed_token_set(tokens("text")).alias("toks"))
     ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # Lossless prefilter at the SMALLEST swept threshold (0.7):
+    # J ≤ min/max, so pairs failing 10·|A| ≥ 7·|B| (either way) can
+    # reach no bucket — dropping them changes no count.
+    ratio_ok = (10 * F.size("toks_a") >= 7 * F.size("toks_b")) & (
+        10 * F.size("toks_b") >= 7 * F.size("toks_a")
+    )
     scored = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jaccard(F.col("toks_a"), F.col("toks_b")).alias("j"))
+        .filter(ratio_ok)
+        .select("doc_a", "doc_b", jaccard_hashed(F.col("toks_a"), F.col("toks_b")).alias("j"))
     )
     swept = scored.select(
         "doc_a", "doc_b", "j", F.explode(F.array(F.lit(0.7), F.lit(0.8), F.lit(0.9))).alias("threshold")

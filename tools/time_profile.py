@@ -50,7 +50,19 @@ def main() -> int:
         for name, fn in sorted(qs.items()):
             t0 = time.time()
             try:
-                fn(spark, sf_dir).count()
+                df = fn(spark, sf_dir)
+                # NOT .count(): Catalyst prunes unreferenced aggregate
+                # expressions under count(), silently skipping the
+                # expensive part of agg-heavy queries (measured 12×
+                # under-reads). Hashing every output column forces the
+                # full computation while collecting one row.
+                from pyspark.sql import functions as F
+
+                df.select(
+                    F.sum(
+                        F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+                    ).alias("h")
+                ).collect()
                 times[name] = round(time.time() - t0, 3)
                 log.write(json.dumps({"q": name, "sec": times[name]}) + "\n")
             except Exception as e:  # noqa: BLE001 — profile must survive one bad query
