@@ -1776,7 +1776,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 3):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    seqs = words.select("wc", F.split("tok", "").alias("syms"))
+    # Checkpoint the vocabulary-scale dict ONCE: without this, every
+    # round's pair-count job AND merge fold re-tokenizes the corpus
+    # (the iterate-over-a-checkpointed-input lesson, SCALE.md).
+    seqs = words.select("wc", F.split("tok", "").alias("syms")).localCheckpoint(eager=True)
     merges = []
     for r in range(1, rounds + 1):
         pairs = seqs.select(
@@ -1805,7 +1808,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 3):
                 f" concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')),"
                 " concat(acc, array(x))))"
             ),
-        )
+        ).localCheckpoint(eager=True)  # vocabulary-scale; truncates per-round lineage
     return merges, seqs
 
 
