@@ -35,6 +35,14 @@ def main() -> int:
     with open(priors[-1]) as f:
         prior_doc = json.load(f)
     prior = prior_doc.get("parsed") or prior_doc
+    if "queries" not in prior and "tail" in prior_doc:
+        # Driver-recorded artifact: the bench line is embedded in the
+        # captured stdout tail (with progress-bar \r noise around it).
+        import re
+
+        m = re.search(r'\{"metric".*', prior_doc["tail"])
+        if m:
+            prior = json.loads(m.group(0))
     label = os.path.basename(priors[-1])
 
     regressions = []
