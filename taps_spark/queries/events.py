@@ -1720,3 +1720,73 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, cnt,
+         LAG(cnt, 1) OVER w AS naive_fc,
+         LAG(cnt, 7) OVER w AS snaive_fc,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day DESC) AS rev
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+bt AS (SELECT * FROM idx WHERE rev <= 14 AND snaive_fc IS NOT NULL)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       CAST(SUM(ABS(cnt - naive_fc)) AS BIGINT)  AS naive_abs_err,
+       CAST(SUM(ABS(cnt - snaive_fc)) AS BIGINT) AS snaive_abs_err,
+       ROUND(CAST(SUM(ABS(cnt - naive_fc)) AS DOUBLE) / COUNT(*), 4)  AS naive_mae,
+       ROUND(CAST(SUM(ABS(cnt - snaive_fc)) AS DOUBLE) / COUNT(*), 4) AS snaive_mae,
+       CAST(CASE WHEN SUM(ABS(cnt - snaive_fc)) < SUM(ABS(cnt - naive_fc))
+                 THEN 1 ELSE 0 END AS INT) AS seasonal_wins
+FROM bt
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_forecast_backtest", oracle=BACKTEST_ORACLE)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTESTING: score naive (yesterday) vs seasonal-naive
+    (same weekday last week) forecasts over the last 14 days of daily
+    volumes, per event type — the evaluation harness every forecast
+    model (events_holt_trend, events_holt_winters_seasonal) must beat
+    before anyone trusts it. `seasonal_wins` = does weekly structure
+    carry real signal?
+
+    All errors are exact integer count differences; only the display
+    MAE divides. One (type, day) aggregation + one window exchange on
+    event_type; the backtest frame is days-per-key bounded.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wrev = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    idx = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("naive_fc"),
+        F.lag("cnt", 7).over(w).alias("snaive_fc"),
+        F.row_number().over(wrev).alias("rev"),
+    ).filter((F.col("rev") <= 14) & F.col("snaive_fc").isNotNull())
+    nae = F.sum(F.abs(F.col("cnt") - F.col("naive_fc")))
+    sae = F.sum(F.abs(F.col("cnt") - F.col("snaive_fc")))
+    return (
+        idx.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            nae.cast("long").alias("naive_abs_err"),
+            sae.cast("long").alias("snaive_abs_err"),
+            F.round(nae.cast("double") / F.count(F.lit(1)), 4).alias("naive_mae"),
+            F.round(sae.cast("double") / F.count(F.lit(1)), 4).alias("snaive_mae"),
+            (sae < nae).cast("int").alias("seasonal_wins"),
+        )
+        .orderBy("event_type")
+    )

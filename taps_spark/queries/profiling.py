@@ -1121,3 +1121,95 @@ def stats_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+MANN_WHITNEY_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_b
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+g AS (
+  SELECT cents, CAST(SUM(is_a) AS BIGINT) AS ca, CAST(SUM(is_b) AS BIGINT) AS cb,
+         CAST(SUM(is_a) + SUM(is_b) AS BIGINT) AS t
+  FROM v GROUP BY cents
+),
+cum AS (
+  SELECT ca, cb, t, SUM(t) OVER (ORDER BY cents) AS cum_t FROM g
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2,
+         CAST(SUM(ca * ((cum_t - t + 1) + cum_t)) AS BIGINT) AS two_r1,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM cum
+)
+SELECT n1, n2,
+       CAST(2 * n1 * n2 + n1 * (n1 + 1) - two_r1 AS BIGINT) AS two_u1,
+       ROUND(CAST(2 * n1 * n2 + n1 * (n1 + 1) - two_r1 AS DOUBLE) / 2, 1) AS u1,
+       ROUND(
+         (CAST(2 * n1 * n2 + n1 * (n1 + 1) - two_r1 AS DOUBLE) / 2
+          - CAST(n1 AS DOUBLE) * n2 / 2)
+         / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+                * ((n1 + n2 + 1) - CAST(tie_term AS DOUBLE)
+                   / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+         4
+       ) AS z_score
+FROM agg
+"""
+
+
+@query("stats_mann_whitney", oracle=MANN_WHITNEY_ORACLE)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (finished vs open order values) —
+    the nonparametric location test that pairs with stats_ks_test's
+    distribution test: does one group stochastically dominate?
+
+    EXACT despite ties: ranks aggregate per distinct value with
+    average-rank tie handling computed as the INTEGER 2·R₁ =
+    Σ ca·(lo+hi), so U is an exact half-integer; the tie-corrected
+    normal z-score is the only floating computation, built from
+    integer aggregates with identical IEEE steps cross-engine.
+
+    Scale: value-grid pre-aggregation + the distributed prefix-sum
+    primitive (operators/keys.prefix_sums — no single-partition
+    window), then a 1-row reduce. Same plan family as stats_ks_test.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("is_a"),
+        (F.col("o_orderstatus") == "O").cast("long").alias("is_b"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum("is_b").alias("cb"),
+        (F.sum("is_a") + F.sum("is_b")).alias("t"),
+    )
+    from taps_spark.operators.keys import prefix_sums
+
+    cum = prefix_sums(g, "cents", ("t",))
+    agg = cum.agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(F.col("ca") * ((F.col("cum_t") - F.col("t") + 1) + F.col("cum_t")))
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long").alias("tie_term"),
+    )
+    two_u1 = 2 * F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) - F.col("two_r1")
+    u1 = two_u1.cast("double") / 2
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / 12
+        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1).cast("double")))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        two_u1.cast("long").alias("two_u1"),
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - F.col("n1").cast("double") * F.col("n2") / 2) / sigma, 4).alias(
+            "z_score"
+        ),
+    )
