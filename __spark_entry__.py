@@ -43,21 +43,26 @@ def _coverage_counts() -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            # Green = FULL oracle match (rows + schema + hash), or the
-            # best a rows-only query can achieve (err == "no_oracle"
-            # with a row count). A partial match (rows ok, hash bad)
-            # is a FAILURE and must keep priority for re-gating.
-            ok = (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-                and row.get("err") is None
-            ) or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
-            if ok:
+            if isinstance(row, dict) and _row_green(row):
                 counts[name] = counts.get(name, 0) + 1
     return counts
+
+
+def _row_green(row: dict) -> bool:
+    """Green = FULL oracle match (rows + schema + hash), or the best a
+    rows-only query can achieve (err == "no_oracle" with a row count).
+    A partial match (rows ok, hash bad) is a FAILURE and must keep
+    priority for re-gating. Single definition — _coverage_counts and
+    _failed_latest_round must never disagree about what green means."""
+    return bool(
+        (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+            and row.get("err") is None
+        )
+        or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
+    )
 
 
 def _failed_latest_round() -> set[str]:
@@ -74,19 +79,11 @@ def _failed_latest_round() -> set[str]:
             rows = json.load(f)
     except (OSError, json.JSONDecodeError):
         return set()
-    failed = set()
-    for name, row in rows.items():
-        if not isinstance(row, dict):
-            continue
-        ok = (
-            row.get("rows_match")
-            and row.get("schema_match")
-            and row.get("hash_match")
-            and row.get("err") is None
-        ) or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
-        if not ok:
-            failed.add(name)
-    return failed
+    return {
+        name
+        for name, row in rows.items()
+        if isinstance(row, dict) and not _row_green(row)
+    }
 
 
 def _rotated(names: list[str]) -> list[str]:

@@ -90,6 +90,19 @@ def prefix_sums(
     unique ordering key, but no executor ever holds more than its
     partition — the ECDF/prefix-sum primitive at 100 TB.
     """
+    from pyspark.sql import types as T
+
+    for c in sum_cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            # The declared cum_* schema is long; a float column would be
+            # UNSAFELY floor-cast by the Arrow boundary (silent data
+            # corruption), so refuse loudly instead.
+            raise ValueError(
+                f"prefix_sums: column {c!r} has type {dt.simpleString()}; "
+                "only integral sum columns are supported (scale decimals "
+                "to integers first, as the cents-domain callers do)"
+            )
     ranged = (
         df.repartitionByRange(num_partitions, order_col)
         if num_partitions

@@ -70,13 +70,35 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TRIANGLE_ORACLE = """
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+#: Shared oracle CTE for the support-thresholded co-purchase graph —
+#: the support >= 2 threshold is load-bearing for scale (see
+#: graph_triangle_count's docstring); both graph oracles splice this
+#: in so a tuning change cannot desynchronize them.
+COPURCHASE_EDGES_CTE = """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 edges AS (
   SELECT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edges (u < v) — the Spark twin
+    of COPURCHASE_EDGES_CTE, shared by triangle counting and link
+    prediction."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    return (
+        op.join(b, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("p2")))
+        .groupBy(F.col("p").alias("u"), F.col("p2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+
+
+TRIANGLE_ORACLE = "\nWITH " + COPURCHASE_EDGES_CTE + """,
 deg AS (
   SELECT node, COUNT(*) AS d FROM (
     SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
@@ -140,16 +162,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ out_deg² with out-degrees capped by orientation — the whole
     point of the degree ordering.
     """
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    b = op.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
-    edges = (
-        op.join(b, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("p2")))
-        .groupBy(F.col("p").alias("u"), F.col("p2").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -197,13 +210,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LINK_PREDICTION_ORACLE = """
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-edges AS (
-  SELECT a.p AS u, b.p AS v
-  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
+LINK_PREDICTION_ORACLE = "\nWITH " + COPURCHASE_EDGES_CTE + """,
 sym AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
 nbr AS (SELECT a AS node, list_distinct(list(b)) AS ns FROM sym GROUP BY a),
 cand AS (
@@ -249,16 +256,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     op, never a per-pair shuffle. The final top-20 is
     TakeOrderedAndProject.
     """
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    b = op.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
-    edges = (
-        op.join(b, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("p2")))
-        .groupBy(F.col("p").alias("u"), F.col("p2").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )

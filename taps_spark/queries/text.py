@@ -1572,7 +1572,7 @@ WITH tok AS (
 st AS (
   SELECT doc_id,
          len(toks) AS n_tok,
-         CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS sum_len,
+         CAST(list_sum(list_transform(toks, t -> LEN(t))) AS BIGINT) AS sum_len,
          CAST(list_sum(list_transform(toks,
               t -> CASE WHEN regexp_matches(t, '[A-Za-z]') THEN 1 ELSE 0 END)) AS BIGINT) AS n_alpha,
          CAST(list_sum(list_transform(toks,

@@ -316,21 +316,30 @@ def udf_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             col = batch.column(batch.schema.get_field_index("embedding"))
             if isinstance(col, pa.ChunkedArray):  # pragma: no cover
                 col = col.combine_chunks()
+            # Normalize slice/offset state: a sliced ListArray's offsets
+            # need not start at 0 nor cover the full values buffer, and
+            # null/empty lists repeat offsets — handle all three instead
+            # of assuming the fast path.
             lists = col
             offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             values = lists.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            lo, hi = offsets[0], offsets[-1]
+            offsets = offsets - lo
+            values = values[lo:hi]
             raw = np.floor(values * 127.0 + 0.5)
             q = np.clip(raw, -127, 127).astype(np.int64)
             clipped = ((raw > 127) | (raw < -127)).astype(np.int64)
             # position weights restart at each list boundary
             starts = offsets[:-1]
-            pos = np.arange(len(values), dtype=np.int64) - np.repeat(
-                starts, np.diff(offsets)
-            )
+            lens = np.diff(offsets)
+            pos = np.arange(len(values), dtype=np.int64) - np.repeat(starts, lens)
             weighted = q * (pos + 1)
-            checksum = np.add.reduceat(weighted, starts) if len(values) else np.array([], dtype=np.int64)
-            n_clipped = np.add.reduceat(clipped, starts) if len(values) else np.array([], dtype=np.int64)
-            # reduceat misbehaves on empty segments; embeddings are fixed-dim, none are empty
+            # cumsum-based segment sums: exact zeros for empty segments,
+            # where np.add.reduceat would misreport the next element.
+            cw = np.concatenate(([0], np.cumsum(weighted)))
+            cc = np.concatenate(([0], np.cumsum(clipped)))
+            checksum = cw[offsets[1:]] - cw[starts]
+            n_clipped = cc[offsets[1:]] - cc[starts]
             vec_id = batch.column(batch.schema.get_field_index("vec_id"))
             yield pa.RecordBatch.from_arrays(
                 [vec_id, pa.array(checksum, type=pa.int64()), pa.array(n_clipped, type=pa.int64())],

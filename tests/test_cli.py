@@ -224,3 +224,18 @@ def test_safe_url_masks_password():
     )
     assert safe_url("jdbc:derby:/tmp/db;create=true") == "jdbc:derby:/tmp/db;create=true"
     assert safe_url("mysql://:onlypass@h/db") == "mysql://:[hidden]@h/db"
+
+
+def test_safe_url_masks_jdbc_property_passwords():
+    """jdbc: URLs carry credentials as properties, not userinfo — both
+    the ?password=&... and ;password=; forms must mask."""
+    from taps_spark.cli import safe_url
+
+    assert (
+        safe_url("jdbc:postgresql://h/db?user=admin&password=hunter2&ssl=true")
+        == "jdbc:postgresql://h/db?user=admin&password=[hidden]&ssl=true"
+    )
+    assert (
+        safe_url("jdbc:derby:/tmp/db;user=app;password=s3cret;create=true")
+        == "jdbc:derby:/tmp/db;user=app;password=[hidden];create=true"
+    )

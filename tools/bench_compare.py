@@ -26,7 +26,9 @@ def main() -> int:
         print("bench_compare: no bench JSON line found in input "
               "(did bench.py fail?)", file=sys.stderr)
         return 2
-    now = json.loads(line)
+    # raw_decode: parse the JSON prefix and ignore any \r progress
+    # noise sharing the physical line.
+    now = json.JSONDecoder().raw_decode(line)[0]
 
     priors = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if not priors:
@@ -40,9 +42,9 @@ def main() -> int:
         # captured stdout tail (with progress-bar \r noise around it).
         import re
 
-        m = re.search(r'\{"metric".*', prior_doc["tail"])
+        m = re.search(r'\{"metric".*', prior_doc["tail"], re.DOTALL)
         if m:
-            prior = json.loads(m.group(0))
+            prior = json.JSONDecoder().raw_decode(m.group(0))[0]
     label = os.path.basename(priors[-1])
 
     regressions = []
