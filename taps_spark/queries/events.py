@@ -1790,3 +1790,74 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ACTIVE_USERS_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+),
+mau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT STRFTIME(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau, mau.mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 4) AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day
+ORDER BY day
+"""
+
+
+@query("events_active_users_rolling", oracle=ACTIVE_USERS_ORACLE)
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU) per day — THE product
+    health dashboard. Rolling DISTINCT counts are not windowable
+    (COUNT(DISTINCT) OVER RANGE doesn't exist in any engine), so each
+    (user, active day) pair is EXPLODED onto the next 7 / 30 calendar
+    days it keeps the user "active" for, and the rolling distinct
+    becomes a plain per-day distinct count — a bounded ×30 fan-out of
+    the (user, day) grain, not of raw events.
+
+    Scale: events first collapse to (user, day) — the fan-out applies
+    to that much smaller grain; each rolling window is one
+    map-side-exploded distinct aggregation. Day coverage trims to
+    observed days so partial leading windows match the oracle's
+    BETWEEN join exactly.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(width: int, alias: str) -> DataFrame:
+        covered = ud.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {width - 1}))")
+            ).alias("day"),
+        )
+        return (
+            covered.join(days, "day")  # only observed days (oracle parity)
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(alias))
+        )
+
+    wau = rolling(7, "wau")
+    mau = rolling(30, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -1213,3 +1213,67 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+GINI_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+g AS (SELECT cents, COUNT(*) AS c FROM cust GROUP BY cents),
+cum AS (SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cum_c FROM g),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(cents * c) AS BIGINT) AS total,
+         CAST(SUM(cents * c * ((cum_c - c + 1) + cum_c)) AS BIGINT) AS two_weighted
+  FROM cum
+)
+SELECT n, total, two_weighted,
+       ROUND((CAST(two_weighted AS DOUBLE) - (n + 1) * CAST(total AS DOUBLE))
+             / (CAST(n AS DOUBLE) * total), 6) AS gini
+FROM agg
+"""
+
+
+@query("stats_gini_concentration", oracle=GINI_ORACLE)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the revenue-
+    concentration / data-source-imbalance statistic (0 = perfectly
+    equal, →1 = one whale). Same integer-exact discipline as the KS
+    and Mann-Whitney tests: Gini = (2·Σ rank·x − (n+1)·Σx)/(n·Σx),
+    where 2·Σ rank·x aggregates per distinct value as
+    v·c·(lo+hi) over the rank span — invariant under tie order, so
+    the numerators are exact integers; only the display division
+    floats.
+
+    Scale: per-customer totals → distinct-value grid → distributed
+    prefix sums (operators/keys) → 1-row reduce. No global window,
+    no sort of raw rows.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    g = cust.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    from taps_spark.operators.keys import prefix_sums
+
+    cum = prefix_sums(g, "cents", ("c",))
+    agg = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("cents") * F.col("c")).cast("long").alias("total"),
+        F.sum(
+            F.col("cents") * F.col("c") * ((F.col("cum_c") - F.col("c") + 1) + F.col("cum_c"))
+        )
+        .cast("long")
+        .alias("two_weighted"),
+    )
+    return agg.select(
+        "n",
+        "total",
+        "two_weighted",
+        F.round(
+            (F.col("two_weighted").cast("double") - (F.col("n") + 1) * F.col("total").cast("double"))
+            / (F.col("n").cast("double") * F.col("total")),
+            6,
+        ).alias("gini"),
+    )
