@@ -1861,3 +1861,73 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+LTV_CURVE_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT f.cohort_week,
+         CAST(DATE_DIFF('day', f.cohort_week, DATE_TRUNC('week', e.ts)) // 7 AS INT)
+           AS week_offset,
+         SUM(CAST(e.value AS DECIMAL(27,6))) AS wk_rev
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT STRFTIME(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       CAST(ROUND(wk_rev, 2) AS DOUBLE) AS week_revenue,
+       CAST(ROUND(SUM(wk_rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+         AS cumulative_revenue
+FROM rev
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("events_cohort_ltv_curve", oracle=LTV_CURVE_ORACLE)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves: purchase revenue per signup-week
+    cohort by weeks-since-signup, with the running cumulative — the
+    money-weighted counterpart of events_retention_cohorts' count
+    triangle (does week-0 acquisition quality predict week-N spend?).
+
+    Determinism: revenue sums in DECIMAL(27,6); the cumulative runs
+    over the rounded-late exact partials and only becomes a double at
+    display. Scale: one user-grain first-seen aggregate broadcast
+    against the purchase scan, a (cohort, offset)-grain decimal agg,
+    and a window over the cohort-weeks grid (dozens of rows per
+    cohort, however large the event stream).
+    """
+    from taps_spark.queries.numeric import DECIMAL_T
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(F.col("value").cast(DECIMAL_T)).alias("wk_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        F.round("wk_rev", 2).cast("double").alias("week_revenue"),
+        F.round(F.sum("wk_rev").over(w), 2).cast("double").alias("cumulative_revenue"),
+    ).orderBy("cohort_week", "week_offset")

@@ -490,3 +490,97 @@ def similarity_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_hits", "n_queries", "recall_at_3")
         .orderBy("n_hits")
     )
+
+
+DIM_DRIFT_ORACLE = """
+WITH q AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(ROUND(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qv
+  FROM embeddings WHERE label IN (0, 1)
+),
+m AS (
+  SELECT dim, label, COUNT(*) AS n,
+         CAST(SUM(qv) AS BIGINT) AS s, CAST(SUM(qv * qv) AS BIGINT) AS ss
+  FROM q GROUP BY dim, label
+),
+w AS (
+  SELECT a.dim, a.n AS n0, b.n AS n1,
+         CAST(a.s AS DOUBLE) / a.n AS m0, CAST(b.s AS DOUBLE) / b.n AS m1,
+         (CAST(a.n AS DOUBLE) * a.ss - CAST(a.s AS DOUBLE) * a.s)
+           / (CAST(a.n AS DOUBLE) * (a.n - 1)) AS v0,
+         (CAST(b.n AS DOUBLE) * b.ss - CAST(b.s AS DOUBLE) * b.s)
+           / (CAST(b.n AS DOUBLE) * (b.n - 1)) AS v1
+  FROM (SELECT * FROM m WHERE label = 0) a
+  JOIN (SELECT * FROM m WHERE label = 1) b USING (dim)
+)
+SELECT CAST(dim AS INT) AS dim, n0, n1,
+       ROUND(m1 - m0, 4) AS mean_diff_q,
+       ROUND((m1 - m0) / SQRT(v0 / n0 + v1 / n1), 4) AS t_stat,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY ABS((m1 - m0) / SQRT(v0 / n0 + v1 / n1)) DESC, dim) AS rank
+  FROM w
+)
+WHERE rank <= 5
+ORDER BY rank
+"""
+
+
+@query("similarity_dim_drift", oracle=DIM_DRIFT_ORACLE)
+def similarity_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT detection between two slices (labels 0 vs 1):
+    Welch t-statistic per dimension from integer-quantized moments,
+    top-5 most-shifted coordinates — the check you run when a new
+    encoder version or data source lands, before mixing embeddings
+    that silently live in different subspaces.
+
+    Determinism: counts, Σq and Σq² are exact integers (1e3-quantized
+    components); means/variances/t derive from them with identical
+    IEEE steps cross-engine. Scale: posexplode to (dim, label) grain
+    — 128 groups, map-side combined — then a 64-row join and a
+    WindowGroupLimit top-5.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("label").isin(0, 1)).select(
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+        ).alias("dim", "qv"),
+    )
+    m = q.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("ss"),
+    )
+    a = m.filter(F.col("label") == 0).select(
+        "dim", F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("ss").alias("ss0")
+    )
+    b = m.filter(F.col("label") == 1).select(
+        "dim", F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    j = a.join(b, "dim")
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    v0 = (F.col("n0").cast("double") * F.col("ss0") - F.col("s0").cast("double") * F.col("s0")) / (
+        F.col("n0").cast("double") * (F.col("n0") - 1)
+    )
+    v1 = (F.col("n1").cast("double") * F.col("ss1") - F.col("s1").cast("double") * F.col("s1")) / (
+        F.col("n1").cast("double") * (F.col("n1") - 1)
+    )
+    t = (m1 - m0) / F.sqrt(v0 / F.col("n0") + v1 / F.col("n1"))
+    scored = j.select(
+        "dim", "n0", "n1",
+        F.round(m1 - m0, 4).alias("mean_diff_q"),
+        F.round(t, 4).alias("t_stat"),
+        F.abs(t).alias("_abs_t"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_abs_t"), "dim")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("dim", "n0", "n1", "mean_diff_q", "t_stat", "rank")
+        .orderBy("rank")
+    )
