@@ -610,3 +610,76 @@ def validation_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PII_CENSUS_ORACLE = """
+WITH pats(pattern_name, pat) AS (
+  VALUES ('digit_run_3plus', '[0-9]{3,}'),
+         ('email_like', '[A-Za-z0-9._]+@[A-Za-z0-9.]+'),
+         ('upper_token', '[A-Z]{2,}')
+),
+cols AS (
+  SELECT 'customer' AS tbl, 'c_name' AS col, c_name AS v FROM customer
+  UNION ALL SELECT 'customer', 'c_mktsegment', c_mktsegment FROM customer
+  UNION ALL SELECT 'orders', 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL SELECT 'supplier', 's_name', s_name FROM supplier
+)
+SELECT c.tbl, c.col, p.pattern_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN regexp_matches(c.v, p.pat) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN regexp_matches(c.v, p.pat) THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS hit_rate
+FROM cols c CROSS JOIN pats p
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@query("governance_pii_pattern_census", oracle=PII_CENSUS_ORACLE)
+def governance_pii_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern CENSUS: scan a declared set of string columns for
+    sensitive-looking patterns (digit runs, email shapes, shouting
+    tokens) and report hit rates per (table, column, pattern) — the
+    discovery step BEFORE pii_redact_digits' targeted masking: you
+    cannot mask what you haven't located, and at 100 TB the census is
+    how a governance team decides which columns need policies.
+
+    Scale: each table scans once (its columns unioned at scan grain);
+    the pattern dimension is a constant explode; everything aggregates
+    map-side to the (table, column, pattern) key space. No joins.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "supplier"))
+    pats = [
+        ("digit_run_3plus", r"[0-9]{3,}"),
+        ("email_like", r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"),
+        ("upper_token", r"[A-Z]{2,}"),
+    ]
+    cols = [
+        ("customer", "c_name", t["customer"]),
+        ("customer", "c_mktsegment", t["customer"]),
+        ("orders", "o_orderpriority", t["orders"]),
+        ("supplier", "s_name", t["supplier"]),
+    ]
+    parts = []
+    for tbl, col, df in cols:
+        base = df.select(F.lit(tbl).alias("tbl"), F.lit(col).alias("col"), F.col(col).alias("v"))
+        for pname, pat in pats:
+            parts.append(
+                base.select(
+                    "tbl", "col", F.lit(pname).alias("pattern_name"),
+                    F.col("v").rlike(pat).cast("int").alias("hit"),
+                )
+            )
+    from functools import reduce
+
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        allp.groupBy("tbl", "col", "pattern_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 4).alias("hit_rate"),
+        )
+        .orderBy("tbl", "col", "pattern_name")
+    )
