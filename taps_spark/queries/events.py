@@ -1824,43 +1824,37 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (user, day) grain, not of raw events.
 
     Scale: events first collapse to (user, day) — the fan-out applies
-    to that much smaller grain; each rolling window is one
-    map-side-exploded distinct aggregation. Day coverage trims to
-    observed days so partial leading windows match the oracle's
-    BETWEEN join exactly.
+    to that much smaller grain — and ONE x30 coverage explode feeds
+    all three windows as conditional distinct aggregations on a
+    single shuffle (the x7 coverage is a subset of the x30). Day
+    coverage trims to observed days so partial leading windows match
+    the oracle's BETWEEN join exactly.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     days = ud.select("day").distinct()
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-
-    def rolling(width: int, alias: str) -> DataFrame:
-        covered = ud.select(
-            "user_id",
-            F.explode(
-                F.expr(f"sequence(day, date_add(day, {width - 1}))")
-            ).alias("day"),
-        )
-        return (
-            covered.join(days, "day")  # only observed days (oracle parity)
-            .groupBy("day")
-            .agg(F.countDistinct("user_id").alias(alias))
-        )
-
-    wau = rolling(7, "wau")
-    mau = rolling(30, "mau")
-    return (
-        dau.join(wau, "day")
-        .join(mau, "day")
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "dau",
-            "wau",
-            "mau",
-            F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias("stickiness"),
-        )
-        .orderBy("day")
+    # ONE x30 coverage explode serves all three windows: a covered day
+    # within 7 days of its origin also counts for WAU, and distance 0
+    # is DAU — three conditional countDistincts on one shuffle instead
+    # of separate x7/x30 explode passes.
+    covered = ud.select(
+        "user_id",
+        F.col("day").alias("origin"),
+        F.explode(F.expr("sequence(day, date_add(day, 29))")).alias("day"),
+    ).join(days, "day")  # only observed days (oracle parity)
+    dist = F.datediff(F.col("day"), F.col("origin"))
+    rolled = covered.groupBy("day").agg(
+        F.countDistinct(F.when(dist == 0, F.col("user_id"))).alias("dau"),
+        F.countDistinct(F.when(dist < 7, F.col("user_id"))).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
     )
+    return rolled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias("stickiness"),
+    ).orderBy("day")
 
 
 LTV_CURVE_ORACLE = """

@@ -645,9 +645,10 @@ def governance_pii_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame
     cannot mask what you haven't located, and at 100 TB the census is
     how a governance team decides which columns need policies.
 
-    Scale: each table scans once (its columns unioned at scan grain);
-    the pattern dimension is a constant explode; everything aggregates
-    map-side to the (table, column, pattern) key space. No joins.
+    Scale: each table scans ONCE — all of its (column, pattern) hit
+    flags compute in one select over the scan and stack to long form;
+    everything aggregates map-side to the (table, column, pattern)
+    key space. No joins.
     """
     t = load_tables(spark, sf_dir, ("customer", "orders", "supplier"))
     pats = [
@@ -655,24 +656,34 @@ def governance_pii_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame
         ("email_like", r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"),
         ("upper_token", r"[A-Z]{2,}"),
     ]
-    cols = [
-        ("customer", "c_name", t["customer"]),
-        ("customer", "c_mktsegment", t["customer"]),
-        ("orders", "o_orderpriority", t["orders"]),
-        ("supplier", "s_name", t["supplier"]),
-    ]
-    parts = []
-    for tbl, col, df in cols:
-        base = df.select(F.lit(tbl).alias("tbl"), F.lit(col).alias("col"), F.col(col).alias("v"))
-        for pname, pat in pats:
-            parts.append(
-                base.select(
-                    "tbl", "col", F.lit(pname).alias("pattern_name"),
-                    F.col("v").rlike(pat).cast("int").alias("hit"),
-                )
-            )
+    plan = {
+        "customer": ("c_name", "c_mktsegment"),
+        "orders": ("o_orderpriority",),
+        "supplier": ("s_name",),
+    }
+    # ONE scan per table: every (column, pattern) hit flag computes in
+    # a single select over that scan, then stacks to long form —
+    # 3 FileScans total, not one per (column, pattern) pair.
     from functools import reduce
 
+    parts = []
+    for tbl, cols in plan.items():
+        flags = t[tbl].select(
+            *[
+                F.col(c).rlike(pat).cast("int").alias(f"{c}__{pname}")
+                for c in cols
+                for pname, pat in pats
+            ]
+        )
+        triples = ", ".join(
+            f"'{c}', '{pname}', {c}__{pname}" for c in cols for pname, _ in pats
+        )
+        n = len(cols) * len(pats)
+        parts.append(
+            flags.selectExpr(
+                f"stack({n}, {triples}) AS (col, pattern_name, hit)"
+            ).select(F.lit(tbl).alias("tbl"), "col", "pattern_name", "hit")
+        )
     allp = reduce(lambda a, b: a.unionByName(b), parts)
     return (
         allp.groupBy("tbl", "col", "pattern_name")

@@ -1223,14 +1223,19 @@ WITH cust AS (
 g AS (SELECT cents, COUNT(*) AS c FROM cust GROUP BY cents),
 cum AS (SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cum_c FROM g),
 agg AS (
+  -- DECIMAL(38,0) accumulation: the rank-weighted sum is bounded by
+  -- 2*n*total_cents (~4.5e18 at sf1) and would wrap BIGINT silently
+  -- in Spark / error in DuckDB at larger SFs.
   SELECT CAST(SUM(c) AS BIGINT) AS n,
-         CAST(SUM(cents * c) AS BIGINT) AS total,
-         CAST(SUM(cents * c * ((cum_c - c + 1) + cum_c)) AS BIGINT) AS two_weighted
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS total,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * c * ((cum_c - c + 1) + cum_c))
+              AS DECIMAL(38,0)) AS two_weighted
   FROM cum
 )
-SELECT n, total, two_weighted,
+SELECT n, CAST(total AS DOUBLE) AS total_cents,
+       CAST(two_weighted AS DOUBLE) AS two_weighted,
        ROUND((CAST(two_weighted AS DOUBLE) - (n + 1) * CAST(total AS DOUBLE))
-             / (CAST(n AS DOUBLE) * total), 6) AS gini
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
 FROM agg
 """
 
@@ -1258,22 +1263,25 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.operators.keys import prefix_sums
 
     cum = prefix_sums(g, "cents", ("c",))
+    dec = "decimal(38,0)"
     agg = cum.agg(
         F.sum("c").alias("n"),
-        F.sum(F.col("cents") * F.col("c")).cast("long").alias("total"),
+        F.sum(F.col("cents").cast(dec) * F.col("c")).cast(dec).alias("total"),
         F.sum(
-            F.col("cents") * F.col("c") * ((F.col("cum_c") - F.col("c") + 1) + F.col("cum_c"))
+            F.col("cents").cast(dec)
+            * F.col("c")
+            * ((F.col("cum_c") - F.col("c") + 1) + F.col("cum_c"))
         )
-        .cast("long")
+        .cast(dec)
         .alias("two_weighted"),
     )
     return agg.select(
         "n",
-        "total",
-        "two_weighted",
+        F.col("total").cast("double").alias("total_cents"),
+        F.col("two_weighted").cast("double").alias("two_weighted"),
         F.round(
             (F.col("two_weighted").cast("double") - (F.col("n") + 1) * F.col("total").cast("double"))
-            / (F.col("n").cast("double") * F.col("total")),
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
             6,
         ).alias("gini"),
     )

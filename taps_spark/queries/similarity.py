@@ -505,6 +505,9 @@ m AS (
 ),
 w AS (
   SELECT a.dim, a.n AS n0, b.n AS n1,
+         -- degenerate groups (n<=1 or zero pooled variance) produce
+         -- NaN/Inf here but NULL in Spark; both sides filter them
+         -- below so the rank sets agree
          CAST(a.s AS DOUBLE) / a.n AS m0, CAST(b.s AS DOUBLE) / b.n AS m1,
          (CAST(a.n AS DOUBLE) * a.ss - CAST(a.s AS DOUBLE) * a.s)
            / (CAST(a.n AS DOUBLE) * (a.n - 1)) AS v0,
@@ -521,6 +524,7 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (
     ORDER BY ABS((m1 - m0) / SQRT(v0 / n0 + v1 / n1)) DESC, dim) AS rank
   FROM w
+  WHERE n0 > 1 AND n1 > 1 AND (v0 / n0 + v1 / n1) > 0
 )
 WHERE rank <= 5
 ORDER BY rank
@@ -569,11 +573,18 @@ def similarity_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("double") * (F.col("n1") - 1)
     )
     t = (m1 - m0) / F.sqrt(v0 / F.col("n0") + v1 / F.col("n1"))
-    scored = j.select(
-        "dim", "n0", "n1",
-        F.round(m1 - m0, 4).alias("mean_diff_q"),
-        F.round(t, 4).alias("t_stat"),
-        F.abs(t).alias("_abs_t"),
+    # Degenerate-group guard (n<=1 or zero pooled variance): Spark
+    # yields NULL where DuckDB yields NaN/Inf, and they rank
+    # differently — exclude on BOTH sides instead.
+    scored = (
+        j.filter((F.col("n0") > 1) & (F.col("n1") > 1))
+        .filter((v0 / F.col("n0") + v1 / F.col("n1")) > 0)
+        .select(
+            "dim", "n0", "n1",
+            F.round(m1 - m0, 4).alias("mean_diff_q"),
+            F.round(t, 4).alias("t_stat"),
+            F.abs(t).alias("_abs_t"),
+        )
     )
     from pyspark.sql import Window
 
