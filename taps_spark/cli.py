@@ -43,7 +43,9 @@ def safe_url(url: str) -> str:
     (?password=... / ;password=...)."""
     import re
 
-    masked = re.sub(r"//(.+?)?:(.*?)@", r"//\1:[hidden]@", url)
+    # Greedy password group anchored on the LAST '@' before the host,
+    # so a password containing '@' is masked in full.
+    masked = re.sub(r"//([^/@]*?):([^/]*)@", r"//\1:[hidden]@", url)
     return re.sub(r"(?i)(password=)[^;&]*", r"\1[hidden]", masked)
 
 
@@ -253,7 +255,7 @@ def _run_schema(args: argparse.Namespace) -> int:
     restarts identities past current MAX(pk). Works on both endpoint
     kinds: a parquet directory derives DDL from the file schemas; a
     jdbc: URL reads the live catalog."""
-    from taps_spark.io.jdbc import create_index_sql
+    from taps_spark.io.jdbc import create_index_sql, ddl_dialect
     from taps_spark.io.schema import create_table_sql
     from taps_spark.session import get_spark
 
@@ -261,7 +263,17 @@ def _run_schema(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     keys = _parse_keys(args.keys)
     ep = _endpoint(args.url, keys)
-    dialect = "derby" if args.url.startswith("jdbc:") else "postgres"
+    # Resolve the DDL dialect from the URL's driver prefix (a
+    # jdbc:postgresql target must get Postgres DDL, not Derby's);
+    # parquet endpoints dump portable Postgres-flavored DDL.
+    if args.url.startswith("jdbc:"):
+        try:
+            dialect = ddl_dialect(args.url)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+    else:
+        dialect = "postgres"
 
     if args.action in ("dump", "dump_table"):
         if args.action == "dump_table" and not args.table:
@@ -304,7 +316,7 @@ def _run_schema(args: argparse.Namespace) -> int:
             pk = cols[0]
             mx = ep.read(spark, t).agg(F.max(pk).alias("m")).head()["m"]
             nxt = int(mx) + 1 if mx is not None else 1
-            ep.apply_ddl(spark, reset_sequence_sql(t, pk, "derby", next_value=nxt))
+            ep.apply_ddl(spark, reset_sequence_sql(t, pk, dialect, next_value=nxt))
             n += 1
         print(f"reset sequences on {n} tables")
         return 0

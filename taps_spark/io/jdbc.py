@@ -119,6 +119,31 @@ def jdbc_dialect(url: str) -> str:
     return parts[1]
 
 
+#: JDBC driver prefix → DDL dialect tag (the keys of schema._SQL_TYPES).
+_DDL_DIALECTS = {
+    "derby": "derby",
+    "postgresql": "postgres",
+    "mysql": "mysql",
+    "sqlite": "sqlite",
+}
+
+
+def ddl_dialect(url: str) -> str:
+    """DDL dialect for a JDBC URL (jdbc:postgresql:... → 'postgres').
+
+    Errors on unmapped drivers rather than silently assuming one —
+    emitting Derby DDL at a Postgres database is worse than stopping.
+    """
+    d = jdbc_dialect(url)
+    try:
+        return _DDL_DIALECTS[d]
+    except KeyError:
+        raise ValueError(
+            f"no DDL dialect mapping for JDBC driver {d!r}; "
+            f"known: {sorted(_DDL_DIALECTS)}"
+        ) from None
+
+
 def quote_ident(name: str, dialect: str = "derby") -> str:
     """Quote a COLUMN identifier for raw SQL against a Spark-written
     table. Spark's JDBC writer quotes column names in CREATE TABLE
@@ -336,10 +361,20 @@ class JdbcEndpoint:
         from taps_spark.io.sinks import write_jdbc
 
         write_jdbc(df, self.url, stage, mode="overwrite", batchsize=self.batchsize)
+
+        # RENAME TABLE x TO y is Derby/MySQL syntax; everything else
+        # (Postgres, SQLite) spells it ALTER TABLE x RENAME TO y.
+        if jdbc_dialect(self.url) in ("derby", "mysql"):
+            def _rename(src: str, dst: str) -> str:
+                return f"RENAME TABLE {src} TO {dst}"
+        else:
+            def _rename(src: str, dst: str) -> str:
+                return f"ALTER TABLE {src} RENAME TO {dst}"
+
         statements = []
         if table.lower() in existing:
-            statements.append(f"RENAME TABLE {table} TO {old}")
-        statements.append(f"RENAME TABLE {stage} TO {table}")
+            statements.append(_rename(table, old))
+        statements.append(_rename(stage, table))
         execute_jdbc_sql(spark, self.url, *statements)
         if table.lower() in existing:
             execute_jdbc_sql(spark, self.url, f"DROP TABLE {old}")

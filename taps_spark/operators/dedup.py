@@ -407,7 +407,21 @@ def embedding_nn_dedup(
     The per-query reduction rides WindowGroupLimit(Partial) exactly
     like similarity.topk_bruteforce.
     """
+    from pyspark.sql import types as T
+
     from taps_spark.operators.similarity import as_double, dot
+
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        # The one-pass argmax below breaks ties via max(struct(c,
+        # -id_b)); negating a string id silently casts to NULL and
+        # corrupts the tiebreak, so refuse loudly instead.
+        raise ValueError(
+            f"embedding_nn_dedup: id column {id_col!r} has type "
+            f"{id_type.simpleString()}; the (cos DESC, id ASC) tiebreak "
+            "requires a numeric id — assign a surrogate key first "
+            "(operators.keys.assign_surrogate_keys)"
+        )
 
     # Hoist each vector's self-dot out of the pair loop: dot(a,a) is
     # computed once per VECTOR instead of once per PAIR, with the
@@ -445,6 +459,91 @@ def embedding_nn_dedup(
         F.round(F.col("best.c"), 4).alias("nn_cos"),
         F.coalesce(F.col("maxlow") >= F.lit(threshold), F.lit(False)).alias("dropped"),
     ).orderBy("vec_id")
+
+
+def embedding_nn_dedup_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bands: int = 4,
+    planes: int = 4,
+) -> DataFrame:
+    """Blocked embedding near-dup: exact cosine scored ONLY within
+    banded hyperplane-LSH (band, bucket) blocks — the production
+    default for the semantic-dedup pass. Same output contract as
+    embedding_nn_dedup but NN/dropped are computed over LSH candidate
+    pairs instead of all pairs, so a vector with no co-bucketed
+    neighbor emits NULL nn_id/nn_cos and dropped=FALSE.
+
+    Scale: candidate generation is an equi-join on (band, bucket) —
+    pair cost is Σ|bucket|² per band, never n². Narrow (id_a, id_b)
+    rows are distinct'd BEFORE the vectors are attached (pair dedup
+    shuffles 16 bytes/row, not 2×dim doubles). Soundness vs the exact
+    kernel: candidates ⊆ all pairs, so dropped=TRUE here implies
+    dropped=TRUE exactly (pinned in tests); recall is what LSH trades.
+    The unblocked embedding_nn_dedup stays as the test-only baseline.
+    """
+    from pyspark.sql import types as T
+
+    from taps_spark.operators.similarity import as_double, dot
+
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise ValueError(
+            f"embedding_nn_dedup_blocked: id column {id_col!r} has type "
+            f"{id_type.simpleString()}; the (cos DESC, id ASC) tiebreak "
+            "requires a numeric id"
+        )
+
+    buckets = portable_band_buckets(emb, id_col, vec_col, bands, planes)
+    a_ids = buckets.select("band", "bucket", F.col("id").alias("id_a"))
+    b_ids = buckets.select("band", "bucket", F.col("id").alias("id_b"))
+    pairs = (
+        a_ids.join(b_ids, ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n2", dot(F.col("v"), F.col("v")))
+    scored = (
+        pairs.join(
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("na2")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("nb2")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na2") * F.col("nb2"))).alias("c"),
+        )
+    )
+    agg = scored.groupBy("id_a").agg(
+        F.max(F.struct(F.col("c"), (-F.col("id_b")).alias("neg"), F.col("id_b"))).alias(
+            "best"
+        ),
+        F.max(F.when(F.col("id_b") < F.col("id_a"), F.col("c"))).alias("maxlow"),
+    )
+    every = emb.select(F.col(id_col).alias("vec_id"))
+    return (
+        every.join(agg.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("best.id_b").alias("nn_id"),
+            F.round(F.col("best.c"), 4).alias("nn_cos"),
+            F.coalesce(F.col("maxlow") >= F.lit(threshold), F.lit(False)).alias("dropped"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 def _portable_sign(band: int, plane: int, pos: Column) -> Column:

@@ -136,8 +136,14 @@ def prefix_sums(
                 carried = list(offsets[int(b["_pid"].iloc[0])])
             out = b.drop(columns=["_pid"]).copy()
             for i, c in enumerate(sum_cols):
-                out[f"cum_{c}"] = b[c].cumsum() + carried[i]
-                carried[i] += int(b[c].sum())
+                # NULLs contribute 0, matching both SQL SUM OVER
+                # semantics and the `or 0` in the driver-side offsets
+                # (a bare cumsum would turn the partition's running
+                # totals into NaN while later partitions' offsets
+                # treated the NULL as 0 — silently inconsistent).
+                vals = b[c].fillna(0).astype("int64")
+                out[f"cum_{c}"] = vals.cumsum() + carried[i]
+                carried[i] += int(vals.sum())
             yield out
 
     return with_pid.mapInPandas(running, schema=out_schema)

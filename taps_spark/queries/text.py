@@ -869,7 +869,7 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CHUNK_ORACLE = """
+CHUNK_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents

@@ -901,3 +901,50 @@ def test_versioned_write_recovers_from_orphan_dir(spark, sf_dir, tmp_path):
     assert v2 == 2
     assert versions(table)["current"] == 2
     assert read_version(spark, table).count() == 7
+
+
+def test_embedding_nn_blocked_sound_vs_exact_baseline(spark, sf_dir):
+    """The blocked semantic-dedup default vs the unblocked exact
+    kernel (the test-only baseline): (a) SOUND — every dropped=True
+    under LSH blocking is dropped=True exactly, since candidates are
+    a subset of all pairs; (b) blocked nn_cos never exceeds the exact
+    nn_cos; (c) recall — the blocked pass finds a usable share of the
+    true drops (what LSH trades for the n² -> Σ|bucket|² pair cost)."""
+    from taps_spark.operators.dedup import embedding_nn_dedup, embedding_nn_dedup_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        r["vec_id"]: (r["nn_cos"], r["dropped"])
+        for r in embedding_nn_dedup(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        r["vec_id"]: (r["nn_cos"], r["dropped"])
+        for r in embedding_nn_dedup_blocked(emb, threshold=0.4).collect()
+    }
+    assert set(blocked) == set(exact)  # every vector emits a row
+    for vid, (cos_b, drop_b) in blocked.items():
+        cos_e, drop_e = exact[vid]
+        if drop_b:
+            assert drop_e, f"vec {vid}: blocked dropped but exact did not (unsound)"
+        if cos_b is not None:
+            assert cos_b <= cos_e + 1e-9, f"vec {vid}: blocked cos {cos_b} > exact {cos_e}"
+    true_drops = {v for v, (_, d) in exact.items() if d}
+    found = {v for v, (_, d) in blocked.items() if d}
+    if true_drops:
+        recall = len(found & true_drops) / len(true_drops)
+        assert recall >= 0.5, f"blocked drop recall too low: {recall}"
+
+
+def test_embedding_nn_dedup_rejects_string_ids(spark):
+    """The one-pass (cos DESC, id ASC) tiebreak negates the id; a
+    string id would silently cast to NULL and corrupt ties, so both
+    kernels must refuse loudly."""
+    from taps_spark.operators.dedup import embedding_nn_dedup, embedding_nn_dedup_blocked
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="numeric id"):
+        embedding_nn_dedup(df)
+    with pytest.raises(ValueError, match="numeric id"):
+        embedding_nn_dedup_blocked(df)

@@ -282,3 +282,28 @@ def test_prefix_sums_invariant_and_match_global_window(spark, sf_dir):
             for r in prefix_sums(counts, "v", ("c",), num_partitions=n).collect()
         )
         assert got == expected, f"prefix sums diverged at num_partitions={n}"
+
+
+def test_prefix_sums_null_contributes_zero_everywhere(spark):
+    """A NULL in a sum column contributes 0 to the running total in
+    EVERY partition — SQL SUM-OVER semantics. The bug class: the
+    driver-side offsets coalesced NULL->0 but the in-partition pandas
+    cumsum produced NaN, so only partitions containing the NULL
+    diverged (and only at partition counts that isolated it)."""
+    from pyspark.sql import functions as F
+
+    from taps_spark.operators.keys import prefix_sums
+
+    rows = [(i, None if i % 5 == 2 else i * 10) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "v int, c long")
+    expected = []
+    acc = 0
+    for v, c in rows:
+        acc += c or 0
+        expected.append((v, acc))
+    for n in (2, 5, 20):
+        got = sorted(
+            (r.v, r.cum_c)
+            for r in prefix_sums(df, "v", ("c",), num_partitions=n).collect()
+        )
+        assert got == expected, f"NULL handling diverged at num_partitions={n}"
