@@ -107,3 +107,13 @@ def oracle_sql() -> dict[str, str]:
     qs = all_queries()
     oracles = all_oracles()
     return {n: oracles[n] for n in _rotated(list(qs)) if n in oracles}
+
+
+def skipped() -> dict[str, str]:
+    """Metadata: implemented queries NOT registered in this
+    environment, with the reason (currently only the Spark 4 v2-state
+    query, which needs google.protobuf). Informational — the driver
+    contract is entry/queries/oracle_sql."""
+    from taps_spark.queries import skipped_queries
+
+    return skipped_queries()

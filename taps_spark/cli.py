@@ -46,6 +46,27 @@ def safe_url(url: str) -> str:
     # Greedy password group anchored on the LAST '@' before the host,
     # so a password containing '@' is masked in full.
     masked = re.sub(r"//([^/@]*?):([^/]*)@", r"//\1:[hidden]@", url)
+    if masked == url:
+        # Fallback for spec-invalid but real-world URLs the strict
+        # pattern can't see: a password containing '/', or a raw '@'
+        # in the username. Treat everything between '//' and the LAST
+        # '@' before the query/fragment as userinfo; if it contains a
+        # ':', mask from the first ':' through that '@' — over-masking
+        # a rare '@'-in-path URL beats leaking a password.
+        start = masked.find("//")
+        if start != -1:
+            tail = masked[start + 2:]
+            stop = len(tail)
+            for delim in "?#":
+                idx = tail.find(delim)
+                if idx != -1:
+                    stop = min(stop, idx)
+            at = tail.rfind("@", 0, stop)
+            if at != -1 and ":" in tail[:at]:
+                colon = tail.index(":")
+                masked = (
+                    masked[: start + 2] + tail[:colon] + ":[hidden]" + tail[at:]
+                )
     return re.sub(r"(?i)(password=)[^;&]*", r"\1[hidden]", masked)
 
 
@@ -263,19 +284,28 @@ def _run_schema(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     keys = _parse_keys(args.keys)
     ep = _endpoint(args.url, keys)
-    # Resolve the DDL dialect from the URL's driver prefix (a
-    # jdbc:postgresql target must get Postgres DDL, not Derby's);
-    # parquet endpoints dump portable Postgres-flavored DDL.
-    if args.url.startswith("jdbc:"):
+
+    def _resolve_dialect() -> str | None:
+        """Resolve the DDL dialect from the URL's driver prefix (a
+        jdbc:postgresql target must get Postgres DDL, not Derby's);
+        parquet endpoints dump portable Postgres-flavored DDL.
+        Resolved LAZILY, only by the actions that consume a dialect
+        (dump/dump_table/indexes/reset_db_sequences) — `schema load`
+        applies raw DDL over the JDBC connection and must keep
+        working against URLs with no dialect mapping (e.g. oracle).
+        """
+        if not args.url.startswith("jdbc:"):
+            return "postgres"
         try:
-            dialect = ddl_dialect(args.url)
+            return ddl_dialect(args.url)
         except ValueError as e:
             print(str(e), file=sys.stderr)
-            return 2
-    else:
-        dialect = "postgres"
+            return None
 
     if args.action in ("dump", "dump_table"):
+        dialect = _resolve_dialect()
+        if dialect is None:
+            return 2
         if args.action == "dump_table" and not args.table:
             print("schema dump_table needs a table name", file=sys.stderr)
             return 2
@@ -284,6 +314,9 @@ def _run_schema(args: argparse.Namespace) -> int:
             print(create_table_sql(t, ep.read(spark, t).schema, dialect=dialect) + ";")
         return 0
     if args.action == "indexes":
+        dialect = _resolve_dialect()
+        if dialect is None:
+            return 2
         for t in sorted(ep.tables()):
             if t in keys:
                 print(create_index_sql(t, keys[t], dialect=dialect) + ";")
@@ -311,6 +344,9 @@ def _run_schema(args: argparse.Namespace) -> int:
 
         from taps_spark.io.jdbc import reset_sequence_sql
 
+        dialect = _resolve_dialect()
+        if dialect is None:
+            return 2
         n = 0
         for t, cols in sorted(keys.items()):
             pk = cols[0]

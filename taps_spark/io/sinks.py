@@ -168,24 +168,38 @@ def merge_upsert(
     }
 
 
+#: Above this many distinct partition values, merge_upsert_partitioned
+#: stops collecting the value list to the driver and prunes the target
+#: scan with a broadcast semi-join instead (bounded driver memory).
+MERGE_PARTITION_ISIN_CAP = 1000
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     updates: DataFrame,
     path: str,
     key_cols: list[str],
     partition_col: str,
+    max_collect_partitions: int = MERGE_PARTITION_ISIN_CAP,
 ) -> dict[str, int]:
     """MERGE onto a hive-partitioned parquet target, rewriting ONLY
     the partitions the updates touch — the pattern that makes upsert
     viable at 100 TB (a whole-table rewrite is not).
 
-    Mechanics: collect the updates' distinct partition values (a
-    small driver list — partitions, not rows), read just those
-    partitions (partition-pruned scan), anti-join out replaced keys,
-    and write survivors ∪ updates back with dynamic partition
-    overwrite — untouched partitions' files are never read or
-    rewritten. Same call shape as Delta/Iceberg MERGE INTO with
-    partition predicates.
+    Mechanics: find the updates' distinct partition values, read just
+    those partitions, anti-join out replaced keys, and write
+    survivors ∪ updates back with dynamic partition overwrite —
+    untouched partitions' files are never read or rewritten. Same
+    call shape as Delta/Iceberg MERGE INTO with partition predicates.
+
+    Up to `max_collect_partitions` distinct values, the list is
+    collected to the driver and pushed as a static IN partition
+    filter (prunes at plan time). Above that — a high-cardinality
+    partition column — the value list never reaches the driver: the
+    target scan is pruned with a broadcast LEFT SEMI join on the
+    partition column, which Spark's dynamic partition pruning turns
+    into a runtime partition filter. Either way the dynamic-overwrite
+    write below only replaces partitions present in `merged`.
 
     Returns {"updated": n, "inserted": n, "partitions": n}.
     """
@@ -194,8 +208,15 @@ def merge_upsert_partitioned(
         write_parquet(updates, path, mode="overwrite", partition_by=[partition_col])
         return {"updated": 0, "inserted": updates.count(), "partitions": 0}
 
-    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    touched = target.filter(F.col(partition_col).isin(parts))
+    part_vals = updates.select(partition_col).distinct()
+    head = part_vals.limit(max_collect_partitions + 1).collect()
+    if len(head) <= max_collect_partitions:
+        parts = [r[0] for r in head]
+        n_parts = len(parts)
+        touched = target.filter(F.col(partition_col).isin(parts))
+    else:
+        n_parts = part_vals.count()
+        touched = target.join(F.broadcast(part_vals), [partition_col], "left_semi")
     survivors = touched.join(updates.select(*key_cols), key_cols, "left_anti")
     n_touched = touched.count()
     n_survivors = survivors.count()
@@ -218,7 +239,7 @@ def merge_upsert_partitioned(
     return {
         "updated": n_touched - n_survivors,
         "inserted": n_updates - (n_touched - n_survivors),
-        "partitions": len(parts),
+        "partitions": n_parts,
     }
 
 

@@ -35,6 +35,22 @@ class RegisteredQuery:
 
 REGISTRY: dict[str, RegisteredQuery] = {}
 
+#: Queries implemented but NOT registered in this environment, with the
+#: reason (e.g. a missing optional runtime dependency). Surfaced via
+#: skipped_queries() so the driver/judge can audit conditional entries.
+SKIPPED: dict[str, str] = {}
+
+
+def register_skip(name: str, reason: str) -> None:
+    SKIPPED[name] = reason
+
+
+def skipped_queries() -> dict[str, str]:
+    """{query_name: why it is not registered here}. Empty when every
+    conditional query's dependency is importable."""
+    _load()
+    return dict(SKIPPED)
+
 
 def query(name: str, oracle: str | None = None):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""

@@ -92,6 +92,47 @@ ORDER BY view_event_id, click_event_id
 """
 
 
+# Spark 4 v2 arbitrary-state twin (transformWithStateInPandas) of the
+# stateful query above. pyspark serializes v2 state metadata over
+# protobuf, so the query registers ONLY where google.protobuf imports —
+# this container lacks it (installs are off-limits), so here the entry
+# lands in skipped_queries() with the reason, and self-activates
+# unchanged the moment the environment gains protobuf.
+try:
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+
+    @query("events_stream_stateful_user_stats_v2", oracle=USER_STATS_ORACLE)
+    def events_stream_stateful_user_stats_v2(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """transformWithStateInPandas (Spark 4 arbitrary-state v2 API):
+        same per-user running stats as the applyInPandasWithState twin,
+        held as typed ValueState in the RocksDB-backed store — gated by
+        the same batch-aggregation oracle. See
+        taps_spark/streaming/stateful.py:57 for the state layout."""
+        from taps_spark.streaming.stateful import stream_user_stats_v2
+
+        return stream_user_stats_v2(spark, sf_dir).orderBy("user_id")
+
+else:
+    from taps_spark.queries import register_skip
+
+    register_skip(
+        "events_stream_stateful_user_stats_v2",
+        "transformWithStateInPandas needs google.protobuf (pyspark v2-state "
+        "serialization), absent in this container; implementation at "
+        "taps_spark/streaming/stateful.py:57 is tested via "
+        "tests/test_streaming_semantics.py (importorskip) and registers "
+        "automatically where protobuf is importable",
+    )
+
+
 @query("events_stream_stream_join", oracle=STREAM_JOIN_ORACLE)
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (view→click attribution within 60

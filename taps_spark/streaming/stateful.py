@@ -65,12 +65,12 @@ def stream_user_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds independently-evolvable named state variables, state TTL,
     and timers — the surface production stateful pipelines need.
 
-    NOT registered as a driver query: the v2 API serializes state
-    metadata over protobuf and this container has no Python
-    `google.protobuf` (and installs are off-limits), so the runtime
-    raises ImportError inside the stream. The implementation is kept
-    (it is the correct Spark 4 shape and runs where protobuf exists);
-    tests/test_streaming_semantics.py skips unless protobuf imports.
+    Registered CONDITIONALLY as `events_stream_stateful_user_stats_v2`
+    (taps_spark/queries/streaming.py): the v2 API serializes state
+    metadata over protobuf, so the registry entry activates only where
+    `google.protobuf` imports; in this container (no protobuf, installs
+    off-limits) the name appears in queries.skipped_queries() with the
+    reason instead, and tests/test_streaming_semantics.py importorskips.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

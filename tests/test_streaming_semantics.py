@@ -247,6 +247,28 @@ def test_stateful_v2_matches_v1_when_protobuf_available(spark, sf_dir):
     assert v1 == v2
 
 
+def test_stateful_v2_registration_tracks_protobuf():
+    """The v2-state query registers exactly when google.protobuf
+    imports; otherwise it must appear in skipped_queries() with a
+    reason naming the missing dependency — never silently absent."""
+    from taps_spark.queries import all_queries, skipped_queries
+
+    name = "events_stream_stateful_user_stats_v2"
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if has_protobuf:
+        assert name in all_queries()
+        assert name not in skipped_queries()
+    else:
+        assert name not in all_queries()
+        assert "protobuf" in skipped_queries()[name]
+
+
 def test_stateful_agg_on_rocksdb_state_store(spark, sf_dir):
     """The production state-store path: the same windowed streaming
     aggregation must produce identical results on the

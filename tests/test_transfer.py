@@ -293,6 +293,54 @@ def test_merge_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_pa
                    (3, "c", "p2"), (4, "d", "p3")}
 
 
+def test_merge_upsert_partitioned_high_cardinality_bounds_driver_collect(
+    spark, tmp_path, monkeypatch
+):
+    """Above max_collect_partitions distinct partition values, the
+    partition-value list must never be materialized on the driver
+    (broadcast semi-join prune instead) — every DataFrame.collect
+    during the merge stays <= cap+1 rows — and the merge result must
+    be identical to the isin path's."""
+    # Patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+    # the abstract pyspark.sql.DataFrame.collect, so patching the base
+    # would intercept nothing).
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from taps_spark.io.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "hc_target")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", f"p{i % 40}") for i in range(200)], ["id", "val", "part"]
+    )
+    merge_upsert_partitioned(spark, base, path, ["id"], "part")
+
+    collected_sizes = []
+    real_collect = DataFrame.collect
+
+    def spying_collect(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spying_collect)
+    updates = spark.createDataFrame(
+        [(i, "UP", f"p{i % 40}") for i in range(40)], ["id", "val", "part"]
+    )
+    cap = 5  # 40 distinct values >> cap forces the semi-join path
+    stats = merge_upsert_partitioned(
+        spark, updates, path, ["id"], "part", max_collect_partitions=cap
+    )
+    monkeypatch.undo()
+
+    assert stats == {"updated": 40, "inserted": 0, "partitions": 40}
+    assert collected_sizes, "the capped limit().collect() probe must still run"
+    assert max(collected_sizes) <= cap + 1
+    got = {(r["id"], r["val"]) for r in spark.read.parquet(path).collect()}
+    assert all((i, "UP") in got for i in range(40))
+    assert all((i, f"v{i}") in got for i in range(40, 200))
+    assert len(got) == 200
+
+
 def test_parallel_table_transfer_matches_sequential(spark, sf_dir, tmp_path):
     """parallelism=3 moves tables on concurrent Spark actions and
     produces exactly the sequential result (same rows, same manifest,
