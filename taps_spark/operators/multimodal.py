@@ -1,8 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, processed with Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes behind `_decode_stub` (clearly marked); everything
+Audio decode is REAL for RIFF/WAV payloads (pure-stdlib `wave` parse +
+sample math in _decode_wav / _wav_window_rms). The container has no
+image/video codecs, so those kernels remain deterministic fakes behind
+`_decode_stub` (clearly marked) — as does audio for non-WAV payloads,
+which keeps the synthetic fixtures oracle-checkable. Everything
 Spark-side — schemas, batch iteration, partitioning, UDF signatures —
 is real and tested, which is the part that matters for the engine.
 
@@ -64,12 +67,100 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _decode_wav(payload: bytes | None) -> dict | None:
+    """REAL audio decode kernel: RIFF/WAVE PCM via stdlib `wave` +
+    `audioop`-free sample math — no third-party codec needed. Returns
+    None when the payload is not a parseable WAV (the caller falls
+    back to the deterministic stub), so synthetic fixtures keep their
+    oracle-pinned stub behavior while genuine WAV bytes decode for
+    real.
+
+    Returned dict carries duration plus the PCM geometry the window
+    sampler needs to compute true per-window energy."""
+    import io
+    import wave
+
+    if (
+        payload is None
+        or len(payload) < 44  # RIFF header + fmt + data minimum
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n_frames = w.getnframes()
+            rate = w.getframerate()
+            if rate <= 0 or n_frames <= 0:
+                return None
+            return {
+                "width": None,
+                "height": None,
+                "duration_ms": (n_frames * 1000) // rate,
+                "sample_rate": rate,
+                "n_channels": w.getnchannels(),
+                "sample_width": w.getsampwidth(),
+                "pcm": w.readframes(n_frames),
+            }
+    except (wave.Error, EOFError, OSError):
+        return None
+
+
+def _wav_window_rms(decoded: dict, start_ms: int, window_ms: int) -> float:
+    """True RMS of one PCM window, normalized to [0, 1] by the sample
+    type's full scale. Pure-stdlib (struct-free: `array` handles 8/16
+    bit, the only widths `wave` writes without extensible headers);
+    channels are interleaved and RMS is channel-agnostic, so no
+    de-interleave is needed."""
+    import array
+    import math
+
+    rate = decoded["sample_rate"]
+    ch = decoded["n_channels"]
+    width = decoded["sample_width"]
+    pcm = decoded["pcm"]
+    frame_lo = (start_ms * rate) // 1000
+    frame_hi = ((start_ms + window_ms) * rate) // 1000
+    lo = frame_lo * ch * width
+    hi = min(frame_hi * ch * width, len(pcm))
+    chunk = pcm[lo:hi]
+    if not chunk:
+        return 0.0
+    if width == 2:
+        samples = array.array("h", chunk[: len(chunk) - len(chunk) % 2])
+        scale = 32768.0
+    elif width == 1:
+        # WAV 8-bit is UNSIGNED with a 128 midpoint.
+        samples = [b - 128 for b in chunk]
+        scale = 128.0
+    else:
+        # 24/32-bit: int.from_bytes per sample (rare path, still exact).
+        samples = [
+            int.from_bytes(chunk[i : i + width], "little", signed=True)
+            for i in range(0, len(chunk) - len(chunk) % width, width)
+        ]
+        scale = float(1 << (8 * width - 1))
+    if not len(samples):
+        return 0.0
+    acc = 0.0
+    for s in samples:
+        acc += (s / scale) ** 2
+    return math.sqrt(acc / len(samples))
+
+
 def _decode_stub(modality: str, payload: bytes | None) -> dict:
-    """STUB decode kernel — the real implementation would call PIL /
-    soundfile / pyav here; the container ships none of them, so derive
-    deterministic fake dimensions from the payload bytes."""
+    """Decode kernel dispatch. Audio payloads that parse as RIFF/WAV
+    take the REAL stdlib decoder (_decode_wav); everything else falls
+    back to the deterministic fake (the container ships no image/video
+    codecs — PIL / pyav would slot in here), which derives stable fake
+    dimensions from the payload bytes so the pipeline stays
+    oracle-checkable on synthetic fixtures."""
     if payload is None:
         return {"width": None, "height": None, "duration_ms": None}
+    if modality == "audio":
+        real = _decode_wav(payload)
+        if real is not None:
+            return real
     n = len(payload)
     if modality == "image":
         return {"width": 64 + n % 512, "height": 64 + (n * 7) % 512, "duration_ms": None}
@@ -180,12 +271,14 @@ def sample_audio_windows(
     PCM window (1→N mapInPandas expansion), each carrying a per-window
     energy statistic — the shape a real loudness/VAD pipeline has.
 
-    The audio DECODE is stubbed (no soundfile/librosa in this
-    container): duration comes from the stub decoder and the per-window
-    'rms' derives deterministically from the payload checksum chained
-    with the window index, so the whole pipeline is oracle-checkable.
+    Payloads that parse as RIFF/WAV take the REAL stdlib decode path
+    (_decode_wav): duration from the PCM frame count and per-window
+    'rms' computed from the actual samples. Non-WAV payloads (the
+    synthetic fixtures) keep the deterministic stub — duration from
+    the stub decoder, 'rms' derived from the payload checksum chained
+    with the window index — so the pipeline stays oracle-checkable.
     The Spark plumbing (Arrow batches in, expanded typed batches out)
-    is real.
+    is identical on both paths.
 
     Scale: map-only — no shuffle; window count per asset bounds output
     amplification, and repartitioning by duration evens task skew.
@@ -199,9 +292,15 @@ def sample_audio_windows(
             for aid, mod, payload in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
                 if mod != "audio" or payload is None:
                     continue
-                dur = _decode_stub("audio", payload)["duration_ms"]
-                base = hashlib.md5(payload).hexdigest()
+                decoded = _decode_stub("audio", payload)
+                dur = decoded["duration_ms"]
                 n_win = min(max_windows, max(1, dur // window_ms))
+                if "pcm" in decoded:  # real WAV: true per-window energy
+                    for i in range(n_win):
+                        rms = _wav_window_rms(decoded, i * window_ms, window_ms)
+                        rows.append((aid, i, i * window_ms, rms))
+                    continue
+                base = hashlib.md5(payload).hexdigest()
                 for i in range(n_win):
                     h = hashlib.md5(f"{base}-w{i}".encode()).hexdigest()
                     # int/int→double division: identical IEEE op in

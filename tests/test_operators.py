@@ -279,6 +279,69 @@ def test_audio_windows_cap_and_determinism(spark):
     assert sorted(map(tuple, first)) == sorted(map(tuple, again))
 
 
+def _make_wav(seconds: float, rate: int = 8000, amp: float = 0.5, freq: float = 440.0) -> bytes:
+    """Build a real mono 16-bit PCM WAV (sine wave) with stdlib only."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(seconds * rate)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_wav_decode_duration_and_rms(spark):
+    """A genuine RIFF/WAV payload must take the REAL decode path:
+    duration from the PCM frame count (not the byte-length stub
+    formula) and per-window rms equal to the true sample RMS — a
+    full-scale-amplitude sine of amp a has RMS a/sqrt(2)."""
+    import math
+
+    from taps_spark.operators.multimodal import (
+        _decode_stub,
+        extract_features,
+        sample_audio_windows,
+    )
+
+    wav = _make_wav(seconds=3.5, rate=8000, amp=0.5)
+    decoded = _decode_stub("audio", wav)
+    assert decoded["duration_ms"] == 3500  # real frames/rate, not 1000+(n*13)%60000
+    assert "pcm" in decoded
+
+    assets = spark.createDataFrame(
+        [(1, "audio", wav, None), (2, "audio", b"not-a-wav" * 100, None)],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert feats[1]["duration_ms"] == 3500
+    # Non-WAV sibling stays on the deterministic stub path.
+    assert feats[2]["duration_ms"] == 1000 + (900 * 13) % 60000
+
+    wins = {
+        (r["asset_id"], r["window_idx"]): r
+        for r in sample_audio_windows(assets, window_ms=1000, max_windows=8).collect()
+    }
+    # 3500 ms // 1000 -> 3 full windows for the real WAV.
+    real = [wins[(1, i)] for i in range(3)]
+    assert (1, 3) not in wins
+    expected = 0.5 / math.sqrt(2)
+    for r in real:
+        assert abs(r["rms"] - expected) < 2e-3  # quantization of 16-bit PCM
+    assert all(r["start_ms"] == i * 1000 for i, r in enumerate(real))
+
+
 def test_hypertable_rollup_matches_single_level(spark):
     """Two-level rollup (hourly partials → daily) must equal a direct
     raw→daily aggregation — the invariant that makes partial reuse safe."""
