@@ -57,7 +57,23 @@ def minhash_signatures(
     to (id, seed, mh) afterwards. 2-3× faster than the
     explode×seed-join formulation it replaced, with identical output.
     """
-    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    return minhash_signatures_from_tokens(
+        df.select(F.col(id_col), F.array_distinct(tokens(text_col)).alias("__toks")),
+        id_col,
+        "__toks",
+        num_hashes=num_hashes,
+    )
+
+
+def minhash_signatures_from_tokens(
+    df: DataFrame, id_col: str, tokens_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """minhash_signatures over a pre-built token-ARRAY column — the
+    entry point for condensed pipelines that group docs by distinct
+    token set first and sign each group once (signatures depend only
+    on the token set, so signing per group instead of per doc is
+    exact). Same hash family, same output shape (id, seed, mh)."""
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(F.col(tokens_col))).alias("tok"))
     wide = toks.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("tok")))).alias(f"mh{s}")
