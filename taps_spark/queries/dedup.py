@@ -369,7 +369,9 @@ ORDER BY component
 """
 
 
-def _condensed_group_graph(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _condensed_group_graph(
+    docs: DataFrame, threshold: float = 0.9
+) -> tuple[DataFrame, DataFrame]:
     """EXACT condensation prelude for the component queries: collapse
     docs with an identical distinct-token SET into one group node
     (identical sets ⇒ identical MinHash signatures ⇒ always direct
@@ -390,7 +392,8 @@ def _condensed_group_graph(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Returns (grp, gedges): grp[rtoks, gid, gmax, n_docs] with
     gid = min member doc_id (the group's node id), and
-    gedges[src, dst] — verified Jaccard ≥ 0.9 edges between groups.
+    gedges[src, dst] — verified Jaccard ≥ `threshold` edges between
+    groups (src < dst).
     """
     from taps_spark.operators.dedup import (
         hashed_token_set,
@@ -426,15 +429,23 @@ def _condensed_group_graph(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
     ta = ghash.select(F.col("gid").alias("src"), F.col("toks").alias("toks_a"))
     tb = ghash.select(F.col("gid").alias("dst"), F.col("toks").alias("toks_b"))
-    # Same lossless size-ratio prefilter as the doc-level path.
-    ratio_ok = (10 * F.size("toks_a") >= 9 * F.size("toks_b")) & (
-        10 * F.size("toks_b") >= 9 * F.size("toks_a")
+    # Same lossless size-ratio prefilter as the doc-level path
+    # (J <= min/max ⇒ J >= t needs 10|A| >= 10t·|B| both ways; the
+    # swept thresholds are exact tenths so int(10t) is exact).
+    k = int(round(threshold * 10))
+    ratio_ok = (10 * F.size("toks_a") >= k * F.size("toks_b")) & (
+        10 * F.size("toks_b") >= k * F.size("toks_a")
     )
+    j = jaccard_hashed(F.col("toks_a"), F.col("toks_b"))
+    # Filter directly on the expression (single evaluation — a filter
+    # on a projected computed column would predicate-push through the
+    # projection and evaluate the intersection twice, see SCALE.md);
+    # the projection then drops the arrays.
     gedges = (
         cand.join(ta, "src")
         .join(tb, "dst")
         .filter(ratio_ok)
-        .filter(jaccard_hashed(F.col("toks_a"), F.col("toks_b")) >= 0.9)
+        .filter(j >= threshold)
         .select("src", "dst")
     )
     return grp, gedges
