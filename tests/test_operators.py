@@ -196,6 +196,51 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_condensed_group_graph_semantics(spark):
+    """The exact-condensation prelude: docs whose texts have the same
+    distinct-token SET (any order/multiplicity/extra whitespace) form
+    one group keyed by min doc_id; near-identical sets across groups
+    verify as group edges; component rollup fans group sizes back out
+    and excludes only true singletons."""
+    from taps_spark.operators.dedup import connected_components
+    from taps_spark.queries.dedup import _condensed_group_graph, _condensed_rollup
+
+    docs = spark.createDataFrame(
+        [
+            # Group A: same token set {a...j}, scrambled order + repeats.
+            (1, "a b c d e f g h i j"),
+            (2, "j i h g f e d c b a  a"),
+            (3, "a a a b c d e f g h i j"),
+            # Group B: drops j, adds k -> J(A,B) = 9/11 = 0.818 < 0.9
+            # (no A-B edge at 0.9).
+            (4, "a b c d e f g h i k"),
+            # Group C: superset of A by one token -> J(A,C) = 10/11 =
+            # 0.909 >= 0.9 (edge), and J(B,C) = 10/11 too (edge).
+            (5, "a b c d e f g h i j k"),
+            # Group D: exactly A's tokens again but one more doc id far away.
+            (9, "b a c d e f g h i j"),
+            # Singleton with disjoint tokens: excluded from output.
+            (7, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    grp, gedges = _condensed_group_graph(docs, threshold=0.9)
+    groups = {r["gid"]: (r["n_docs"], r["gmax"]) for r in grp.collect()}
+    # {a..j} docs 1,2,3,9 condense into ONE group keyed gid=1.
+    assert groups[1] == (4, 9)
+    assert groups[4] == (1, 4) and groups[5] == (1, 5) and groups[7] == (1, 7)
+    # C bridges A and B (both at J = 10/11); A-B itself is below 0.9.
+    assert {(r["src"], r["dst"]) for r in gedges.collect()} == {(1, 5), (4, 5)}
+
+    out = {
+        r["component"]: (r["n_members"], r["max_member"])
+        for r in _condensed_rollup(grp, connected_components(gedges)).collect()
+    }
+    # A+B+C chain through C into one component (4+1+1 docs, max id 9);
+    # the disjoint singleton {x y z} is excluded.
+    assert out == {1: (6, 9)}
+
+
 def test_connected_components_converges_on_long_chain(spark):
     """A 12-node path needs ~log-diameter rounds of min propagation;
     convergence (not max_iters) must terminate it."""
