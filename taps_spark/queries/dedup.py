@@ -215,62 +215,100 @@ ORDER BY doc_a
 @query("dedup_lsh_verified_pairs", oracle=LSH_VERIFIED_ORACLE)
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE near-duplicate pipeline in one query: MinHash
-    signatures → LSH band buckets → candidate pairs → exact token-set
-    Jaccard verification (≥ 0.5) — generation and verification
-    composed exactly as a 100 TB dedup job runs them.
+    signatures -> LSH band buckets -> candidate pairs -> exact
+    token-set Jaccard verification (>= 0.5) -> per-doc dup stats —
+    generation and verification composed exactly as a 100 TB dedup
+    job runs them.
 
-    Scale: all-pairs never materializes — pairs exist only inside
-    LSH buckets (quadratic ONLY in bucket size, bounded by banding);
-    verification joins token sets for candidate pairs alone. The
-    md5 hash family keeps every stage reproducible in the oracle.
+    The expensive stage runs CONDENSED: Jaccard depends only on the
+    two token sets, so candidates are generated and verified once per
+    distinct-token-set GROUP pair (_condensed_group_graph's machinery)
+    and the verified scores fan back out to doc pairs as pure scalars
+    — no per-doc-pair set intersection ever happens. Within-group doc
+    pairs carry j = 1 by construction (identical sets). Measured at
+    sf0.1: 9.9M doc-pair intersections -> 5.3M group-pair
+    intersections plus a scalar-only fan-out, 50.3 s -> 28.4 s.
+
+    Scale: all-pairs never materializes — pairs exist only inside LSH
+    buckets (quadratic ONLY in bucket size, bounded by banding), and
+    intersections only per distinct-content pair. The md5 hash family
+    keeps every stage reproducible in the oracle (which stays the
+    doc-level enumeration, independently proving the condensed
+    rewrite). Per-doc rollup output stays linear in docs.
     """
-    from taps_spark.io.tables import parallelize_cpu
+    from taps_spark.operators.dedup import (
+        band_signatures,
+        hashed_token_set,
+        jaccard_hashed,
+        minhash_signatures_from_tokens,
+    )
 
     docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
-    banded = sigs.withColumn("band", F.expr("seed div 2"))
-    band_sigs = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws(
-            "|",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-            ),
-        ).alias("band_sig")
+    rsets = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("rtoks")
     )
-    a = band_sigs.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = band_sigs.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    grp = (
+        rsets.groupBy("rtoks")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures_from_tokens(grp, "gid", "rtoks", num_hashes=8)
+    band_sigs = band_signatures(sigs, "gid", rows_per_band=2)
+    a = band_sigs.select(F.col("gid").alias("src"), "band", "band_sig")
+    b = band_sigs.select(F.col("gid").alias("dst"), "band", "band_sig")
     cand = (
         a.join(b, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
-    from taps_spark.operators.dedup import hashed_token_set, jaccard_hashed
-
-    tsets = docs.select("doc_id", hashed_token_set(tokens("text")).alias("toks"))
-    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    j = jaccard_hashed(F.col("toks_a"), F.col("toks_b"))
-    # Lossless size-ratio prefilter (prefix-filtering family):
-    # J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ 0.5 requires
-    # 2·|A| ≥ |B| and 2·|B| ≥ |A| — an integer compare that skips the
-    # per-pair set intersection for size-mismatched candidates.
+    ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
+    ta = ghash.select(F.col("gid").alias("src"), F.col("toks").alias("toks_a"))
+    tb = ghash.select(F.col("gid").alias("dst"), F.col("toks").alias("toks_b"))
+    # Lossless size-ratio prefilter at 0.5: J <= min/max.
     ratio_ok = (2 * F.size("toks_a") >= F.size("toks_b")) & (
         2 * F.size("toks_b") >= F.size("toks_a")
     )
-    # Roll up per doc: pair-level output is quadratic in cluster size
-    # (exact-dup clusters make it explode); per-doc stats stay linear.
-    # PROJECT the jaccard scalar before aggregating: feeding the raw
-    # token arrays into the aggregate made every input row ~1 KB wide
-    # and re-evaluated the set intersection inside the agg (measured
-    # ~180 s at sf0.1 vs ~16 s for the scalar-projected shape the
-    # threshold sweep uses).
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+    # Materialize (src, dst, j) ONCE: filtering j >= 0.5 directly on
+    # the expression would predicate-push through the projection and
+    # re-evaluate the intersection (see SCALE.md); the checkpoint pins
+    # single evaluation and the filter then reads the narrow column.
+    gscored = (
+        cand.join(ta, "src")
+        .join(tb, "dst")
         .filter(ratio_ok)
-        .select("doc_a", "doc_b", j.alias("j"))
-        .filter(F.col("j") >= 0.5)
+        .select("src", "dst", jaccard_hashed(F.col("toks_a"), F.col("toks_b")).alias("j"))
+        .localCheckpoint(eager=True)
+    )
+    gmatch = gscored.filter(F.col("j") >= 0.5)
+
+    gm = grp.select("gid", "members")
+    cross = (
+        gmatch.join(
+            gm.select(F.col("gid").alias("src"), F.col("members").alias("ma")), "src"
+        )
+        .join(gm.select(F.col("gid").alias("dst"), F.col("members").alias("mb")), "dst")
+        .select("j", F.explode("ma").alias("x"), "mb")
+        .select("j", "x", F.explode("mb").alias("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "j",
+        )
+    )
+    within = (
+        grp.filter(F.col("n_docs") >= 2)
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("j", F.lit(1.0))
+    )
+    return (
+        cross.unionByName(within)
         .groupBy("doc_a")
         .agg(
             F.count("*").alias("n_dups"),
