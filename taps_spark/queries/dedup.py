@@ -1331,56 +1331,86 @@ ORDER BY th.threshold
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold SENSITIVITY analysis: how many verified
     pairs (and how many left/right document slots) survive at Jaccard
-    ≥ 0.7 / 0.8 / 0.9 — computed in ONE pass over the blocked
-    candidate set, because the expensive part (candidate generation +
-    exact verification) is threshold-independent. This is the audit
-    you run before committing a dedup threshold at corpus scale,
-    where each 0.05 of threshold can mean billions of documents kept
-    or dropped.
+    >= 0.7 / 0.8 / 0.9 — the audit you run before committing a dedup
+    threshold at corpus scale, where each 0.05 of threshold can mean
+    billions of documents kept or dropped.
 
-    Scale: candidates come from the same MinHash band join as
-    dedup_lsh_verified_pairs (linear, bucketed); each candidate's
-    Jaccard computes once; the sweep itself is a constant-width
-    conditional aggregation — thresholds add zero scans.
+    Jaccard is verified once per distinct-token-set GROUP pair (the
+    condensed shape shared with dedup_lsh_verified_pairs: 5.3M group
+    intersections vs 9.9M doc intersections at sf0.1) and the scores
+    fan back out to doc pairs as pure scalars for the sweep — the
+    thresholds then cost one conditional aggregation over narrow rows,
+    zero extra scans. (A fully closed-form variant with NO doc-pair
+    fan-out was measured SLOWER here — its three-consumer plan
+    re-shuffles what this single linear pipeline streams; see
+    SCALE.md round-5 notes.) Measured at sf0.1: 30.3 s -> 27.2 s.
     """
-    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
-    banded = sigs.withColumn("band", F.expr("seed div 2"))
-    band_sigs = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws(
-            "|",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-            ),
-        ).alias("band_sig")
+    from taps_spark.operators.dedup import (
+        band_signatures,
+        hashed_token_set,
+        jaccard_hashed,
+        minhash_signatures_from_tokens,
     )
-    a = band_sigs.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = band_sigs.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    rsets = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("rtoks")
+    )
+    grp = (
+        rsets.groupBy("rtoks")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures_from_tokens(grp, "gid", "rtoks", num_hashes=8)
+    band_sigs = band_signatures(sigs, "gid", rows_per_band=2)
+    a = band_sigs.select(F.col("gid").alias("src"), "band", "band_sig")
+    b = band_sigs.select(F.col("gid").alias("dst"), "band", "band_sig")
     cand = (
         a.join(b, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
-    from taps_spark.operators.dedup import hashed_token_set, jaccard_hashed
-
-    tsets = docs.select("doc_id", hashed_token_set(tokens("text")).alias("toks"))
-    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    # Lossless prefilter at the SMALLEST swept threshold (0.7):
-    # J ≤ min/max, so pairs failing 10·|A| ≥ 7·|B| (either way) can
-    # reach no bucket — dropping them changes no count.
+    ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
+    ta = ghash.select(F.col("gid").alias("src"), F.col("toks").alias("toks_a"))
+    tb = ghash.select(F.col("gid").alias("dst"), F.col("toks").alias("toks_b"))
+    # Lossless prefilter at the SMALLEST swept threshold (0.7): J <=
+    # min/max, so pairs failing it can reach no bucket of the sweep.
     ratio_ok = (10 * F.size("toks_a") >= 7 * F.size("toks_b")) & (
         10 * F.size("toks_b") >= 7 * F.size("toks_a")
     )
-    scored = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .filter(ratio_ok)
-        .select("doc_a", "doc_b", jaccard_hashed(F.col("toks_a"), F.col("toks_b")).alias("j"))
+    gscored = cand.join(ta, "src").join(tb, "dst").filter(ratio_ok).select(
+        "src", "dst", jaccard_hashed(F.col("toks_a"), F.col("toks_b")).alias("j")
     )
-    swept = scored.select(
-        "doc_a", "doc_b", "j", F.explode(F.array(F.lit(0.7), F.lit(0.8), F.lit(0.9))).alias("threshold")
+
+    gm = grp.select("gid", "members")
+    cross = (
+        gscored.join(
+            gm.select(F.col("gid").alias("src"), F.col("members").alias("ma")), "src"
+        )
+        .join(gm.select(F.col("gid").alias("dst"), F.col("members").alias("mb")), "dst")
+        .select("j", F.explode("ma").alias("x"), "mb")
+        .select("j", "x", F.explode("mb").alias("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "j",
+        )
+    )
+    within = (
+        grp.filter(F.col("n_docs") >= 2)
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("j", F.lit(1.0))
+    )
+    swept = cross.unionByName(within).select(
+        "doc_a", "doc_b", "j",
+        F.explode(F.array(F.lit(0.7), F.lit(0.8), F.lit(0.9))).alias("threshold"),
     )
     return (
         swept.groupBy("threshold")
