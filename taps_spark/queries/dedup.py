@@ -220,95 +220,32 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation and verification composed exactly as a 100 TB dedup
     job runs them.
 
-    The expensive stage runs CONDENSED: Jaccard depends only on the
-    two token sets, so candidates are generated and verified once per
-    distinct-token-set GROUP pair (_condensed_group_graph's machinery)
-    and the verified scores fan back out to doc pairs as pure scalars
-    — no per-doc-pair set intersection ever happens. Within-group doc
-    pairs carry j = 1 by construction (identical sets). Measured at
-    sf0.1: 9.9M doc-pair intersections -> 5.3M group-pair
-    intersections plus a scalar-only fan-out, 50.3 s -> 28.4 s.
-
-    Scale: all-pairs never materializes — pairs exist only inside LSH
-    buckets (quadratic ONLY in bucket size, bounded by banding), and
-    intersections only per distinct-content pair. The md5 hash family
-    keeps every stage reproducible in the oracle (which stays the
-    doc-level enumeration, independently proving the condensed
-    rewrite). Per-doc rollup output stays linear in docs.
+    The expensive stage runs CONDENSED (_condensed_prelude): Jaccard
+    is verified once per distinct-token-set GROUP pair and the scores
+    fan back out to doc pairs as pure scalars (_fan_out_doc_pairs).
+    Measured at sf0.1: 9.9M doc-pair intersections -> 5.3M group-pair
+    intersections, 50.3 s -> 28.4 s. The oracle stays the doc-level
+    pair enumeration, independently proving the condensed rewrite;
+    the md5 hash family keeps every stage reproducible in it. Per-doc
+    rollup output stays linear in docs.
     """
-    from taps_spark.operators.dedup import (
-        band_signatures,
-        hashed_token_set,
-        jaccard_hashed,
-        minhash_signatures_from_tokens,
-    )
+    from taps_spark.operators.dedup import jaccard_hashed
 
     docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
-    rsets = docs.select(
-        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("rtoks")
-    )
-    grp = (
-        rsets.groupBy("rtoks")
-        .agg(
-            F.min("doc_id").alias("gid"),
-            F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sigs = minhash_signatures_from_tokens(grp, "gid", "rtoks", num_hashes=8)
-    band_sigs = band_signatures(sigs, "gid", rows_per_band=2)
-    a = band_sigs.select(F.col("gid").alias("src"), "band", "band_sig")
-    b = band_sigs.select(F.col("gid").alias("dst"), "band", "band_sig")
-    cand = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
-    ta = ghash.select(F.col("gid").alias("src"), F.col("toks").alias("toks_a"))
-    tb = ghash.select(F.col("gid").alias("dst"), F.col("toks").alias("toks_b"))
-    # Lossless size-ratio prefilter at 0.5: J <= min/max.
-    ratio_ok = (2 * F.size("toks_a") >= F.size("toks_b")) & (
-        2 * F.size("toks_b") >= F.size("toks_a")
-    )
+    grp, cand, ta, tb = _condensed_prelude(docs)
     # Materialize (src, dst, j) ONCE: filtering j >= 0.5 directly on
-    # the expression would predicate-push through the projection and
-    # re-evaluate the intersection (see SCALE.md); the checkpoint pins
-    # single evaluation and the filter then reads the narrow column.
+    # the expression would re-evaluate the intersection per consumer
+    # path; the checkpoint pins single evaluation and the filter then
+    # reads the narrow column.
     gscored = (
         cand.join(ta, "src")
         .join(tb, "dst")
-        .filter(ratio_ok)
+        .filter(_ratio_prefilter(0.5))
         .select("src", "dst", jaccard_hashed(F.col("toks_a"), F.col("toks_b")).alias("j"))
         .localCheckpoint(eager=True)
     )
-    gmatch = gscored.filter(F.col("j") >= 0.5)
-
-    gm = grp.select("gid", "members")
-    cross = (
-        gmatch.join(
-            gm.select(F.col("gid").alias("src"), F.col("members").alias("ma")), "src"
-        )
-        .join(gm.select(F.col("gid").alias("dst"), F.col("members").alias("mb")), "dst")
-        .select("j", F.explode("ma").alias("x"), "mb")
-        .select("j", "x", F.explode("mb").alias("y"))
-        .select(
-            F.least("x", "y").alias("doc_a"),
-            F.greatest("x", "y").alias("doc_b"),
-            "j",
-        )
-    )
-    within = (
-        grp.filter(F.col("n_docs") >= 2)
-        .select(F.explode("members").alias("doc_a"), "members")
-        .select("doc_a", F.explode("members").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("j", F.lit(1.0))
-    )
     return (
-        cross.unionByName(within)
+        _fan_out_doc_pairs(grp, gscored.filter(F.col("j") >= 0.5))
         .groupBy("doc_a")
         .agg(
             F.count("*").alias("n_dups"),
@@ -407,50 +344,50 @@ ORDER BY component
 """
 
 
-def _condensed_group_graph(
-    docs: DataFrame, threshold: float = 0.9
-) -> tuple[DataFrame, DataFrame]:
-    """EXACT condensation prelude for the component queries: collapse
-    docs with an identical distinct-token SET into one group node
-    (identical sets ⇒ identical MinHash signatures ⇒ always direct
-    LSH candidates, and Jaccard 1 ≥ any threshold — so members of a
-    group provably share a component), then sign / band / verify ONCE
-    per group instead of once per doc.
+def _condensed_prelude(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """EXACT condensation prelude shared by the near-dup graph family
+    (component queries, verified-pairs rollup, threshold sweep):
+    collapse docs with an identical distinct-token SET into one group
+    node (identical sets ⇒ identical MinHash signatures ⇒ always
+    direct LSH candidates, and Jaccard 1 ≥ any threshold — so members
+    of a group provably belong together), then sign / band / generate
+    candidates ONCE per group instead of once per doc.
 
     This is the shape a 100 TB dedup pipeline runs: exact-dedup first
     (cheap fingerprint shuffle), near-dup machinery only over DISTINCT
     content — pair-verify work becomes quadratic in distinct-content
     bucket sizes, not raw-row bucket sizes. Measured at sf0.1 (a
     LOW-duplication fixture: 5,000 docs → 3,935 distinct sets, 1.27×):
-    candidate pairs drop 9.9M → 5.7M and the component queries run
-    35/48 s → ~29 s each; the win scales with the duplication rate
-    squared, so boilerplate-heavy real corpora (commonly 2-5×
-    exact-duplicated) condense the expensive verify stage 4-25×. The
-    DuckDB oracle (CC_ORACLE) performs the identical condensation.
+    candidate pairs drop 9.9M → 5.7M and the consumers run 20-50 %
+    faster; the win scales with the duplication rate squared, so
+    boilerplate-heavy real corpora (commonly 2-5× exact-duplicated)
+    condense the expensive verify stage 4-25×. The DuckDB CC oracle
+    performs the identical condensation.
 
-    Returns (grp, gedges): grp[rtoks, gid, gmax, n_docs] with
-    gid = min member doc_id (the group's node id), and
-    gedges[src, dst] — verified Jaccard ≥ `threshold` edges between
-    groups (src < dst).
+    Returns (grp, cand, ta, tb):
+      grp[rtoks, gid, gmax, n_docs, members] — checkpointed (several
+        consumers follow; without it each re-tokenizes the corpus),
+        gid = min member doc_id (the group's node id), members sorted;
+      cand[src, dst] — distinct LSH candidate group pairs (src < dst);
+      ta/tb — hashed-token-set verify sides keyed src / dst.
     """
     from taps_spark.operators.dedup import (
         hashed_token_set,
-        jaccard_hashed,
         minhash_signatures_from_tokens,
     )
 
     rsets = docs.select(
         "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("rtoks")
     )
-    # Materialize ONCE: signatures, verify sets, and the final member
-    # rollup all reuse grp; without the checkpoint each consumer
-    # re-tokenizes the corpus.
     grp = (
         rsets.groupBy("rtoks")
         .agg(
             F.min("doc_id").alias("gid"),
             F.max("doc_id").alias("gmax"),
             F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
         )
         .localCheckpoint(eager=True)
     )
@@ -467,26 +404,71 @@ def _condensed_group_graph(
     ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
     ta = ghash.select(F.col("gid").alias("src"), F.col("toks").alias("toks_a"))
     tb = ghash.select(F.col("gid").alias("dst"), F.col("toks").alias("toks_b"))
-    # Same lossless size-ratio prefilter as the doc-level path
-    # (J <= min/max ⇒ J >= t needs 10|A| >= 10t·|B| both ways; the
-    # swept thresholds are exact tenths so int(10t) is exact).
+    return grp, cand, ta, tb
+
+
+def _ratio_prefilter(threshold: float):
+    """Lossless size-ratio prefilter: J <= min/max ⇒ J >= t needs
+    10|A| >= 10t·|B| both ways (thresholds here are exact tenths, so
+    int(10t) is exact) — an integer compare that spares
+    size-mismatched candidates the set intersection."""
     k = int(round(threshold * 10))
-    ratio_ok = (10 * F.size("toks_a") >= k * F.size("toks_b")) & (
+    return (10 * F.size("toks_a") >= k * F.size("toks_b")) & (
         10 * F.size("toks_b") >= k * F.size("toks_a")
     )
+
+
+def _condensed_group_graph(
+    docs: DataFrame, threshold: float = 0.9
+) -> tuple[DataFrame, DataFrame]:
+    """Verified group graph at `threshold`: (grp, gedges[src, dst]).
+    The j filter sits directly on the Jaccard expression (single
+    evaluation — filtering a projected computed column would
+    predicate-push through the projection and evaluate the
+    intersection twice, see SCALE.md); the projection then drops the
+    arrays."""
+    from taps_spark.operators.dedup import jaccard_hashed
+
+    grp, cand, ta, tb = _condensed_prelude(docs)
     j = jaccard_hashed(F.col("toks_a"), F.col("toks_b"))
-    # Filter directly on the expression (single evaluation — a filter
-    # on a projected computed column would predicate-push through the
-    # projection and evaluate the intersection twice, see SCALE.md);
-    # the projection then drops the arrays.
     gedges = (
         cand.join(ta, "src")
         .join(tb, "dst")
-        .filter(ratio_ok)
+        .filter(_ratio_prefilter(threshold))
         .filter(j >= threshold)
         .select("src", "dst")
     )
     return grp, gedges
+
+
+def _fan_out_doc_pairs(grp: DataFrame, gscored: DataFrame) -> DataFrame:
+    """Fan group-pair scores back out to doc pairs as PURE SCALARS —
+    no per-doc-pair set intersection ever happens. Cross pairs take
+    the group pair's j; within-group pairs (identical sets) carry
+    j = 1 by construction. Returns DataFrame[doc_a, doc_b, j] with
+    doc_a < doc_b — exactly the doc-level candidate-pair set."""
+    gm = grp.select("gid", "members")
+    cross = (
+        gscored.join(
+            gm.select(F.col("gid").alias("src"), F.col("members").alias("ma")), "src"
+        )
+        .join(gm.select(F.col("gid").alias("dst"), F.col("members").alias("mb")), "dst")
+        .select("j", F.explode("ma").alias("x"), "mb")
+        .select("j", "x", F.explode("mb").alias("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "j",
+        )
+    )
+    within = (
+        grp.filter(F.col("n_docs") >= 2)
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("j", F.lit(1.0))
+    )
+    return cross.unionByName(within)
 
 
 def _condensed_rollup(grp: DataFrame, comp: DataFrame) -> DataFrame:
@@ -1335,80 +1317,26 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold at corpus scale, where each 0.05 of threshold can mean
     billions of documents kept or dropped.
 
-    Jaccard is verified once per distinct-token-set GROUP pair (the
-    condensed shape shared with dedup_lsh_verified_pairs: 5.3M group
-    intersections vs 9.9M doc intersections at sf0.1) and the scores
-    fan back out to doc pairs as pure scalars for the sweep — the
-    thresholds then cost one conditional aggregation over narrow rows,
-    zero extra scans. (A fully closed-form variant with NO doc-pair
-    fan-out was measured SLOWER here — its three-consumer plan
+    Same condensed shape as dedup_lsh_verified_pairs (verify per
+    GROUP pair, scalar fan-out via _fan_out_doc_pairs), then ONE
+    conditional aggregation over the swept thresholds — thresholds
+    add zero scans. (A fully closed-form variant with NO doc-pair
+    fan-out measured SLOWER here — its three-consumer plan
     re-shuffles what this single linear pipeline streams; see
     SCALE.md round-5 notes.) Measured at sf0.1: 30.3 s -> 27.2 s.
+    Prefilter at 0.7, the smallest swept threshold, is lossless.
     """
-    from taps_spark.operators.dedup import (
-        band_signatures,
-        hashed_token_set,
-        jaccard_hashed,
-        minhash_signatures_from_tokens,
-    )
+    from taps_spark.operators.dedup import jaccard_hashed
 
     docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
-    rsets = docs.select(
-        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("rtoks")
+    grp, cand, ta, tb = _condensed_prelude(docs)
+    gscored = (
+        cand.join(ta, "src")
+        .join(tb, "dst")
+        .filter(_ratio_prefilter(0.7))
+        .select("src", "dst", jaccard_hashed(F.col("toks_a"), F.col("toks_b")).alias("j"))
     )
-    grp = (
-        rsets.groupBy("rtoks")
-        .agg(
-            F.min("doc_id").alias("gid"),
-            F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sigs = minhash_signatures_from_tokens(grp, "gid", "rtoks", num_hashes=8)
-    band_sigs = band_signatures(sigs, "gid", rows_per_band=2)
-    a = band_sigs.select(F.col("gid").alias("src"), "band", "band_sig")
-    b = band_sigs.select(F.col("gid").alias("dst"), "band", "band_sig")
-    cand = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
-    ta = ghash.select(F.col("gid").alias("src"), F.col("toks").alias("toks_a"))
-    tb = ghash.select(F.col("gid").alias("dst"), F.col("toks").alias("toks_b"))
-    # Lossless prefilter at the SMALLEST swept threshold (0.7): J <=
-    # min/max, so pairs failing it can reach no bucket of the sweep.
-    ratio_ok = (10 * F.size("toks_a") >= 7 * F.size("toks_b")) & (
-        10 * F.size("toks_b") >= 7 * F.size("toks_a")
-    )
-    gscored = cand.join(ta, "src").join(tb, "dst").filter(ratio_ok).select(
-        "src", "dst", jaccard_hashed(F.col("toks_a"), F.col("toks_b")).alias("j")
-    )
-
-    gm = grp.select("gid", "members")
-    cross = (
-        gscored.join(
-            gm.select(F.col("gid").alias("src"), F.col("members").alias("ma")), "src"
-        )
-        .join(gm.select(F.col("gid").alias("dst"), F.col("members").alias("mb")), "dst")
-        .select("j", F.explode("ma").alias("x"), "mb")
-        .select("j", "x", F.explode("mb").alias("y"))
-        .select(
-            F.least("x", "y").alias("doc_a"),
-            F.greatest("x", "y").alias("doc_b"),
-            "j",
-        )
-    )
-    within = (
-        grp.filter(F.col("n_docs") >= 2)
-        .select(F.explode("members").alias("doc_a"), "members")
-        .select("doc_a", F.explode("members").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("j", F.lit(1.0))
-    )
-    swept = cross.unionByName(within).select(
+    swept = _fan_out_doc_pairs(grp, gscored).select(
         "doc_a", "doc_b", "j",
         F.explode(F.array(F.lit(0.7), F.lit(0.8), F.lit(0.9))).alias("threshold"),
     )
