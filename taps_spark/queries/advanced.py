@@ -4,7 +4,7 @@ subquery decorrelation patterns — rounding out SURVEY.md §2b."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from taps_spark.io.tables import load_tables

@@ -546,7 +546,7 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate shuffles. In a real pipeline the same CASE column
     drives a partitioned write (keep/quarantine) with zero extra
     passes."""
-    from taps_spark.operators.text import STOPWORDS, stopword_count, token_count
+    from taps_spark.operators.text import stopword_count, token_count
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     tc = token_count("text")
