@@ -36,7 +36,14 @@ def pagerank(
     Returns DataFrame[node, rank] over every node appearing as src or
     dst; Σ rank = 1.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # The distinct edge list is consumed by every iteration (contribs
+    # join) AND by out_deg below; without a materialization each
+    # iteration would re-run the upstream scan + distinct shuffle.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -47,10 +54,21 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # Degree lives WITH the rank row so the per-iteration join does
     # not grow a second lookup; dangling nodes carry deg = 0.
-    base = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
-        "node", F.coalesce("deg", F.lit(0)).alias("deg")
+    base = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint()
     )
     ranks = base.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+
+    # Size-gated broadcast: the rank table has exactly n rows of
+    # (node, deg, rank), so when the node set is executor-resident
+    # (≤ ~500k nodes ≈ tens of MB) broadcasting it turns the
+    # per-iteration rank⋈edge join map-side — the (much larger) edge
+    # list never shuffles. Above the gate the hint is withheld and the
+    # join shuffles on src, where pre-partitioned/bucketed edges make
+    # it exchange-free (module docstring).
+    hint_ranks = F.broadcast if n <= 500_000 else (lambda df: df)
 
     for _ in range(iters):
         # Dangling mass rides along as a broadcast one-row aggregate —
@@ -62,7 +80,7 @@ def pagerank(
             ).alias("dm")
         )
         contribs = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(hint_ranks(ranks), e.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
