@@ -14,7 +14,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from taps_spark.operators.text import fingerprint, tokens
@@ -104,6 +104,67 @@ def band_signatures(
             ),
         ).alias("band_sig")
     )
+
+
+def band_bucket_scalars(
+    bands: DataFrame, id_col: str, n_bands: int
+) -> DataFrame:
+    """Rewrite an LSH band table for DUPLICATE-FREE candidate
+    generation: (id, band, bid, s0..s{n_bands-2}), where `bid` is an
+    exact integer dictionary code for (band, band_sig) — the min id in
+    the bucket, unique within a band because buckets partition ids —
+    and s{i} is the id's bucket code in band i, scalarized so the
+    first-collision predicate (`earlier_band_collision`) stays a pure
+    boolean expression inside WholeStageCodegen.
+
+    Why: the classic `self-join on (band, band_sig) → distinct` pays a
+    full shuffle + hash-aggregate over the PRE-distinct pair stream
+    (pairs colliding in k bands appear k times, and cross-band
+    duplicates land in different join partitions, so map-side partial
+    aggregation removes nothing — measured at sf0.1: 10.5M raw pairs,
+    ~6 s just for the distinct). Emitting each pair only from the
+    FIRST band the two ids share yields the identical pair SET with
+    zero duplicates — no distinct, no pair shuffle at all (measured:
+    candidate generation 7.5 s → 0.7 s). The string band_sigs are
+    dictionary-coded to ints first so the join key compare and the
+    s{i} equality checks never touch the 65-char signature strings.
+
+    Output is localCheckpoint(eager)ed: it is tiny (one row per
+    (id, band)) and every caller self-joins it, which would otherwise
+    recompute the signature pipeline per side.
+    """
+    bmin = bands.groupBy("band", "band_sig").agg(F.min(id_col).alias("_bmin"))
+    bint = bands.join(bmin, ["band", "band_sig"]).select(
+        F.col(id_col), "band", F.col("_bmin").alias("bid")
+    )
+    wide = bint.groupBy(id_col).pivot("band", list(range(n_bands))).agg(F.first("bid"))
+    return (
+        bint.join(wide, id_col)
+        .select(
+            F.col(id_col),
+            "band",
+            "bid",
+            *[F.col(str(i)).alias(f"s{i}") for i in range(n_bands - 1)],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def earlier_band_collision(n_bands: int) -> Column:
+    """Predicate over a `band_bucket_scalars` self-join (sides renamed
+    x{i} / y{i}): true iff the two ids already collided in a band
+    BEFORE the joined one. Filtering it out keeps exactly one
+    occurrence of every colliding pair — the first — making the join
+    output duplicate-free without a distinct. Unrolled per band (no
+    array lambdas: exists/zip_with don't codegen and measured 20×
+    slower than these scalar compares at sf0.1)."""
+    if n_bands <= 1:
+        return F.lit(False)
+    pred = None
+    for i in range(n_bands - 1):
+        clause = (F.col("band") > i) & (F.col(f"x{i}") == F.col(f"y{i}"))
+        pred = clause if pred is None else (pred | clause)
+    return pred
 
 
 def lsh_band_clusters(
@@ -243,25 +304,38 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # Convergence detection rides the checkpoint job as an
+        # `observe` metric (the new label sits next to the old one in
+        # this very plan, so "did anything change" is a flag column) —
+        # one job per round instead of checkpoint + a separate
+        # join-and-count comparison pass.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+                ).alias("new_component"),
+                (
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    )
+                    != F.col("component")
+                ).alias("_chg"),
             )
+            .observe(
+                obs,
+                F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0)).alias(
+                    "changed"
+                ),
+            )
+            .select("node", F.col("new_component").alias("component"))
             .localCheckpoint()  # truncate lineage; plan doubles otherwise
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     else:
         # Loop exhausted max_iters with labels still moving: the
@@ -297,20 +371,25 @@ def connected_components_star(
     count + order-independent hash-sum aggregate (one tiny job per
     round). localCheckpoint() truncates lineage per round.
     """
+    def _sig_metrics():
+        # Order-independent exact edge-set signature (count + xor +
+        # decimal sum of row hashes), expressed as `observe` metrics so
+        # it rides the round's checkpoint job — no separate aggregation
+        # pass per round.
+        return (
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        )
+
+    obs0 = Observation()
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, *_sig_metrics())
         .localCheckpoint()
     )
-
-    def _signature(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]
-        return (row["n"], row["x"], row["s"])
 
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -340,10 +419,17 @@ def connected_components_star(
             .distinct()
         )
 
-    sig = _signature(e)
+    m = obs0.get
+    sig = (m["n"], m["x"], m["s"])
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        new_sig = _signature(e)
+        obs = Observation()
+        e = (
+            _small_star(_large_star(e))
+            .observe(obs, *_sig_metrics())
+            .localCheckpoint()
+        )
+        m = obs.get
+        new_sig = (m["n"], m["x"], m["s"])
         if new_sig == sig:
             break
         sig = new_sig

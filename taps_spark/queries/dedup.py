@@ -374,6 +374,8 @@ def _condensed_prelude(
       ta/tb — hashed-token-set verify sides keyed src / dst.
     """
     from taps_spark.operators.dedup import (
+        band_bucket_scalars,
+        earlier_band_collision,
         hashed_token_set,
         minhash_signatures_from_tokens,
     )
@@ -393,13 +395,28 @@ def _condensed_prelude(
     )
     sigs = minhash_signatures_from_tokens(grp, "gid", "rtoks", num_hashes=8)
     band_sigs = band_signatures(sigs, "gid", rows_per_band=2)
-    a = band_sigs.select(F.col("gid").alias("src"), "band", "band_sig")
-    b = band_sigs.select(F.col("gid").alias("dst"), "band", "band_sig")
+    # First-collision-band pair generation: identical pair SET to
+    # `self-join → distinct`, but duplicate-free at the source — no
+    # 10M-row distinct shuffle (measured at sf0.1: 7.5 s → 0.7 s; see
+    # band_bucket_scalars).
+    bw = band_bucket_scalars(band_sigs, "gid", n_bands=4)
+    a = bw.select(
+        F.col("gid").alias("src"),
+        "band",
+        "bid",
+        *[F.col(f"s{i}").alias(f"x{i}") for i in range(3)],
+    )
+    b = bw.select(
+        F.col("gid").alias("dst"),
+        "band",
+        "bid",
+        *[F.col(f"s{i}").alias(f"y{i}") for i in range(3)],
+    )
     cand = (
-        a.join(b, ["band", "band_sig"])
+        a.join(b, ["band", "bid"])
         .filter(F.col("src") < F.col("dst"))
+        .filter(~earlier_band_collision(4))
         .select("src", "dst")
-        .distinct()
     )
     ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
     ta = ghash.select(F.col("gid").alias("src"), F.col("toks").alias("toks_a"))
@@ -888,6 +905,8 @@ def _lsh_probe_scores(docs: DataFrame, new_ids: DataFrame) -> DataFrame:
     formulation; verify work drops with the duplication rate squared
     (sf0.1: ~20 s of string-array Jaccard → ~4 s)."""
     from taps_spark.operators.dedup import (
+        band_bucket_scalars,
+        earlier_band_collision,
         hashed_token_set,
         jaccard_hashed,
         minhash_signatures_from_tokens,
@@ -916,15 +935,24 @@ def _lsh_probe_scores(docs: DataFrame, new_ids: DataFrame) -> DataFrame:
     )
     sigs = minhash_signatures_from_tokens(grp, "gid", "rtoks", num_hashes=8)
     bands = band_signatures(sigs, "gid", rows_per_band=2)
+    # First-collision-band candidates (no distinct shuffle — see
+    # band_bucket_scalars); a group present on both sides collides
+    # with itself on every band, so band 0 alone emits the (g, g) row
+    # the old distinct kept once.
+    bw = band_bucket_scalars(bands, "gid", n_bands=4)
     ng = grp.filter(F.size("new_members") > 0).select(F.col("gid").alias("src"))
     cg = grp.filter(F.size("corpus_members") > 0).select(F.col("gid").alias("dst"))
-    nb = bands.join(F.broadcast(ng), bands["gid"] == ng["src"]).select(
-        "src", "band", "band_sig"
+    nb = bw.join(F.broadcast(ng), bw["gid"] == ng["src"]).select(
+        "src", "band", "bid", *[F.col(f"s{i}").alias(f"x{i}") for i in range(3)]
     )
-    cb = bands.join(F.broadcast(cg), bands["gid"] == cg["dst"]).select(
-        "dst", "band", "band_sig"
+    cb = bw.join(F.broadcast(cg), bw["gid"] == cg["dst"]).select(
+        "dst", "band", "bid", *[F.col(f"s{i}").alias(f"y{i}") for i in range(3)]
     )
-    cand = nb.join(cb, ["band", "band_sig"]).select("src", "dst").distinct()
+    cand = (
+        nb.join(cb, ["band", "bid"])
+        .filter(~earlier_band_collision(4))
+        .select("src", "dst")
+    )
     ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
     cross = (
         cand.filter(F.col("src") != F.col("dst"))
