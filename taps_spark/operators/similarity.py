@@ -157,6 +157,12 @@ def train_ivf_centroids(
                     F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
                 ).alias("cv")
             )
+            # The codebook is nlist rows; every later iteration (and
+            # the final corpus assign) broadcasts it, and without a
+            # materialization each broadcast build re-executes the
+            # whole Lloyd chain from the scan — plan-depth recompute,
+            # not data volume, dominated training wall time.
+            .localCheckpoint(eager=True)
         )
     return cents
 
@@ -354,6 +360,10 @@ def train_pq_codebooks(
                     F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda t: t["x"]
                 ).alias("cv")
             )
+            # m×ksub rows; materialize per iteration or every later
+            # broadcast build re-runs the whole Lloyd chain (see
+            # train_ivf_centroids).
+            .localCheckpoint(eager=True)
         )
     return cents
 
