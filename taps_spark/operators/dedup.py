@@ -648,13 +648,26 @@ def embedding_nn_dedup_blocked(
     )
 
 
-def _portable_sign(band: int, plane: int, pos: Column) -> Column:
-    """Deterministic ±1 hyperplane weight from md5 parity of
+def _portable_sign_weights(band: int, plane: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane weights from md5 parity of
     "band_plane_pos" — reproducible in any engine with md5 (the
-    portable twin of similarity.hyperplane_bucket's xxhash64 weights)."""
-    key = F.concat_ws("_", F.lit(str(band)), F.lit(str(plane)), pos.cast("string"))
-    parity = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 2
-    return F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1))
+    portable twin of similarity.hyperplane_bucket's xxhash64 weights).
+
+    Every input is a PLAN-TIME constant, so the parities are computed
+    here in Python (bit-identical to the SQL
+    `conv(substring(md5(key),1,15),16,10) % 2` the oracle runs — both
+    read the parity of the 60-bit md5 prefix) and baked into the plan
+    as literal weight arrays. The previous formulation evaluated md5
+    per vector COMPONENT per (band, plane) at runtime —
+    bands×planes×dim hashes per row dwarfing the actual projection
+    math."""
+    import hashlib
+
+    out = []
+    for pos in range(dim):
+        h = int(hashlib.md5(f"{band}_{plane}_{pos}".encode()).hexdigest()[:15], 16)
+        out.append(1 if h % 2 == 1 else -1)
+    return out
 
 
 def portable_band_buckets(
@@ -663,40 +676,50 @@ def portable_band_buckets(
     vec_col: str = "embedding",
     bands: int = 4,
     planes: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Engine-portable banded hyperplane buckets: DataFrame[band,
     bucket, id, v]. Projections run on 1e3-quantized integer
-    components with md5-parity ±1 weights (_portable_sign), so bucket
-    ids are exact integer math a SQL oracle reproduces bit-for-bit.
-    Shared by embedding_lsh_band_stats (per-band dedup stats) and the
-    similarity recall report."""
+    components with md5-parity ±1 weights (_portable_sign_weights,
+    baked into the plan as literal arrays — zero runtime hashing), so
+    bucket ids are exact integer math a SQL oracle reproduces
+    bit-for-bit. Shared by embedding_lsh_band_stats (per-band dedup
+    stats) and the similarity recall report.
+
+    `dim` must equal the embedding width: the weight arrays are plan-
+    time literals of that length, and a mismatched vector raises
+    rather than silently projecting a prefix."""
     from functools import reduce
 
     from taps_spark.operators.similarity import as_double
 
+    qexpr = F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * 1000) as bigint))"
+    )
     base = emb.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
-        F.expr(
-            f"transform({vec_col}, x -> cast(round(cast(x as double) * 1000) as bigint))"
-        ).alias("q"),
+        F.when(F.size(vec_col) == dim, qexpr)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"portable_band_buckets: expected dim={dim}, got "),
+                    F.size(vec_col).cast("string"),
+                )
+            ).cast("array<bigint>")
+        )
+        .alias("q"),
     )
-
-    def _signed_term(band: int, plane: int):
-        # Closure factory: PySpark HOF lambdas must take exactly the
-        # declared operands (default args count toward arity).
-        return lambda x, i: _portable_sign(band, plane, i) * x
 
     per_band = []
     for band in range(bands):
         bucket = F.lit(0).cast("long")
         for plane in range(planes):
+            w = F.array(
+                *[F.lit(x) for x in _portable_sign_weights(band, plane, dim)]
+            )
             proj = F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.sequence(F.lit(0), F.size("q") - 1),
-                    _signed_term(band, plane),
-                ),
+                F.zip_with(F.col("q"), w, lambda x, s: x * s),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             )
@@ -731,9 +754,17 @@ def embedding_lsh_band_stats(
     quadratic only in bucket size, linear overall; stats aggregate
     per band, so output size is O(bands).
     """
-    from taps_spark.operators.similarity import cosine
+    from taps_spark.operators.similarity import dot
 
-    allb = portable_band_buckets(emb, id_col=id_col, vec_col=vec_col, bands=bands, planes=planes)
+    # Materialize the banded buckets once (three consumers below:
+    # bucket sizes plus both sides of the verify self-join — without
+    # this the projection pipeline runs three times) and hoist the
+    # squared norm to a per-ROW column: the pair verify then computes
+    # ONE dot per pair instead of cosine()'s three (the same hoisted
+    # value, so the quotient is bit-identical).
+    allb = portable_band_buckets(
+        emb, id_col=id_col, vec_col=vec_col, bands=bands, planes=planes
+    ).withColumn("n2", dot(F.col("v"), F.col("v"))).localCheckpoint(eager=True)
 
     sizes = allb.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     stats = sizes.groupBy("band").agg(
@@ -741,12 +772,22 @@ def embedding_lsh_band_stats(
         F.max("n").alias("max_bucket"),
         F.sum(F.expr("n * (n - 1) div 2")).alias("n_candidate_pairs"),
     )
-    left = allb.select("band", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = allb.select("band", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    left = allb.select(
+        "band", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na2"),
+    )
+    right = allb.select(
+        "band", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"),
+    )
     verified = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .filter(
+            dot(F.col("va"), F.col("vb"))
+            / F.sqrt(F.col("na2") * F.col("nb2"))
+            >= F.lit(threshold)
+        )
         .groupBy("band")
         .agg(F.count("*").alias("n_verified_pairs"))
     )

@@ -159,14 +159,17 @@ def similarity_label_nn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.operators.similarity import as_double, dot
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    a = emb.select(F.col("vec_id"), "label", as_double(F.col("embedding")).alias("va"))
+    # Squared norms are hoisted to per-VECTOR columns so the per-pair
+    # work inside the label block is one dot, not three (same hoisted
+    # value feeds the quotient — bit-identical to the inline form).
+    a = emb.select(
+        F.col("vec_id"), "label", as_double(F.col("embedding")).alias("va")
+    ).withColumn("na2", dot(F.col("va"), F.col("va")))
     b = emb.select(
         F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
         as_double(F.col("embedding")).alias("vb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
-        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
-    )
+    ).withColumn("nb2", dot(F.col("vb"), F.col("vb")))
+    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na2") * F.col("nb2"))
     best = (
         a.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("b_id")))
         .groupBy("vec_id", "label")
