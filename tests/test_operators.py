@@ -1056,3 +1056,69 @@ def test_embedding_nn_dedup_rejects_string_ids(spark):
         embedding_nn_dedup(df)
     with pytest.raises(ValueError, match="numeric id"):
         embedding_nn_dedup_blocked(df)
+
+
+def test_first_collision_candidates_equal_join_distinct(spark):
+    """band_bucket_scalars + earlier_band_collision must emit EXACTLY
+    the `self-join on (band, band_sig) -> distinct` candidate set —
+    the duplicate-free-at-source rewrite is an identity, not an
+    approximation. Random-ish small corpus with deliberate duplicate
+    and near-duplicate token sets so multi-band collisions occur."""
+    from taps_spark.operators.dedup import (
+        band_bucket_scalars,
+        band_signatures,
+        earlier_band_collision,
+        minhash_signatures,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs = []
+    for i in range(40):
+        toks = [words[(i + j * j) % len(words)] for j in range(3 + i % 4)]
+        docs.append((i, " ".join(toks)))
+    docs += [(100, docs[0][1]), (101, docs[1][1])]  # exact dups -> all-band collisions
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=8)
+    bands = band_signatures(sigs, "doc_id", rows_per_band=2)
+
+    a = bands.select(F.col("doc_id").alias("src"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("dst"), "band", "band_sig")
+    want = sorted(
+        (r["src"], r["dst"])
+        for r in a.join(b, ["band", "band_sig"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    )
+
+    bw = band_bucket_scalars(bands, "doc_id", n_bands=4)
+    x = bw.select(
+        F.col("doc_id").alias("src"), "band", "bid",
+        *[F.col(f"s{i}").alias(f"x{i}") for i in range(3)],
+    )
+    y = bw.select(
+        F.col("doc_id").alias("dst"), "band", "bid",
+        *[F.col(f"s{i}").alias(f"y{i}") for i in range(3)],
+    )
+    got_rows = (
+        x.join(y, ["band", "bid"])
+        .filter(F.col("src") < F.col("dst"))
+        .filter(~earlier_band_collision(4))
+        .select("src", "dst")
+        .collect()
+    )
+    got = sorted((r["src"], r["dst"]) for r in got_rows)
+    assert got == want, "first-collision pair set must equal join-distinct"
+    assert len(got) == len(set(got)), "pairs must be emitted exactly once"
+    assert len(got) > 0, "fixture must produce collisions for the test to bite"
+
+
+def test_portable_band_buckets_rejects_wrong_dim(spark):
+    from taps_spark.operators.dedup import portable_band_buckets
+
+    df = spark.createDataFrame([(1, [0.5, -0.25, 0.125])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="expected dim=64"):
+        portable_band_buckets(df, bands=1, planes=1).collect()
+    ok = portable_band_buckets(df, bands=2, planes=2, dim=3).collect()
+    assert len(ok) == 2 and all(r["bucket"] is not None for r in ok)
