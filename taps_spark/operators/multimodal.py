@@ -2,10 +2,13 @@
 metadata, processed with Arrow-batched mapInPandas.
 
 Audio decode is REAL for RIFF/WAV payloads (pure-stdlib `wave` parse +
-sample math in _decode_wav / _wav_window_rms). The container has no
-image/video codecs, so those kernels remain deterministic fakes behind
-`_decode_stub` (clearly marked) — as does audio for non-WAV payloads,
-which keeps the synthetic fixtures oracle-checkable. Everything
+sample math in _decode_wav / _wav_window_rms) and image decode is REAL
+for uncompressed 24/32-bit BMP payloads (`struct` + NumPy raster parse
+in _decode_bmp, feeding true dimensions and true 8×8 box-averaged
+aHash pixels). The container has no COMPRESSED-codec libraries
+(JPEG/PNG/video), so those payloads fall back to deterministic fakes
+behind `_decode_stub` (clearly marked) — as does audio for non-WAV
+payloads, which keeps the synthetic fixtures oracle-checkable. Everything
 Spark-side — schemas, batch iteration, partitioning, UDF signatures —
 is real and tested, which is the part that matters for the engine.
 
@@ -148,19 +151,71 @@ def _wav_window_rms(decoded: dict, start_ms: int, window_ms: int) -> float:
     return math.sqrt(acc / len(samples))
 
 
+def _decode_bmp(payload: bytes | None):
+    """REAL image decode kernel: uncompressed 24/32-bit BI_RGB BMP via
+    stdlib `struct` + NumPy — no third-party codec needed. Returns
+    (width, height, gray) where gray is a top-down uint8-range int64
+    grayscale matrix (integer BT.601 weights, 299/587/114 // 1000, so
+    every derived bit is exact and engine-reproducible), or None when
+    the payload is not a parseable BMP — the caller falls back to the
+    deterministic stub, so synthetic fixtures keep their oracle-pinned
+    behavior while genuine BMP bytes decode for real. The header
+    geometry checks (magic, header size, BI_RGB, 24/32 bpp, pixel
+    array in bounds) make a false positive on non-BMP bytes
+    practically impossible."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            return None
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (comp,) = struct.unpack_from("<I", payload, 30)
+    except struct.error:
+        return None
+    if comp != 0 or planes != 1 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    flipped = h > 0  # positive height = bottom-up row order
+    height = abs(h)
+    step = bpp // 8
+    row_bytes = ((w * step) + 3) & ~3  # rows pad to 4-byte boundaries
+    if data_off < 54 or len(payload) < data_off + row_bytes * height:
+        return None
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)[:, : w * step].reshape(height, w, step)
+    if flipped:
+        arr = arr[::-1]
+    px = arr.astype(np.int64)
+    # BMP stores BGR(A); integer luma keeps downstream hashes exact.
+    gray = (299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0]) // 1000
+    return w, height, gray
+
+
 def _decode_stub(modality: str, payload: bytes | None) -> dict:
     """Decode kernel dispatch. Audio payloads that parse as RIFF/WAV
-    take the REAL stdlib decoder (_decode_wav); everything else falls
-    back to the deterministic fake (the container ships no image/video
-    codecs — PIL / pyav would slot in here), which derives stable fake
-    dimensions from the payload bytes so the pipeline stays
-    oracle-checkable on synthetic fixtures."""
+    take the REAL stdlib decoder (_decode_wav); image payloads that
+    parse as uncompressed BMP take the REAL _decode_bmp; everything
+    else falls back to the deterministic fake (the container ships no
+    compressed-codec libraries — PIL / pyav would slot in here), which
+    derives stable fake dimensions from the payload bytes so the
+    pipeline stays oracle-checkable on synthetic fixtures."""
     if payload is None:
         return {"width": None, "height": None, "duration_ms": None}
     if modality == "audio":
         real = _decode_wav(payload)
         if real is not None:
             return real
+    if modality == "image":
+        bmp = _decode_bmp(payload)
+        if bmp is not None:
+            return {"width": bmp[0], "height": bmp[1], "duration_ms": None}
     n = len(payload)
     if modality == "image":
         return {"width": 64 + n % 512, "height": 64 + (n * 7) % 512, "duration_ms": None}
@@ -386,12 +441,15 @@ def image_ahash(assets: DataFrame) -> DataFrame:
     8×8 grayscale thumbnail, bit i = pixel i brighter than the mean,
     packed into one signed int64.
 
-    The decode step is the container-honest STUB (no codecs): the
-    payload bytes THEMSELVES stand in for the decoded pixel buffer —
-    split into 64 equal chunks, chunk mean = pixel. Deterministic, so
-    identical payloads hash identically and the pytest NumPy replay
-    pins the exact bit pattern. A real deployment swaps only the
-    pixel-buffer line for PIL `Image.open(...).convert('L').resize((8,8))`.
+    Uncompressed BMP payloads (≥ 8×8) take the REAL pixel path:
+    _decode_bmp's grayscale raster, 8×8 integer box-average, same
+    exact bit compare. Everything else uses the container-honest STUB
+    (no compressed codecs): the payload bytes THEMSELVES stand in for
+    the decoded pixel buffer — split into 64 equal chunks, chunk mean
+    = pixel. Deterministic either way, so identical payloads hash
+    identically and the pytest NumPy replay pins the exact bit
+    pattern. A real deployment swaps only the pixel-buffer line for
+    PIL `Image.open(...).convert('L').resize((8,8))`.
 
     Scale: mapInPandas over Arrow batches (payload never leaves the
     executor as Python rows); output is 8 bytes/asset — the ONLY
@@ -405,14 +463,30 @@ def image_ahash(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
-                buf = np.frombuffer(payload, dtype=np.uint8)
-                # STUB pixel buffer: 64 chunks (np.array_split sizing),
-                # pixel = chunk byte-sum mod 256. All-integer on purpose:
-                # the brightness compare 64·px > Σpx is exact in any
-                # engine, so the oracle reproduces the hash bit-for-bit
-                # (a float mean would tie the bits to summation order).
-                chunks = np.array_split(buf.astype(np.int64), 64)
-                px = np.array([int(c.sum()) % 256 for c in chunks], dtype=np.int64)
+                bmp = _decode_bmp(payload)
+                if bmp is not None and bmp[0] >= 8 and bmp[1] >= 8:
+                    # REAL pixel path (uncompressed BMP): 8×8 box-
+                    # average of the true grayscale raster, integer
+                    # mean (sum // count) so the bit compare below
+                    # stays exact.
+                    _, _, gray = bmp
+                    px = np.array(
+                        [
+                            int(cb.sum()) // cb.size
+                            for rb in np.array_split(gray, 8, axis=0)
+                            for cb in np.array_split(rb, 8, axis=1)
+                        ],
+                        dtype=np.int64,
+                    )
+                else:
+                    buf = np.frombuffer(payload, dtype=np.uint8)
+                    # STUB pixel buffer: 64 chunks (np.array_split sizing),
+                    # pixel = chunk byte-sum mod 256. All-integer on purpose:
+                    # the brightness compare 64·px > Σpx is exact in any
+                    # engine, so the oracle reproduces the hash bit-for-bit
+                    # (a float mean would tie the bits to summation order).
+                    chunks = np.array_split(buf.astype(np.int64), 64)
+                    px = np.array([int(c.sum()) % 256 for c in chunks], dtype=np.int64)
                 tot = int(px.sum())
                 h = 0
                 for p_i in px:

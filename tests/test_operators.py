@@ -1122,3 +1122,66 @@ def test_portable_band_buckets_rejects_wrong_dim(spark):
         portable_band_buckets(df, bands=1, planes=1).collect()
     ok = portable_band_buckets(df, bands=2, planes=2, dim=3).collect()
     assert len(ok) == 2 and all(r["bucket"] is not None for r in ok)
+
+
+def _make_bmp(width: int, height: int, pixel_fn, bpp: int = 24) -> bytes:
+    """Minimal bottom-up BI_RGB BMP encoder for kernel tests.
+    pixel_fn(x, y) -> (r, g, b) with y=0 the TOP row."""
+    import struct
+
+    step = bpp // 8
+    row_bytes = ((width * step) + 3) & ~3
+    data = bytearray()
+    for y in reversed(range(height)):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b, g, r)) + (b"\xff" if step == 4 else b"")
+        row += b"\x00" * (row_bytes - len(row))
+        data += row
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(data), 2835, 2835, 0, 0
+    )
+    return bytes(header + info + data)
+
+
+def test_bmp_decode_real_dimensions_and_ahash(spark):
+    """Genuine uncompressed BMP payloads take the REAL decode path:
+    extract_features reports true dimensions (not the stub's
+    byte-derived fake), and image_ahash hashes true box-averaged
+    pixels — a half-black/half-white image yields exactly the
+    0xF0F0... column pattern. Non-BMP payloads keep the stub."""
+    from taps_spark.operators.multimodal import (
+        _decode_bmp,
+        extract_features,
+        image_ahash,
+    )
+
+    bw = _make_bmp(16, 16, lambda x, y: (0, 0, 0) if x < 8 else (255, 255, 255))
+    gray32 = _make_bmp(16, 8, lambda x, y: (40, 40, 40), bpp=32)
+    fake = b"not a bitmap, stub path expected " * 4
+
+    parsed = _decode_bmp(bw)
+    assert parsed is not None and parsed[0] == 16 and parsed[1] == 16
+    assert parsed[2][0][0] == 0 and parsed[2][0][15] == 255
+    assert _decode_bmp(fake) is None
+
+    assets = spark.createDataFrame(
+        [(1, "image", bw), (2, "image", gray32), (3, "image", fake)],
+        "asset_id long, modality string, payload binary",
+    )
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (16, 16)
+    assert (feats[2]["width"], feats[2]["height"]) == (16, 8)  # 32bpp + non-square
+    n = len(fake)
+    assert (feats[3]["width"], feats[3]["height"]) == (64 + n % 512, 64 + (n * 7) % 512)
+
+    hashes = {r["asset_id"]: r["phash"] for r in image_ahash(assets).collect()}
+    # Left half darker than mean, right half brighter: row bits 00001111
+    # -> packed row-major = 0x0F repeated. Sign per two's complement.
+    want = int("0F" * 8, 16)
+    assert hashes[1] == (want - (1 << 64) if want >= 1 << 63 else want)
+    # Uniform image: no pixel is strictly brighter than the mean -> 0.
+    assert hashes[2] == 0
