@@ -49,9 +49,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale: narrow map-only projection — no shuffle; safe at any SF.
     """
-    toks = tokens(text_col)
+    # Project the token array once: the three consumers below would
+    # otherwise each re-run the regex split per row.
+    toked = df.withColumn("_qf_toks", tokens(text_col))
+    toks = F.col("_qf_toks")
     n_tok = F.size(toks)
-    return df.select(
+    return toked.select(
         "*",
         n_tok.alias("token_ct"),
         F.length(F.col(text_col)).alias("char_ct"),
@@ -66,7 +69,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             4,
         ).alias("stopword_ratio"),
         F.regexp_count(F.col(text_col), F.lit(r"[.,;:!?]")).alias("punct_ct"),
-    )
+    ).drop("_qf_toks")
 
 
 def chunk_token_windows(
@@ -166,18 +169,24 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     for natural documents (bounded distinct vocab); for degenerate
     multi-megabyte single-doc inputs, chunk the doc upstream.
     """
-    toks_ = tokens(text_col)
+    # The token array must cross a projection boundary BEFORE being
+    # captured in the transform lambda below: an inline split
+    # expression captured in a lambda BODY re-runs the regex per outer
+    # element (per distinct token here) — the same 10× trap measured
+    # on the bigram query (see text_ngram_top).
+    toked = df.withColumn("_rf_toks", tokens(text_col))
+    toks_ = F.col("_rf_toks")
     uniq = F.array_distinct(toks_)
     n_tok = F.greatest(F.size(toks_), F.lit(1))
     top_ct = F.array_max(
         F.transform(uniq, lambda t: F.size(F.filter(toks_, lambda x: x == t)))
     )
-    return df.select(
+    return toked.select(
         "*",
         F.size(toks_).alias("token_ct"),
         F.round(F.size(uniq) / n_tok, 4).alias("distinct_ratio"),
         F.round(top_ct / n_tok, 4).alias("top_token_ratio"),
-    )
+    ).drop("_rf_toks")
 
 
 def language_id(
