@@ -382,14 +382,22 @@ def connected_components_star(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
         )
 
-    obs0 = Observation()
-    e = (
+    # Materialize the caller's edge pipeline BEFORE the distinct:
+    # `edges` is usually the tail of the LSH candidate+verify chain,
+    # and running that chain THROUGH a distinct's partial aggregate
+    # measured 2.7× slower than running it bare (sf0.1: 18.9 s vs
+    # 7.0 s for the identical verify work — the aggregate boundary
+    # defeats the single codegen'd join stage). Checkpointing the
+    # narrow (u, v) stream first costs one trivial job, then the
+    # distinct runs on materialized rows. No-op-cheap when the caller
+    # already passes materialized edges.
+    raw = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .observe(obs0, *_sig_metrics())
         .localCheckpoint()
     )
+    obs0 = Observation()
+    e = raw.distinct().observe(obs0, *_sig_metrics()).localCheckpoint()
 
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
