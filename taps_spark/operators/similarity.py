@@ -500,8 +500,13 @@ def semantic_dedup(
         emb.select(F.col(id_col), F.col(vec_col)), nlist=nlist, iters=iters,
         id_col=id_col, vec_col=vec_col,
     )
-    assigned = assign_nearest_centroid(dv, cents).select(
-        "_id", "v", F.col("centroid_id").alias("cluster_id")
+    # Three consumers below (both self-join sides + the final verdict
+    # join); materialize the assignment once or the normalize+argmin
+    # pipeline runs three times.
+    assigned = (
+        assign_nearest_centroid(dv, cents)
+        .select("_id", "v", F.col("centroid_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col("cluster_id"), F.col("_id").alias("id_a"), F.col("v").alias("va")
