@@ -134,8 +134,22 @@ def band_bucket_scalars(
     recompute the signature pipeline per side.
     """
     bmin = bands.groupBy("band", "band_sig").agg(F.min(id_col).alias("_bmin"))
+    # Guard: an understated n_bands would silently re-emit pairs whose
+    # only shared bands fall outside the scalarized prefix (the
+    # earlier-collision predicate can't see them) — raise instead.
+    band_ok = (
+        F.when(F.col("band") < n_bands, F.col("band"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"band_bucket_scalars: band id >= n_bands={n_bands}: "),
+                    F.col("band").cast("string"),
+                )
+            ).cast("bigint")
+        )
+    )
     bint = bands.join(bmin, ["band", "band_sig"]).select(
-        F.col(id_col), "band", F.col("_bmin").alias("bid")
+        F.col(id_col), band_ok.alias("band"), F.col("_bmin").alias("bid")
     )
     wide = bint.groupBy(id_col).pivot("band", list(range(n_bands))).agg(F.first("bid"))
     return (

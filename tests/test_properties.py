@@ -307,3 +307,64 @@ def test_prefix_sums_null_contributes_zero_everywhere(spark):
             for r in prefix_sums(df, "v", ("c",), num_partitions=n).collect()
         )
         assert got == expected, f"NULL handling diverged at num_partitions={n}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_first_collision_pairs_equal_join_distinct_on_random_corpora(spark, seed):
+    """band_bucket_scalars + earlier_band_collision emit EXACTLY the
+    self-join∘distinct candidate set on randomized corpora (varying
+    duplication rates and vocab sizes force multi-band collisions) —
+    the property behind dropping the distinct shuffle."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from taps_spark.operators.dedup import (
+        band_bucket_scalars,
+        band_signatures,
+        earlier_band_collision,
+        minhash_signatures,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(rng.randint(4, 12))]
+    docs = []
+    for i in range(rng.randint(10, 50)):
+        toks = rng.sample(vocab, rng.randint(1, min(5, len(vocab))))
+        docs.append((i, " ".join(toks)))
+    # force a few exact duplicates (all-band collisions)
+    for j in range(rng.randint(0, 4)):
+        docs.append((1000 + j, docs[rng.randrange(len(docs))][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bands = band_signatures(
+        minhash_signatures(df, "doc_id", "text", num_hashes=8), "doc_id", rows_per_band=2
+    )
+    a = bands.select(F.col("doc_id").alias("src"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("dst"), "band", "band_sig")
+    want = sorted(
+        (r["src"], r["dst"])
+        for r in a.join(b, ["band", "band_sig"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    )
+    bw = band_bucket_scalars(bands, "doc_id", n_bands=4)
+    x = bw.select(
+        F.col("doc_id").alias("src"), "band", "bid",
+        *[F.col(f"s{i}").alias(f"x{i}") for i in range(3)],
+    )
+    y = bw.select(
+        F.col("doc_id").alias("dst"), "band", "bid",
+        *[F.col(f"s{i}").alias(f"y{i}") for i in range(3)],
+    )
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in x.join(y, ["band", "bid"])
+        .filter(F.col("src") < F.col("dst"))
+        .filter(~earlier_band_collision(4))
+        .select("src", "dst")
+        .collect()
+    )
+    assert got == want
