@@ -134,7 +134,13 @@ def train_ivf_centroids(
     iteration is minutes, then assign the full corpus ONCE. Returns
     DataFrame[centroid_id int, cv array<double>].
     """
-    dv = emb.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
+    # Materialize the training vectors once: every Lloyd iteration
+    # (and the seed scan) re-reads them, and at scale this frame is a
+    # SAMPLE (docstring) — caching the training set is the standard
+    # shape, not a memory risk.
+    dv = emb.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
     # Rank the nlist seed vectors WITHOUT a global unpartitioned
     # window (that pattern serializes on one reducer as nlist grows):
     # sort the nlist ids into one broadcast array and take each row's
@@ -329,12 +335,16 @@ def train_pq_codebooks(
     dv = emb.select(
         F.col(id_col).alias("_id"), l2_normalize(F.col(vec_col)).alias("v")
     )
+    # Materialize the training subvectors once — each Lloyd iteration
+    # consumes them twice (assign + recompute join) and would
+    # otherwise replay scan + normalize + posexplode per pass; at
+    # scale this is the training SAMPLE (docstring).
     subs = dv.select(
         "_id",
         F.posexplode(
             F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
         ).alias("s", "sv"),
-    )
+    ).localCheckpoint(eager=True)
     seed_ids = dv.orderBy("_id").limit(ksub).agg(
         F.array_sort(F.collect_list("_id")).alias("_ids")
     )
