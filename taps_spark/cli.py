@@ -62,6 +62,25 @@ def safe_url(url: str) -> str:
                 if idx != -1:
                     stop = min(stop, idx)
             at = tail.rfind("@", 0, stop)
+            if at == -1:
+                # '?'/'#' can occur INSIDE a spec-invalid password
+                # (user:pa/s?s@host) — the cut above then hides the
+                # '@' and the credential would print verbatim. Retry
+                # over the WHOLE tail, unless the ':' introduces a
+                # numeric port whose first '/' precedes the '@' (then
+                # the '@' lives in the path/query/fragment, not in
+                # userinfo, and masking would mangle a clean URL).
+                at2 = tail.rfind("@")
+                colon = tail.find(":")
+                slash = tail.find("/")
+                port_like = (
+                    colon != -1
+                    and slash != -1
+                    and slash < at2
+                    and tail[colon + 1 : slash].isdigit()
+                )
+                if at2 != -1 and colon != -1 and colon < at2 and not port_like:
+                    at = at2
             if at != -1 and ":" in tail[:at]:
                 colon = tail.index(":")
                 masked = (

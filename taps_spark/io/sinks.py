@@ -213,10 +213,33 @@ def merge_upsert_partitioned(
     if len(head) <= max_collect_partitions:
         parts = [r[0] for r in head]
         n_parts = len(parts)
-        touched = target.filter(F.col(partition_col).isin(parts))
+        # A NULL partition value needs its own predicate: isin() is
+        # three-valued (NULL IN (...) is never true), so without the
+        # isNull branch the target's NULL-partition survivors never
+        # reach `merged` while the dynamic overwrite still replaces
+        # __HIVE_DEFAULT_PARTITION__ — silently deleting them.
+        non_null = [p for p in parts if p is not None]
+        cond = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if len(non_null) < len(parts):
+            cond = cond | F.col(partition_col).isNull()
+        touched = target.filter(cond)
     else:
         n_parts = part_vals.count()
-        touched = target.join(F.broadcast(part_vals), [partition_col], "left_semi")
+        # Same NULL hazard as isin: a left-semi equi-join never
+        # matches NULL keys, so prune with the non-null values and
+        # union the NULL partition back in when the updates touch it
+        # (one broadcast-sized limit(1) probe — no full scan).
+        nn_vals = part_vals.filter(F.col(partition_col).isNotNull())
+        touched = target.join(F.broadcast(nn_vals), [partition_col], "left_semi")
+        updates_hit_null = (
+            part_vals.filter(F.col(partition_col).isNull()).limit(1).count() > 0
+        )
+        if updates_hit_null:
+            touched = touched.unionByName(
+                target.filter(F.col(partition_col).isNull())
+            )
     survivors = touched.join(updates.select(*key_cols), key_cols, "left_anti")
     n_touched = touched.count()
     n_survivors = survivors.count()

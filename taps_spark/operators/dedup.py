@@ -721,7 +721,12 @@ def portable_band_buckets(
     base = emb.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
-        F.when(F.size(vec_col) == dim, qexpr)
+        # NULL embeddings flow through as NULL projections (dropped by
+        # the downstream equi-joins, as before the dim guard existed) —
+        # without this branch the otherwise() fires with size(NULL)
+        # and the whole query dies on a message-less raise_error.
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("array<bigint>"))
+        .when(F.size(vec_col) == dim, qexpr)
         .otherwise(
             F.raise_error(
                 F.concat(
@@ -746,6 +751,11 @@ def portable_band_buckets(
                 lambda acc, x: acc + x,
             )
             bucket = bucket + F.when(proj > 0, F.lit(1 << plane)).otherwise(F.lit(0))
+        # NULL q must yield a NULL bucket — the per-plane otherwise(0)
+        # would silently file NULL vectors into bucket 0 of every band
+        # (phantom candidates with NULL scores); NULL buckets instead
+        # drop out of every downstream equi-join.
+        bucket = F.when(F.col("q").isNotNull(), bucket)
         per_band.append(base.select(F.lit(band).alias("band"), bucket.alias("bucket"), "id", "v"))
     return reduce(lambda x, y: x.unionByName(y), per_band)
 

@@ -117,6 +117,7 @@ def _wav_window_rms(decoded: dict, start_ms: int, window_ms: int) -> float:
     de-interleave is needed."""
     import array
     import math
+    import sys
 
     rate = decoded["sample_rate"]
     ch = decoded["n_channels"]
@@ -131,6 +132,9 @@ def _wav_window_rms(decoded: dict, start_ms: int, window_ms: int) -> float:
         return 0.0
     if width == 2:
         samples = array.array("h", chunk[: len(chunk) - len(chunk) % 2])
+        if sys.byteorder == "big":
+            # WAV PCM is little-endian by spec; array('h') is native.
+            samples.byteswap()
         scale = 32768.0
     elif width == 1:
         # WAV 8-bit is UNSIGNED with a 128 midpoint.

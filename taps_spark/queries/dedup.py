@@ -344,6 +344,69 @@ ORDER BY component
 """
 
 
+#: LSH family parameters shared by every condensed near-dup pipeline
+#: in this module (_condensed_prelude, _lsh_probe_scores) — 8 MinHash
+#: permutations banded 2 rows × 4 bands. Single source of truth: the
+#: band count feeds band_bucket_scalars AND earlier_band_collision AND
+#: the scalar-column renames (s{i} count = n_bands - 1), which MUST
+#: agree or the first-collision predicate silently re-emits pairs.
+LSH_NUM_HASHES = 8
+LSH_ROWS_PER_BAND = 2
+LSH_N_BANDS = 4
+
+
+def _token_sets(docs: DataFrame) -> DataFrame:
+    """DataFrame[doc_id, rtoks]: each doc's sorted distinct token set.
+
+    NULL-text docs are excluded — `size(rtoks) > 0` drops NULL arrays
+    (size = NULL) and, defensively, empty ones. This matches the
+    doc-level formulation (exploding a NULL token array yields no
+    rows, so such docs never sign or pair) and the DuckDB oracles
+    (unnest of NULL emits no rows). The condensed groupBy would
+    otherwise collapse ALL NULL-text docs into ONE group (groupBy
+    treats NULL keys as equal) and report them as Jaccard-1
+    duplicates of each other — phantom pairs neither formulation
+    produces. Whitespace-only text is NOT excluded: split(trim(x))
+    yields [''] in Spark and DuckDB alike, so those docs carry the
+    {''} token set identically in both engines."""
+    return docs.select(
+        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("rtoks")
+    ).filter(F.size("rtoks") > 0)
+
+
+def _group_band_sides(grp: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Sign → band → bucket-scalarize a condensed group frame and
+    return the two RENAMED join sides for first-collision candidate
+    generation: (a[src, band, bid, x0..], b[dst, band, bid, y0..]).
+    One definition of the LSH_* wiring for all consumers — the s{i}
+    scalar count is derived from LSH_N_BANDS so the rename blocks
+    cannot drift from the band count."""
+    from taps_spark.operators.dedup import (
+        band_bucket_scalars,
+        minhash_signatures_from_tokens,
+    )
+
+    sigs = minhash_signatures_from_tokens(
+        grp, "gid", "rtoks", num_hashes=LSH_NUM_HASHES
+    )
+    bands = band_signatures(sigs, "gid", rows_per_band=LSH_ROWS_PER_BAND)
+    bw = band_bucket_scalars(bands, "gid", n_bands=LSH_N_BANDS)
+    scalars = range(LSH_N_BANDS - 1)
+    a = bw.select(
+        F.col("gid").alias("src"),
+        "band",
+        "bid",
+        *[F.col(f"s{i}").alias(f"x{i}") for i in scalars],
+    )
+    b = bw.select(
+        F.col("gid").alias("dst"),
+        "band",
+        "bid",
+        *[F.col(f"s{i}").alias(f"y{i}") for i in scalars],
+    )
+    return a, b
+
+
 def _condensed_prelude(
     docs: DataFrame,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -373,18 +436,11 @@ def _condensed_prelude(
       cand[src, dst] — distinct LSH candidate group pairs (src < dst);
       ta/tb — hashed-token-set verify sides keyed src / dst.
     """
-    from taps_spark.operators.dedup import (
-        band_bucket_scalars,
-        earlier_band_collision,
-        hashed_token_set,
-        minhash_signatures_from_tokens,
-    )
+    from taps_spark.operators.dedup import earlier_band_collision, hashed_token_set
 
-    rsets = docs.select(
-        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("rtoks")
-    )
     grp = (
-        rsets.groupBy("rtoks")
+        _token_sets(docs)
+        .groupBy("rtoks")
         .agg(
             F.min("doc_id").alias("gid"),
             F.max("doc_id").alias("gmax"),
@@ -393,29 +449,15 @@ def _condensed_prelude(
         )
         .localCheckpoint(eager=True)
     )
-    sigs = minhash_signatures_from_tokens(grp, "gid", "rtoks", num_hashes=8)
-    band_sigs = band_signatures(sigs, "gid", rows_per_band=2)
     # First-collision-band pair generation: identical pair SET to
     # `self-join → distinct`, but duplicate-free at the source — no
     # 10M-row distinct shuffle (measured at sf0.1: 7.5 s → 0.7 s; see
     # band_bucket_scalars).
-    bw = band_bucket_scalars(band_sigs, "gid", n_bands=4)
-    a = bw.select(
-        F.col("gid").alias("src"),
-        "band",
-        "bid",
-        *[F.col(f"s{i}").alias(f"x{i}") for i in range(3)],
-    )
-    b = bw.select(
-        F.col("gid").alias("dst"),
-        "band",
-        "bid",
-        *[F.col(f"s{i}").alias(f"y{i}") for i in range(3)],
-    )
+    a, b = _group_band_sides(grp)
     cand = (
         a.join(b, ["band", "bid"])
         .filter(F.col("src") < F.col("dst"))
-        .filter(~earlier_band_collision(4))
+        .filter(~earlier_band_collision(LSH_N_BANDS))
         .select("src", "dst")
     )
     ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))
@@ -426,10 +468,16 @@ def _condensed_prelude(
 
 def _ratio_prefilter(threshold: float):
     """Lossless size-ratio prefilter: J <= min/max ⇒ J >= t needs
-    10|A| >= 10t·|B| both ways (thresholds here are exact tenths, so
-    int(10t) is exact) — an integer compare that spares
-    size-mismatched candidates the set intersection."""
-    k = int(round(threshold * 10))
+    10|A| >= k·|B| both ways with k = floor(10t) — an integer compare
+    that spares size-mismatched candidates the set intersection.
+    FLOOR keeps the bound at or below the threshold for ANY t (a
+    rounded k overstates the bound for t like 0.75 — round(7.5) = 8
+    would silently drop pairs with ratio in [0.75, 0.8) that can
+    still reach J >= t). The 1e-9 nudge only counters float dust on
+    exact tenths (0.7 * 10 = 6.999…), never lifts k past 10t."""
+    import math
+
+    k = math.floor(threshold * 10 + 1e-9)
     return (10 * F.size("toks_a") >= k * F.size("toks_b")) & (
         10 * F.size("toks_b") >= k * F.size("toks_a")
     )
@@ -916,17 +964,12 @@ def _lsh_probe_scores(docs: DataFrame, new_ids: DataFrame) -> DataFrame:
     formulation; verify work drops with the duplication rate squared
     (sf0.1: ~20 s of string-array Jaccard → ~4 s)."""
     from taps_spark.operators.dedup import (
-        band_bucket_scalars,
         earlier_band_collision,
         hashed_token_set,
         jaccard_hashed,
-        minhash_signatures_from_tokens,
     )
 
-    rsets = docs.select(
-        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("rtoks")
-    )
-    flagged = rsets.join(
+    flagged = _token_sets(docs).join(
         F.broadcast(new_ids.withColumn("_new", F.lit(True))), "doc_id", "left"
     )
     # collect_list drops the NULLs the unmatched WHEN branches produce,
@@ -944,24 +987,18 @@ def _lsh_probe_scores(docs: DataFrame, new_ids: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    sigs = minhash_signatures_from_tokens(grp, "gid", "rtoks", num_hashes=8)
-    bands = band_signatures(sigs, "gid", rows_per_band=2)
     # First-collision-band candidates (no distinct shuffle — see
     # band_bucket_scalars); a group present on both sides collides
     # with itself on every band, so band 0 alone emits the (g, g) row
     # the old distinct kept once.
-    bw = band_bucket_scalars(bands, "gid", n_bands=4)
+    a, b = _group_band_sides(grp)
     ng = grp.filter(F.size("new_members") > 0).select(F.col("gid").alias("src"))
     cg = grp.filter(F.size("corpus_members") > 0).select(F.col("gid").alias("dst"))
-    nb = bw.join(F.broadcast(ng), bw["gid"] == ng["src"]).select(
-        "src", "band", "bid", *[F.col(f"s{i}").alias(f"x{i}") for i in range(3)]
-    )
-    cb = bw.join(F.broadcast(cg), bw["gid"] == cg["dst"]).select(
-        "dst", "band", "bid", *[F.col(f"s{i}").alias(f"y{i}") for i in range(3)]
-    )
+    nb = a.join(F.broadcast(ng), "src")
+    cb = b.join(F.broadcast(cg), "dst")
     cand = (
         nb.join(cb, ["band", "bid"])
-        .filter(~earlier_band_collision(4))
+        .filter(~earlier_band_collision(LSH_N_BANDS))
         .select("src", "dst")
     )
     ghash = grp.select("gid", hashed_token_set(F.col("rtoks")).alias("toks"))

@@ -1185,3 +1185,66 @@ def test_bmp_decode_real_dimensions_and_ahash(spark):
     assert hashes[1] == (want - (1 << 64) if want >= 1 << 63 else want)
     # Uniform image: no pixel is strictly brighter than the mean -> 0.
     assert hashes[2] == 0
+
+
+def test_condensed_prelude_excludes_null_text_docs(spark):
+    """Two NULL-text docs must NOT become a Jaccard-1 'duplicate'
+    group: groupBy treats NULL rtoks as equal, but the doc-level
+    formulation (explode of a NULL token array) and the DuckDB
+    oracles (unnest of NULL) both drop such docs before signing.
+    Whitespace-only text is {''} in both engines and DOES group."""
+    from taps_spark.queries.dedup import _condensed_prelude, _fan_out_doc_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, "alpha beta gamma delta"),
+            (4, "alpha beta gamma delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    grp, cand, ta, tb = _condensed_prelude(docs)
+    members = {m for r in grp.collect() for m in r["members"]}
+    assert members == {3, 4}
+
+    gscored = cand.withColumn("j", F.lit(1.0))
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in _fan_out_doc_pairs(grp, gscored).collect()
+    }
+    assert pairs == {(3, 4)}  # no phantom (1, 2) pair
+
+
+def test_ratio_prefilter_lossless_for_non_tenth_thresholds(spark):
+    """floor(10t) keeps the size-ratio bound at or below ANY t: at
+    t=0.75 a (3, 4) pair (ratio exactly 0.75) must survive — the old
+    round() gave k=8 (bound 0.8) and silently dropped it."""
+    from taps_spark.queries.dedup import _ratio_prefilter
+
+    df = spark.createDataFrame(
+        [([1, 2, 3], [1, 2, 3, 4])], "toks_a array<int>, toks_b array<int>"
+    )
+    assert df.filter(_ratio_prefilter(0.75)).count() == 1
+    # Lossless drop: J <= 3/4 < 0.8, so t=0.8 may (and does) prune it.
+    assert df.filter(_ratio_prefilter(0.8)).count() == 0
+    # Exact tenths keep their exact bound despite float dust.
+    assert df.filter(_ratio_prefilter(0.7)).count() == 1
+
+
+def test_portable_band_buckets_null_embedding_flows_through(spark):
+    """A NULL embedding must not abort the query via the dim guard
+    (size(NULL) made the otherwise() branch raise with a NULL
+    message); it flows through as NULL projections, exactly as it
+    did before the guard existed."""
+    from taps_spark.operators.dedup import portable_band_buckets
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = portable_band_buckets(df, bands=2, planes=2, dim=3).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["bucket"])
+    assert all(b is not None for b in by_id[1])
+    assert all(b is None for b in by_id[2])

@@ -455,3 +455,40 @@ def test_chunk_repair_ships_only_missing_rows(spark, sf_dir, tmp_path):
     # Idempotent: a second repair finds nothing to ship.
     res2 = repair_missing_rows(source, dest_path, "o_orderkey", chunk_rows=256)
     assert res2.n_damaged_chunks == 0 and res2.n_rows_shipped == 0
+
+
+def test_merge_upsert_partitioned_null_partition_survivors(spark, tmp_path):
+    """A NULL partition value must not lose bystander rows: isin() is
+    three-valued (NULL IN (...) is never true) and a left-semi join
+    never matches NULL keys, so both pruning paths previously excluded
+    the target's NULL-partition rows from `survivors` while the
+    dynamic overwrite still replaced __HIVE_DEFAULT_PARTITION__ —
+    silently deleting every non-updated row there."""
+    from taps_spark.io.sinks import merge_upsert_partitioned
+
+    for cap, variant in ((1000, "isin"), (1, "semi")):
+        path = str(tmp_path / f"null_part_{variant}")
+        base = spark.createDataFrame(
+            [(1, "a", None), (2, "b", None), (3, "c", "p1"), (4, "d", "p2")],
+            "id int, val string, part string",
+        )
+        merge_upsert_partitioned(spark, base, path, ["id"], "part")
+
+        updates = spark.createDataFrame(
+            [(1, "A", None), (3, "C", "p1")], "id int, val string, part string"
+        )
+        stats = merge_upsert_partitioned(
+            spark, updates, path, ["id"], "part", max_collect_partitions=cap
+        )
+        got = {
+            (r["id"], r["val"], r["part"])
+            for r in spark.read.parquet(path).collect()
+        }
+        # Row 2 (NULL partition, not in the updates) must survive.
+        assert got == {
+            (1, "A", None),
+            (2, "b", None),
+            (3, "C", "p1"),
+            (4, "d", "p2"),
+        }, variant
+        assert stats == {"updated": 2, "inserted": 0, "partitions": 2}, variant
