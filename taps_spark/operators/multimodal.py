@@ -4,10 +4,12 @@ metadata, processed with Arrow-batched mapInPandas.
 Audio decode is REAL for RIFF/WAV payloads (pure-stdlib `wave` parse +
 sample math in _decode_wav / _wav_window_rms) and image decode is REAL
 for uncompressed 24/32-bit BMP payloads (`struct` + NumPy raster parse
-in _decode_bmp, feeding true dimensions and true 8×8 box-averaged
-aHash pixels). The container has no COMPRESSED-codec libraries
-(JPEG/PNG/video), so those payloads fall back to deterministic fakes
-behind `_decode_stub` (clearly marked) — as does audio for non-WAV
+in _decode_bmp) AND for non-interlaced 8-bit PNG (`zlib` inflate +
+full scanline-filter reconstruction in _decode_png) — both feed true
+dimensions and true 8×8 box-averaged aHash pixels through one shared
+integer-grayscale contract. The container has no OTHER codec
+libraries (JPEG/video), so those payloads fall back to deterministic
+fakes behind `_decode_stub` (clearly marked) — as does audio for non-WAV
 payloads, which keeps the synthetic fixtures oracle-checkable. Everything
 Spark-side — schemas, batch iteration, partitioning, UDF signatures —
 is real and tested, which is the part that matters for the engine.
@@ -202,6 +204,121 @@ def _decode_bmp(payload: bytes | None):
     return w, height, gray
 
 
+#: PNG signature (RFC 2083 §3.1).
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes | None):
+    """REAL image decode kernel #2: non-interlaced 8-bit PNG
+    (grayscale / RGB / gray+alpha / RGBA) via stdlib `zlib` — chunk
+    walk, IDAT inflate, and full scanline filter reconstruction
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Returns (width, height,
+    gray) with the SAME integer BT.601 grayscale contract as
+    _decode_bmp, or None for anything it cannot decode exactly
+    (palette, 16-bit, interlaced, truncated, bad CRC length walk) —
+    the caller then falls back to the deterministic stub, keeping
+    synthetic fixtures oracle-pinned. Unfiltering is sequential by
+    spec (each byte depends on the reconstructed left/up neighbors),
+    so it runs as a plain byte loop per scanline — exact, and cheap
+    at the asset sizes a decode kernel sees inside one Arrow batch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 + 25 or payload[:8] != _PNG_MAGIC:
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data_start = pos + 8
+            if data_start + clen + 4 > len(payload):
+                return None
+            if ctype == b"IHDR":
+                if clen != 13:
+                    return None
+                w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+                    ">IIBBBBB", payload, data_start
+                )
+                if (
+                    depth != 8
+                    or color not in (0, 2, 4, 6)
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                    or w == 0
+                    or h == 0
+                ):
+                    return None
+            elif ctype == b"IDAT":
+                idat += payload[data_start : data_start + clen]
+            elif ctype == b"IEND":
+                break
+            pos = data_start + clen + 4  # skip CRC
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - ch] if x >= ch else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[o + x - stride] if y else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - ch] if x >= ch else 0
+                up = out[o + x - stride] if y else 0
+                out[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                b = out[o + x - stride] if y else 0
+                c = out[o + x - stride - ch] if (y and x >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                out[o + x] = (line[x] + pr) & 0xFF
+        else:
+            return None
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+    if color in (0, 4):  # grayscale (+alpha): luma IS the gray sample
+        gray = px[:, :, 0]
+    else:  # RGB(A) — same integer luma as the BMP kernel
+        gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    return int(w), int(h), gray
+
+
+def _decode_image(payload: bytes | None):
+    """Try every REAL image kernel (BMP, then PNG); None → stub."""
+    bmp = _decode_bmp(payload)
+    if bmp is not None:
+        return bmp
+    return _decode_png(payload)
+
+
 def _decode_stub(modality: str, payload: bytes | None) -> dict:
     """Decode kernel dispatch. Audio payloads that parse as RIFF/WAV
     take the REAL stdlib decoder (_decode_wav); image payloads that
@@ -217,9 +334,9 @@ def _decode_stub(modality: str, payload: bytes | None) -> dict:
         if real is not None:
             return real
     if modality == "image":
-        bmp = _decode_bmp(payload)
-        if bmp is not None:
-            return {"width": bmp[0], "height": bmp[1], "duration_ms": None}
+        img = _decode_image(payload)
+        if img is not None:
+            return {"width": img[0], "height": img[1], "duration_ms": None}
     n = len(payload)
     if modality == "image":
         return {"width": 64 + n % 512, "height": 64 + (n * 7) % 512, "duration_ms": None}
@@ -445,10 +562,13 @@ def image_ahash(assets: DataFrame) -> DataFrame:
     8×8 grayscale thumbnail, bit i = pixel i brighter than the mean,
     packed into one signed int64.
 
-    Uncompressed BMP payloads (≥ 8×8) take the REAL pixel path:
-    _decode_bmp's grayscale raster, 8×8 integer box-average, same
-    exact bit compare. Everything else uses the container-honest STUB
-    (no compressed codecs): the payload bytes THEMSELVES stand in for
+    Uncompressed BMP and 8-bit non-interlaced PNG payloads (≥ 8×8)
+    take the REAL pixel path: the kernel's grayscale raster
+    (_decode_image — BMP and PNG share one integer-luma contract, so
+    the same pixels hash identically from either container format),
+    8×8 integer box-average, same exact bit compare. Everything else
+    uses the container-honest STUB
+    (no other codecs): the payload bytes THEMSELVES stand in for
     the decoded pixel buffer — split into 64 equal chunks, chunk mean
     = pixel. Deterministic either way, so identical payloads hash
     identically and the pytest NumPy replay pins the exact bit
@@ -467,13 +587,13 @@ def image_ahash(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
-                bmp = _decode_bmp(payload)
-                if bmp is not None and bmp[0] >= 8 and bmp[1] >= 8:
-                    # REAL pixel path (uncompressed BMP): 8×8 box-
-                    # average of the true grayscale raster, integer
-                    # mean (sum // count) so the bit compare below
-                    # stays exact.
-                    _, _, gray = bmp
+                img = _decode_image(payload)
+                if img is not None and img[0] >= 8 and img[1] >= 8:
+                    # REAL pixel path (uncompressed BMP or 8-bit
+                    # non-interlaced PNG): 8×8 box-average of the true
+                    # grayscale raster, integer mean (sum // count) so
+                    # the bit compare below stays exact.
+                    _, _, gray = img
                     px = np.array(
                         [
                             int(cb.sum()) // cb.size

@@ -1248,3 +1248,111 @@ def test_portable_band_buckets_null_embedding_flows_through(spark):
         by_id.setdefault(r["id"], []).append(r["bucket"])
     assert all(b is not None for b in by_id[1])
     assert all(b is None for b in by_id[2])
+
+
+def _make_png(width, height, pixel, color_type=2, filters=None):
+    """Build a real PNG: 8-bit, non-interlaced; `pixel(x, y)` returns
+    a tuple of `ch` samples. Each row is ENCODED with a chosen filter
+    type (cycling 0..4 by default), so the decoder's Sub/Up/Average/
+    Paeth reconstruction paths are all exercised, not just raw rows."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rows = [
+        bytes(s for x in range(width) for s in pixel(x, y)) for y in range(height)
+    ]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(rows):
+        f = (filters or list(range(5)))[y % len(filters or list(range(5)))]
+        raw.append(f)
+        for x in range(stride):
+            left = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                enc = line[x]
+            elif f == 1:
+                enc = line[x] - left
+            elif f == 2:
+                enc = line[x] - up
+            elif f == 3:
+                enc = line[x] - ((left + up) >> 1)
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                enc = line[x] - pred
+            raw.append(enc & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_and_cross_format_ahash(spark):
+    """The PNG kernel must reconstruct every scanline filter exactly
+    (rows cycle None/Sub/Up/Average/Paeth), report true dimensions
+    through extract_features, and — because BMP and PNG share one
+    integer-grayscale contract — the SAME pixels must produce the
+    SAME aHash from either container format."""
+    from taps_spark.operators.multimodal import (
+        _decode_png,
+        extract_features,
+        image_ahash,
+    )
+
+    def bw(x, y):
+        return (0, 0, 0) if x < 8 else (255, 255, 255)
+
+    png_rgb = _make_png(16, 16, bw)
+    bmp_same = _make_bmp(16, 16, bw)
+    png_gray = _make_png(16, 12, lambda x, y: ((x * 16 + y) % 256,), color_type=0)
+    png_rgba = _make_png(
+        16, 16, lambda x, y: (0, 0, 0, 255) if x < 8 else (255, 255, 255, 255),
+        color_type=6,
+    )
+    truncated = png_rgb[: len(png_rgb) // 2]
+
+    parsed = _decode_png(png_gray)
+    assert parsed is not None and (parsed[0], parsed[1]) == (16, 12)
+    # Grayscale: gray sample IS the pixel value, exact round-trip.
+    assert all(
+        parsed[2][y][x] == (x * 16 + y) % 256 for y in range(12) for x in range(16)
+    )
+    assert _decode_png(truncated) is None
+    assert _decode_png(b"fake" * 30) is None
+
+    assets = spark.createDataFrame(
+        [(1, "image", png_rgb), (2, "image", bmp_same), (3, "image", png_rgba),
+         (4, "image", truncated)],
+        "asset_id long, modality string, payload binary",
+    )
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (16, 16)
+    assert (feats[3]["width"], feats[3]["height"]) == (16, 16)
+    n = len(truncated)
+    assert (feats[4]["width"], feats[4]["height"]) == (
+        64 + n % 512, 64 + (n * 7) % 512,
+    )  # truncated PNG falls back to the stub
+
+    hashes = {r["asset_id"]: r["phash"] for r in image_ahash(assets).collect()}
+    want = int("0F" * 8, 16)
+    want = want - (1 << 64) if want >= 1 << 63 else want
+    assert hashes[1] == want  # real pixel path, same pattern as the BMP test
+    assert hashes[1] == hashes[2] == hashes[3]  # cross-format + alpha-blind
