@@ -368,3 +368,46 @@ def test_first_collision_pairs_equal_join_distinct_on_random_corpora(spark, seed
         .collect()
     )
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(2, 12),
+    st.integers(2, 12),
+    st.sampled_from([0, 2, 4, 6]),
+    st.data(),
+)
+def test_png_kernel_roundtrips_any_image(width, height, color_type, data):
+    """PNG decode is EXACT for any 8-bit non-interlaced image: encode
+    random pixels with randomly chosen per-row filter types (the
+    encoder inverts the spec's reconstruction), decode with the
+    kernel, and demand the bit-exact grayscale the BMP-contract luma
+    gives on those pixels. No Spark session — pure kernel property."""
+    from taps_spark.operators.multimodal import _decode_png
+    from tests.test_operators import _make_png
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    px = {
+        (x, y): tuple(
+            data.draw(st.integers(0, 255)) for _ in range(ch)
+        )
+        for y in range(height)
+        for x in range(width)
+    }
+    filters = [data.draw(st.integers(0, 4)) for _ in range(height)]
+    payload = _make_png(
+        width, height, lambda x, y: px[(x, y)], color_type=color_type,
+        filters=filters,
+    )
+    decoded = _decode_png(payload)
+    assert decoded is not None
+    w, h, gray = decoded
+    assert (w, h) == (width, height)
+    for y in range(height):
+        for x in range(width):
+            s = px[(x, y)]
+            if color_type in (0, 4):
+                want = s[0]
+            else:
+                want = (299 * s[0] + 587 * s[1] + 114 * s[2]) // 1000
+            assert gray[y][x] == want, (x, y, s)
