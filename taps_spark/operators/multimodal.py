@@ -7,8 +7,12 @@ for uncompressed 24/32-bit BMP payloads (`struct` + NumPy raster parse
 in _decode_bmp) AND for non-interlaced 8-bit PNG (`zlib` inflate +
 full scanline-filter reconstruction in _decode_png) — both feed true
 dimensions and true 8×8 box-averaged aHash pixels through one shared
-integer-grayscale contract. The container has no OTHER codec
-libraries (JPEG/video), so those payloads fall back to deterministic
+integer-grayscale contract. Video container METADATA is REAL for
+RIFF/AVI payloads (_decode_avi: true dimensions + frame-count×
+frame-time duration from the avih header — frame PIXELS would need a
+codec, but the pipeline only consumes metadata). The container has no
+OTHER codec libraries (JPEG, compressed video), so those payloads
+fall back to deterministic
 fakes behind `_decode_stub` (clearly marked) — as does audio for non-WAV
 payloads, which keeps the synthetic fixtures oracle-checkable. Everything
 Spark-side — schemas, batch iteration, partitioning, UDF signatures —
@@ -311,6 +315,59 @@ def _decode_png(payload: bytes | None):
     return int(w), int(h), gray
 
 
+def _decode_avi(payload: bytes | None):
+    """REAL video-container kernel: RIFF/AVI header walk via stdlib
+    `struct` — no codec needed, because container METADATA (the only
+    thing the pipeline consumes: dimensions, frame timing) lives in
+    the 'avih' main header, not in the encoded frames. Returns
+    {width, height, duration_ms, n_frames, fps_milli} or None when
+    the payload is not a well-formed AVI (the caller falls back to
+    the deterministic stub, so synthetic fixtures stay oracle-pinned).
+    Walks LIST chunks to find hdrl→avih per the RIFF spec; all
+    arithmetic is integer (fps reported in milli-fps) so every
+    derived value is engine-exact."""
+    import struct
+
+    if (
+        payload is None
+        or len(payload) < 12 + 8 + 4 + 56
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    pos = 12
+    try:
+        while pos + 8 <= len(payload):
+            ctype = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            if ctype == b"LIST" and payload[pos + 8 : pos + 12] == b"hdrl":
+                # avih is the first sub-chunk of hdrl by spec.
+                sub = pos + 12
+                if payload[sub : sub + 4] != b"avih":
+                    return None
+                (alen,) = struct.unpack_from("<I", payload, sub + 4)
+                if alen < 40 or sub + 8 + alen > len(payload):
+                    return None
+                usec_pf, _, _, _, n_frames = struct.unpack_from(
+                    "<IIIII", payload, sub + 8
+                )
+                w, h = struct.unpack_from("<II", payload, sub + 8 + 32)
+                if w == 0 or h == 0 or usec_pf == 0:
+                    return None
+                return {
+                    "width": int(w),
+                    "height": int(h),
+                    "duration_ms": (n_frames * usec_pf) // 1000,
+                    "n_frames": int(n_frames),
+                    "fps_milli": (1_000_000_000 // usec_pf),
+                }
+            # even-byte chunk padding per RIFF
+            pos += 8 + clen + (clen & 1)
+    except struct.error:
+        return None
+    return None
+
+
 def _decode_image(payload: bytes | None):
     """Try every REAL image kernel (BMP, then PNG); None → stub."""
     bmp = _decode_bmp(payload)
@@ -337,6 +394,14 @@ def _decode_stub(modality: str, payload: bytes | None) -> dict:
         img = _decode_image(payload)
         if img is not None:
             return {"width": img[0], "height": img[1], "duration_ms": None}
+    if modality == "video":
+        avi = _decode_avi(payload)
+        if avi is not None:
+            return {
+                "width": avi["width"],
+                "height": avi["height"],
+                "duration_ms": avi["duration_ms"],
+            }
     n = len(payload)
     if modality == "image":
         return {"width": 64 + n % 512, "height": 64 + (n * 7) % 512, "duration_ms": None}

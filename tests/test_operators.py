@@ -1356,3 +1356,66 @@ def test_png_decode_all_filters_and_cross_format_ahash(spark):
     want = want - (1 << 64) if want >= 1 << 63 else want
     assert hashes[1] == want  # real pixel path, same pattern as the BMP test
     assert hashes[1] == hashes[2] == hashes[3]  # cross-format + alpha-blind
+
+
+def _make_avi(width, height, n_frames, usec_per_frame):
+    """Minimal well-formed RIFF/AVI: hdrl LIST whose first sub-chunk
+    is a 56-byte avih main header — the only part the metadata kernel
+    reads — plus an empty movi LIST so the chunk walk is realistic."""
+    import struct
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame,  # dwMicroSecPerFrame
+        0, 0, 0,
+        n_frames,        # dwTotalFrames
+        0, 1, 0,
+        width, height,   # dwWidth, dwHeight
+        0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    body = (
+        b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_avi_metadata_kernel_real_dimensions_and_duration(spark):
+    """RIFF/AVI payloads take the REAL metadata path: true dimensions
+    and frame-count×frame-time duration flow through extract_features
+    and frame sampling; non-AVI video payloads keep the stub."""
+    from taps_spark.operators.multimodal import (
+        _decode_avi,
+        extract_features,
+        sample_frames,
+    )
+
+    # 25 fps (40,000 us/frame), 250 frames = exactly 10 s.
+    avi = _make_avi(640, 360, 250, 40_000)
+    fake = b"definitely not a video container" * 3
+
+    meta = _decode_avi(avi)
+    assert meta == {
+        "width": 640, "height": 360, "duration_ms": 10_000,
+        "n_frames": 250, "fps_milli": 25_000,
+    }
+    assert _decode_avi(fake) is None
+    assert _decode_avi(avi[:30]) is None  # truncated header
+
+    assets = spark.createDataFrame(
+        [(1, "video", avi), (2, "video", fake)],
+        "asset_id long, modality string, payload binary",
+    )
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["duration_ms"]) == (
+        640, 360, 10_000,
+    )
+    n = len(fake)
+    assert feats[2]["duration_ms"] == 1000 + (n * 17) % 600000  # stub path
+
+    frames = [r for r in sample_frames(assets, every_ms=2500).collect()
+              if r["asset_id"] == 1]
+    # Real 10 s duration -> dur // every = 4 sampled timestamps.
+    assert sorted(r["ts_ms"] for r in frames) == [0, 2500, 5000, 7500]
