@@ -411,3 +411,28 @@ def test_png_kernel_roundtrips_any_image(width, height, color_type, data):
             else:
                 want = (299 * s[0] + 587 * s[1] + 114 * s[2]) // 1000
             assert gray[y][x] == want, (x, y, s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcdefghij09", min_size=1, max_size=8),
+    st.text(
+        alphabet="abcXYZ0123456789/?#@:;._-", min_size=4, max_size=16
+    ).filter(lambda p: "PW" not in p),
+    st.sampled_from(["postgres", "mysql", "jdbc:postgresql"]),
+    st.booleans(),
+)
+def test_safe_url_never_leaks_any_password(user, pw_tail, scheme, with_path):
+    """For ANY password — including spec-invalid ones containing
+    '/', '?', '#', '@' or ':' — the credential must not survive into
+    safe_url's output. The 'PW' sentinel makes the leak check exact
+    (it cannot collide with user/host/path text by construction)."""
+    from taps_spark.cli import safe_url
+
+    password = "PW" + pw_tail
+    url = f"{scheme}://{user}:{password}@dbhost"
+    if with_path:
+        url += "/dbname"
+    masked = safe_url(url)
+    assert "PW" not in masked, (url, masked)
+    assert "[hidden]" in masked, (url, masked)
