@@ -102,6 +102,11 @@ def main() -> None:
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
+    # min-of-N: the most contention-robust point statistic on a shared
+    # container (a min can only be inflated by contention, never
+    # deflated by it) — bench_compare falls back to it when the
+    # median's spread overlaps a would-be regression delta.
+    mins = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     out = {
         "metric": "headline_query_wall_seconds",
@@ -109,6 +114,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "min": mins,
         "runs": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -83,9 +83,21 @@ def safe_url(url: str) -> str:
                     at = at2
             if at != -1 and ":" in tail[:at]:
                 colon = tail.index(":")
-                masked = (
-                    masked[: start + 2] + tail[:colon] + ":[hidden]" + tail[at:]
+                # Same port guard as the at2 retry above: ':' followed
+                # by digits then '/' before the '@' is host:port/path@x
+                # (the '@' lives in the path), not userinfo — masking
+                # would mangle a credential-free URL in logs.
+                slash = tail.find("/")
+                port_like = (
+                    slash != -1
+                    and slash < at
+                    and tail[colon + 1 : slash].isdigit()
+                    and colon + 1 < slash
                 )
+                if not port_like:
+                    masked = (
+                        masked[: start + 2] + tail[:colon] + ":[hidden]" + tail[at:]
+                    )
     return re.sub(r"(?i)(password=)[^;&]*", r"\1[hidden]", masked)
 
 

@@ -76,7 +76,7 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_wav(payload: bytes | None) -> dict | None:
+def _decode_wav(payload: bytes | None, want_pcm: bool = True) -> dict | None:
     """REAL audio decode kernel: RIFF/WAVE PCM via stdlib `wave` +
     `audioop`-free sample math — no third-party codec needed. Returns
     None when the payload is not a parseable WAV (the caller falls
@@ -102,15 +102,21 @@ def _decode_wav(payload: bytes | None) -> dict | None:
             rate = w.getframerate()
             if rate <= 0 or n_frames <= 0:
                 return None
-            return {
+            out = {
                 "width": None,
                 "height": None,
                 "duration_ms": (n_frames * 1000) // rate,
                 "sample_rate": rate,
                 "n_channels": w.getnchannels(),
                 "sample_width": w.getsampwidth(),
-                "pcm": w.readframes(n_frames),
             }
+            if want_pcm:
+                # Callers that only need metadata (extract_features)
+                # skip the frame read: holding every batch row's full
+                # PCM buffer alongside the payload doubled Arrow-batch
+                # memory for audio-heavy batches.
+                out["pcm"] = w.readframes(n_frames)
+            return out
     except (wave.Error, EOFError, OSError):
         return None
 
@@ -376,7 +382,7 @@ def _decode_image(payload: bytes | None):
     return _decode_png(payload)
 
 
-def _decode_stub(modality: str, payload: bytes | None) -> dict:
+def _decode_stub(modality: str, payload: bytes | None, want_pcm: bool = True) -> dict:
     """Decode kernel dispatch. Audio payloads that parse as RIFF/WAV
     take the REAL stdlib decoder (_decode_wav); image payloads that
     parse as uncompressed BMP take the REAL _decode_bmp; everything
@@ -387,7 +393,7 @@ def _decode_stub(modality: str, payload: bytes | None) -> dict:
     if payload is None:
         return {"width": None, "height": None, "duration_ms": None}
     if modality == "audio":
-        real = _decode_wav(payload)
+        real = _decode_wav(payload, want_pcm=want_pcm)
         if real is not None:
             return real
     if modality == "image":
@@ -429,8 +435,11 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
                     lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                 ),
             }
+            # Metadata-only decode: only width/height/duration_ms are
+            # shipped, so never materialize PCM for the whole batch.
             decoded = [
-                _decode_stub(m, p) for m, p in zip(pdf["modality"], pdf["payload"])
+                _decode_stub(m, p, want_pcm=False)
+                for m, p in zip(pdf["modality"], pdf["payload"])
             ]
             for k in ("width", "height", "duration_ms"):
                 feats[k] = pd.Series([d[k] for d in decoded], dtype="object")
@@ -598,6 +607,9 @@ def resize_images(assets: DataFrame, target: int = 224) -> DataFrame:
                     nw, nh = target, (h * target) // w
                 else:
                     nw, nh = (w * target) // h, target
+                # Real decoded dims can be extreme-aspect (1000x1);
+                # floor division would emit a degenerate 0-pixel edge.
+                nw, nh = max(1, nw), max(1, nh)
                 checksum = hashlib.md5(payload).hexdigest()
                 rows.append(
                     (

@@ -111,7 +111,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(63-bit) near-dup candidate clusters via 16-bit band
     collisions. No SQL oracle (hash family is engine-specific); the
     driver records a rows-only check and unit tests pin the semantics
-    (tests/test_dedup.py).
+    (tests/test_operators.py: test_simhash_identical_docs_collide,
+    test_simhash_near_duplicates_are_close,
+    test_simhash_portable_is_token_set_invariant).
     """
     docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
     sim = simhash64(docs, "doc_id", "text")

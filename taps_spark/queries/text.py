@@ -1909,7 +1909,7 @@ kept AS (
   FROM tc JOIN plan p ON p.source = tc.source
   GROUP BY tc.source
 )
-SELECT k.source, p.toks AS toks_before, k.toks_after, k.n_docs_kept,
+SELECT k.source, CAST(p.toks AS BIGINT) AS toks_before, k.toks_after, k.n_docs_kept,
        ROUND(CAST(p.toks AS DOUBLE) / t.total, 4) AS share_before,
        ROUND(CAST(k.toks_after AS DOUBLE)
              / (SELECT SUM(toks_after) FROM kept), 4) AS share_after

@@ -1419,3 +1419,50 @@ def test_avi_metadata_kernel_real_dimensions_and_duration(spark):
               if r["asset_id"] == 1]
     # Real 10 s duration -> dur // every = 4 sampled timestamps.
     assert sorted(r["ts_ms"] for r in frames) == [0, 2500, 5000, 7500]
+
+
+def test_resize_extreme_aspect_never_degenerates_to_zero(spark):
+    """ADVICE r5: a real decoded 200x1 BMP drives (h*target)//w to 0 —
+    the output edge must clamp to 1 px, never a degenerate 0."""
+    from taps_spark.operators.multimodal import _decode_bmp, resize_images
+
+    strip = _make_bmp(200, 1, lambda x, y: (x % 256, 0, 0))
+    assert _decode_bmp(strip)[:2] == (200, 1)
+    assets = spark.createDataFrame(
+        [(1, "image", strip, None)],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    r = resize_images(assets, target=100).collect()[0]
+    assert (r["width"], r["height"]) == (200, 1)
+    assert r["new_width"] == 100
+    assert r["new_height"] == 1  # floor((1*100)/200)=0, clamped
+
+
+def test_wav_metadata_only_decode_skips_pcm(spark):
+    """ADVICE r5: extract_features only ships width/height/duration —
+    it must not materialize each row's full PCM alongside the payload
+    (2x Arrow batch memory on audio-heavy batches). The metadata-only
+    parse returns identical duration without the 'pcm' key; the window
+    sampler keeps the PCM path."""
+    from taps_spark.operators.multimodal import (
+        _decode_stub,
+        extract_features,
+        sample_audio_windows,
+    )
+
+    wav = _make_wav(seconds=2.0, rate=8000)
+    full = _decode_stub("audio", wav)
+    meta = _decode_stub("audio", wav, want_pcm=False)
+    assert "pcm" in full and "pcm" not in meta
+    assert meta["duration_ms"] == full["duration_ms"] == 2000
+    assert meta["sample_rate"] == full["sample_rate"] == 8000
+
+    assets = spark.createDataFrame(
+        [(1, "audio", wav, None)],
+        "asset_id long, modality string, payload binary, meta map<string,string>",
+    )
+    feats = extract_features(assets).collect()[0]
+    assert feats["duration_ms"] == 2000
+    # Real per-window RMS still works (PCM path intact for the sampler).
+    wins = sample_audio_windows(assets, window_ms=500, max_windows=4).collect()
+    assert len(wins) == 4 and all(w["rms"] > 0.0 for w in wins)

@@ -13,13 +13,16 @@ Usage: python tools/local_correctness.py [sf_dir] [out_path]
 
 from __future__ import annotations
 
+import datetime
 import json
 import math
 import os
 import sys
 import time
+from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,22 +32,45 @@ TABLES = (
 ).split()
 
 
+def _normval(v):
+    """Normalize one cell to a (type-class, value) pair so the compare is
+    dtype-strict like the driver's value hash: int64 1435 vs float64 1435.0
+    is a FAIL here, not a Python `==` pass.  (The r5 escape:
+    `pipeline_mix_apply`'s oracle shipped an uncast HUGEINT-sum as float64
+    and this gate's plain `==` let it through while the driver's
+    type-sensitive hash did not.)"""
+    try:
+        if v is None or (not isinstance(v, (list, tuple, dict, np.ndarray)) and pd.isna(v)):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        return "NULL" if math.isnan(v) else ("f", float(v))
+    if isinstance(v, Decimal):
+        return ("d", v)
+    if isinstance(v, (str, np.str_)):
+        return ("s", str(v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    if isinstance(v, np.ndarray):
+        return ("a", tuple(_normval(x) for x in v.tolist()))
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(_normval(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((str(k), _normval(x)) for k, x in v.items())))
+    if isinstance(v, pd.Timestamp) or isinstance(v, datetime.datetime):
+        return ("t", pd.Timestamp(v))
+    if isinstance(v, datetime.date):
+        return ("D", v)
+    return (type(v).__name__, v)
+
+
 def _norm(rows):
-    out = []
-    for row in rows:
-        vals = []
-        for v in row:
-            try:
-                if v is None or pd.isna(v):
-                    vals.append("NULL")
-                    continue
-            except (TypeError, ValueError):
-                pass
-            if isinstance(v, float) and math.isnan(v):
-                vals.append("NULL")
-            else:
-                vals.append(v)
-        out.append(tuple(vals))
+    out = [tuple(_normval(v) for v in row) for row in rows]
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
