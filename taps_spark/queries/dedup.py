@@ -1483,3 +1483,87 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+CANONICAL_PICK_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+m AS (
+  SELECT b.band, b.band_sig, b.doc_id, d.n_chars
+  FROM bands b JOIN documents d USING (doc_id)
+),
+c AS (
+  SELECT band, band_sig, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY band, band_sig
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY band, band_sig) AS n_docs
+  FROM m
+)
+SELECT CAST(band AS BIGINT) AS band, band_sig,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       doc_id AS canonical_id,
+       CAST(n_chars AS BIGINT) AS canonical_chars,
+       CAST(n_docs - 1 AS BIGINT) AS n_removed
+FROM c
+WHERE rn = 1 AND n_docs > 1
+ORDER BY band, band_sig
+"""
+
+
+@query("dedup_canonical_pick", oracle=CANONICAL_PICK_ORACLE)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection over near-dup clusters: for
+    every MinHash-LSH bucket with more than one member, KEEP the
+    highest-quality document (longest text, doc_id tiebreak) and count
+    the rest as removable — the 'pick the best copy' step that follows
+    candidate clustering in every production dedup pipeline (plain
+    keep-first throws away the better-formatted duplicate).
+
+    Scale: reuses the banded signature path (never all-pairs); the
+    argmax is a single map-side-combinable MAX_BY per bucket — no
+    window, no second shuffle beyond the bucket agg, and output stays
+    linear in the number of collided buckets.
+
+    Determinism: the selection key struct(n_chars, -doc_id) is unique
+    per doc, so MAX_BY cannot tie — identical pick on any engine,
+    any partitioning.
+    """
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    from taps_spark.operators.dedup import band_signatures
+
+    m = band_signatures(sigs, "doc_id", rows_per_band=2).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    pick = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        m.groupBy("band", "band_sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max_by("doc_id", pick).alias("canonical_id"),
+            F.max("n_chars").alias("canonical_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "band",
+            "band_sig",
+            "n_docs",
+            "canonical_id",
+            "canonical_chars",
+            (F.col("n_docs") - 1).alias("n_removed"),
+        )
+        .orderBy("band", "band_sig")
+    )

@@ -694,3 +694,70 @@ def governance_pii_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("tbl", "col", "pattern_name")
     )
+
+
+L_DIVERSITY_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS grp_size,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS l
+  FROM customer
+  GROUP BY 1, 2
+),
+ls AS (SELECT UNNEST([2, 3, 5]) AS l_req)
+SELECT l_req,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM g)  AS n_groups,
+       (SELECT CAST(MIN(l) AS BIGINT) FROM g)    AS min_l,
+       CAST(COALESCE(SUM(CASE WHEN l < l_req THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS groups_below_l,
+       CAST(COALESCE(SUM(CASE WHEN l < l_req THEN grp_size ELSE 0 END), 0) AS BIGINT)
+         AS rows_below_l
+FROM g CROSS JOIN ls
+GROUP BY l_req
+ORDER BY l_req
+"""
+
+
+@query("governance_l_diversity", oracle=L_DIVERSITY_ORACLE)
+def governance_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's standard companion: a
+    quasi-identifier group can be large (k-safe) yet still leak if
+    every member shares the SAME sensitive value. Group by the QI
+    tuple (nation, market segment), count DISTINCT sensitive values
+    (account-balance band) per group, and report for l in {2, 3, 5}
+    how many groups and rows fall below the diversity threshold.
+
+    Scale: one two-level hash aggregation (QI tuple -> distinct
+    sensitive) with map-side partial distinct, then a constant-size
+    (groups x 3 thresholds) summary — same exchange shape as
+    governance_k_anonymity; no joins, no windows.
+    """
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+        ).alias("l"),
+    )
+    per_l = g.select(
+        "grp_size",
+        "l",
+        F.explode(F.array(*[F.lit(lr) for lr in (2, 3, 5)])).alias("l_req"),
+    )
+    totals = g.agg(
+        F.count(F.lit(1)).alias("n_groups"), F.min("l").alias("min_l")
+    )
+    return (
+        per_l.groupBy("l_req")
+        .agg(
+            F.sum(F.when(F.col("l") < F.col("l_req"), 1).otherwise(0))
+            .cast("long")
+            .alias("groups_below_l"),
+            F.sum(F.when(F.col("l") < F.col("l_req"), F.col("grp_size")).otherwise(0))
+            .cast("long")
+            .alias("rows_below_l"),
+        )
+        .join(F.broadcast(totals))
+        .select("l_req", "n_groups", "min_l", "groups_below_l", "rows_below_l")
+        .orderBy("l_req")
+    )

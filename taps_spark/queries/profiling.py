@@ -1297,3 +1297,79 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+LEAKAGE_SPLIT_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         MD5(trim(text)) AS grp,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+a AS (
+  SELECT doc_id, grp, n_tok,
+         CASE WHEN ('0x' || SUBSTRING(MD5(grp), 1, 6))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'valid' END AS split
+  FROM g
+),
+straddle AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS straddling_groups
+  FROM (SELECT grp FROM a GROUP BY grp HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT)            AS n_docs,
+       CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST(SUM(n_tok) AS BIGINT)          AS n_tokens,
+       s.straddling_groups
+FROM a CROSS JOIN straddle s
+GROUP BY split, s.straddling_groups
+ORDER BY split
+"""
+
+
+@query("sample_leakage_safe_split", oracle=LEAKAGE_SPLIT_ORACLE)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid split: the split is keyed on the hash
+    of each document's CONTENT-group (md5 of normalized text), not the
+    row id — so exact duplicates can never land on opposite sides of
+    the split and leak training text into eval. The output carries the
+    proof: `straddling_groups` counts content groups seen in more than
+    one split, and is 0 by construction (the split is a pure function
+    of the group key).
+
+    Scale: two map-only hash expressions and one grouped agg; the
+    straddle audit is a group-grain aggregate (distinct-splits per
+    group) that is orders of magnitude smaller than the corpus. At
+    100 TB, extend the group key to a near-dup cluster id (see
+    dedup_connected_components) with the same split-by-group-hash
+    rule — the co-assignment guarantee is the point.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from taps_spark.operators.text import token_count
+
+    g = docs.select(
+        "doc_id",
+        F.md5(F.trim("text")).alias("grp"),
+        token_count("text").alias("n_tok"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("grp")), 1, 6), 16, 10).cast("long") % 100
+    a = g.withColumn(
+        "split", F.when(bucket < 90, F.lit("train")).otherwise(F.lit("valid"))
+    )
+    straddle = (
+        a.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("straddling_groups"))
+    )
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(straddle))
+        .select("split", "n_docs", "n_groups", "n_tokens", "straddling_groups")
+        .orderBy("split")
+    )

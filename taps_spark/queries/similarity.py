@@ -598,3 +598,83 @@ def similarity_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dim", "n0", "n1", "mean_diff_q", "t_stat", "rank")
         .orderBy("rank")
     )
+
+
+SCALAR_QUANTIZE_ORACLE = """
+WITH ex AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+rng AS (
+  SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY i
+),
+q AS (
+  SELECT e.i, r.lo, r.hi,
+         ABS(CASE WHEN r.hi = r.lo THEN r.lo
+                  ELSE r.lo + FLOOR((e.x - r.lo) / ((r.hi - r.lo) / 255.0) + 0.5)
+                            * ((r.hi - r.lo) / 255.0)
+             END - e.x) AS err
+  FROM ex e JOIN rng r USING (i)
+)
+SELECT CAST(i AS INT) AS dim,
+       ROUND(lo, 4) AS lo,
+       ROUND(hi, 4) AS hi,
+       ROUND(MAX(err), 6) AS max_abs_err,
+       CAST(SUM(CAST(ROUND(err * 1000000) AS BIGINT)) AS BIGINT) AS sum_err_micros
+FROM q
+GROUP BY i, lo, hi
+ORDER BY dim
+"""
+
+
+@query("similarity_scalar_quantize_int8", oracle=SCALAR_QUANTIZE_ORACLE)
+def similarity_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization fidelity report — the train step of
+    the 4x-compression trick every production vector index applies
+    before PQ: per-dimension [min, max] over the corpus defines a
+    256-level uniform grid; each value quantizes to the nearest level
+    and the report carries the per-dimension reconstruction error
+    (max, plus an exact integer-micros sum so the oracle comparison
+    is order-free — the cross-engine float recipe).
+
+    Scale: posexplode to (dim, value) grain with map-side-combined
+    min/max (64 keys — the exchange carries bytes), broadcast the
+    64-row grid back onto the exploded stream, aggregate to dim grain
+    again. Two tiny shuffles, all JVM expressions; at 100 TB the cost
+    is the two corpus scans, both column-pruned to the vector column.
+
+    Determinism: quantize = lo + floor((x-lo)/step + 0.5)*step in
+    explicit IEEE double ops (no engine ROUND in the hot path), so
+    per-value errors are bit-identical cross-engine; MAX is exact and
+    the sum is integer.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ex = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select((F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    rng = ex.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / 255.0
+    deq = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo") + F.floor((F.col("x") - F.col("lo")) / step + 0.5) * step
+    )
+    q = ex.join(F.broadcast(rng), "i").select(
+        "i", "lo", "hi", F.abs(deq - F.col("x")).alias("err")
+    )
+    return (
+        q.groupBy("i", "lo", "hi")
+        .agg(
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+            F.sum(F.round(F.col("err") * 1000000, 0).cast("long"))
+            .cast("long")
+            .alias("sum_err_micros"),
+        )
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round("lo", 4).alias("lo"),
+            F.round("hi", 4).alias("hi"),
+            "max_abs_err",
+            "sum_err_micros",
+        )
+        .orderBy("dim")
+    )

@@ -2121,3 +2121,172 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+TOKEN_BUDGET_ORACLE = """
+WITH tc AS (
+  SELECT doc_id, source, n_chars,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (
+  SELECT source, SUM(n_tok) AS total_tok FROM tc GROUP BY source
+),
+run AS (
+  SELECT tc.source, tc.n_tok, t.total_tok,
+         SUM(tc.n_tok) OVER (
+           PARTITION BY tc.source
+           ORDER BY tc.n_chars DESC, tc.doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS running
+  FROM tc JOIN tot t USING (source)
+)
+SELECT source,
+       CAST(FLOOR(total_tok * 0.5) AS BIGINT) AS budget_tok,
+       CAST(SUM(CASE WHEN running <= FLOOR(total_tok * 0.5) THEN 1 ELSE 0 END) AS BIGINT)
+         AS picked_docs,
+       CAST(SUM(CASE WHEN running <= FLOOR(total_tok * 0.5) THEN n_tok ELSE 0 END) AS BIGINT)
+         AS picked_tokens,
+       ROUND(CAST(SUM(CASE WHEN running <= FLOOR(total_tok * 0.5) THEN n_tok ELSE 0 END) AS DOUBLE)
+             / total_tok, 4) AS picked_share
+FROM run
+GROUP BY source, total_tok
+ORDER BY source
+"""
+
+
+@query("pipeline_token_budget_pick", oracle=TOKEN_BUDGET_ORACLE)
+def pipeline_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: within every source, admit
+    documents in quality order (longest first, doc_id tiebreak) until
+    the running token total reaches 50% of the source's tokens — the
+    'fill the training budget with the best data first' pass every
+    mix builder runs after filtering. Deterministic: the order key is
+    total, so a re-run (or a smaller budget) picks a strict subset.
+
+    Scale: one token-count scan, a per-source total (map-side
+    combined), and ONE window partitioned by source — no global sort,
+    no skew pileup beyond the largest single source, and the window
+    state is a single running long. At 100 TB with few sources,
+    salt the order key into range-partitioned sub-budgets per source
+    if a single source exceeds one executor's sort spill comfort.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = docs.select(
+        "doc_id", "source", "n_chars", token_count("text").alias("n_tok")
+    )
+    tot = tc.groupBy("source").agg(F.sum("n_tok").alias("total_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = tc.join(F.broadcast(tot), "source").withColumn(
+        "running", F.sum("n_tok").over(w)
+    )
+    budget = F.floor(F.col("total_tok") * 0.5)
+    kept = F.when(F.col("running") <= budget, 1).otherwise(0)
+    return (
+        run.groupBy("source", "total_tok")
+        .agg(
+            F.sum(kept).cast("long").alias("picked_docs"),
+            F.sum(F.col("n_tok") * kept).cast("long").alias("picked_tokens"),
+        )
+        .select(
+            "source",
+            F.floor(F.col("total_tok") * 0.5).cast("long").alias("budget_tok"),
+            "picked_docs",
+            "picked_tokens",
+            F.round(
+                F.col("picked_tokens").cast("double") / F.col("total_tok"), 4
+            ).alias("picked_share"),
+        )
+        .orderBy("source")
+    )
+
+
+DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+raw AS (SELECT tok, COUNT(*) AS cr FROM tok GROUP BY tok),
+tgt AS (SELECT tok, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY tok),
+consts AS (
+  SELECT CAST(SUM(cr) AS DOUBLE) AS tr,
+         CAST(COUNT(*) AS DOUBLE) AS v,
+         (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) FROM tgt) AS tt
+  FROM raw
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         LOG10((COALESCE(g.ct, 0) + 1) / (c.tt + c.v))
+           - LOG10((r.cr + 1) / (c.tr + c.v)) AS lr
+  FROM tok t
+  JOIN raw r USING (tok)
+  LEFT JOIN tgt g USING (tok)
+  CROSS JOIN consts c
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(lr), 3) AS dsir_logweight
+FROM scored
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
+@query("pipeline_dsir_weights", oracle=DSIR_ORACLE)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public): score every
+    document by its mean token log-importance ratio between a TARGET
+    unigram model (lang='en' slice) and the RAW corpus model, both
+    Laplace-smoothed over the shared vocabulary — high scores mark
+    documents distributionally close to the target domain, the signal
+    importance resampling keeps. Same two-model shape as
+    text_unigram_logprob, with the ratio replacing the single model.
+
+    Scale: two map-side-combined token counts (the target model is a
+    filtered subtree of the same scan), one broadcast of the
+    vocab-sized model back onto the token stream, one per-doc agg —
+    the corpus is tokenized once and no Python touches the path.
+
+    Determinism: log10 is correctly rounded on both engines; the
+    per-token difference of two log10s is bit-identical cross-engine
+    and the per-doc mean rounds to 3 decimals (the proven
+    text_unigram_logprob recipe).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    raw = tok.groupBy("tok").agg(F.count("*").alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == "en").groupBy("tok").agg(F.count("*").alias("ct"))
+    )
+    model = raw.join(tgt, "tok", "left").select(
+        "tok", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    consts = model.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.count("*").cast("double").alias("v"),
+        F.sum("ct").cast("double").alias("tt"),
+    )
+    scored = tok.join(F.broadcast(model), "tok").join(F.broadcast(consts)).select(
+        "doc_id",
+        "lang",
+        (
+            F.log10((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+            - F.log10((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
+        ).alias("lr"),
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lr"), 3).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )
