@@ -1925,3 +1925,83 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("wk_rev", 2).cast("double").alias("week_revenue"),
         F.round(F.sum("wk_rev").over(w), 2).cast("double").alias("cumulative_revenue"),
     ).orderBy("cohort_week", "week_offset")
+
+
+AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(UNNEST(range(1, 8)) AS INT) AS lag),
+p AS (
+  SELECT l.lag, a.y AS x, b.y AS y2
+  FROM lags l
+  CROSS JOIN daily a
+  JOIN daily b ON b.d = a.d + l.lag
+),
+agg AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT)   AS sx,
+         CAST(SUM(y2) AS BIGINT)  AS sy,
+         CAST(SUM(x * y2) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT)  AS sxx,
+         CAST(SUM(y2 * y2) AS BIGINT) AS syy
+  FROM p GROUP BY lag
+)
+SELECT lag, n AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+FROM agg
+ORDER BY lag
+"""
+
+
+@query("events_autocorrelation", oracle=AUTOCORR_ORACLE)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1..7 — the seasonality detector that decides whether
+    events_holt_winters_seasonal's weekly period is real: a lag-7
+    spike means weekly structure, a flat ACF means the forecast
+    should drop the seasonal term.
+
+    EXACT cross-engine: daily counts are integers, so every Pearson
+    ingredient (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT and the
+    single floating division matches bit-for-bit.
+
+    Scale: the corpus collapses to one row per day FIRST (map-side
+    combined), so the lag self-join runs on #days rows — kilobytes at
+    any corpus size; 7 lags explode the small side only.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    a = daily.select(
+        F.col("d").alias("ad"),
+        F.col("y").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    p = a.join(
+        daily.select(F.col("d").alias("bd"), F.col("y").alias("y2")),
+        F.expr("bd = date_add(ad, lag)"),
+    )
+    agg = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x") * F.col("y2")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            num.cast("double") / F.sqrt(den1.cast("double") * den2.cast("double")), 6
+        ).alias("acf"),
+    ).orderBy("lag")

@@ -1373,3 +1373,114 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_groups", "n_tokens", "straddling_groups")
         .orderBy("split")
     )
+
+
+WELCH_TTEST_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_a
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+g AS (
+  SELECT is_a,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         SUM(CAST(cents * cents AS DECIMAL(38,0))) AS q
+  FROM v GROUP BY is_a
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN is_a = 1 THEN n END)  AS n1,
+    MAX(CASE WHEN is_a = 0 THEN n END)  AS n2,
+    MAX(CASE WHEN is_a = 1 THEN CAST(n AS DOUBLE) END) AS n1d,
+    MAX(CASE WHEN is_a = 0 THEN CAST(n AS DOUBLE) END) AS n2d,
+    MAX(CASE WHEN is_a = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+    MAX(CASE WHEN is_a = 0 THEN CAST(s AS DOUBLE) END) AS s2,
+    MAX(CASE WHEN is_a = 1 THEN CAST(q AS DOUBLE) END) AS q1,
+    MAX(CASE WHEN is_a = 0 THEN CAST(q AS DOUBLE) END) AS q2
+  FROM g
+),
+t AS (
+  SELECT n1, n2, n1d, n2d, s1, s2,
+         (q1 - s1 * s1 / n1d) / (n1d - 1) / n1d AS se1,
+         (q2 - s2 * s2 / n2d) / (n2d - 1) / n2d AS se2
+  FROM w
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       ROUND(s1 / n1d / 100.0, 4) AS mean_a,
+       ROUND(s2 / n2d / 100.0, 4) AS mean_b,
+       ROUND((s1 / n1d - s2 / n2d) / SQRT(se1 + se2), 4) AS t_stat,
+       ROUND((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1)), 2) AS welch_df
+FROM t
+"""
+
+
+@query("stats_welch_ttest", oracle=WELCH_TTEST_ORACLE)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (returned vs normal
+    line items on extended price) — the parametric companion to
+    stats_mann_whitney: same hypothesis, different assumptions, with
+    the Welch–Satterthwaite degrees of freedom reported so a consumer
+    can feed any t-distribution CDF.
+
+    EXACT cross-engine: sums accumulate on the integer cents grid
+    (Σx as BIGINT; Σx² in DECIMAL(38,0) — it overflows BIGINT past
+    ~sf0.05); the floating steps start from those exact integers and
+    follow the identical IEEE expression order on both engines, so
+    the statistic matches bit-for-bit before the display rounding.
+
+    Scale: one map-side-combined 2-group aggregate over the scan —
+    no shuffle beyond two partial rows per task, no window, no join.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_a"),
+    )
+    g = v.groupBy("is_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("q"),
+    )
+    pick = lambda flag, col: F.max(F.when(F.col("is_a") == flag, F.col(col)))  # noqa: E731
+    w = g.agg(
+        pick(1, "n").alias("n1"),
+        pick(0, "n").alias("n2"),
+        pick(1, "n").cast("double").alias("n1d"),
+        pick(0, "n").cast("double").alias("n2d"),
+        pick(1, "s").cast("double").alias("s1"),
+        pick(0, "s").cast("double").alias("s2"),
+        pick(1, "q").cast("double").alias("q1"),
+        pick(0, "q").cast("double").alias("q2"),
+    )
+    se1 = (
+        (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1d"))
+        / (F.col("n1d") - 1)
+        / F.col("n1d")
+    )
+    se2 = (
+        (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2d"))
+        / (F.col("n2d") - 1)
+        / F.col("n2d")
+    )
+    t = w.select("n1", "n2", "n1d", "n2d", "s1", "s2", se1.alias("se1"), se2.alias("se2"))
+    return t.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.round(F.col("s1") / F.col("n1d") / 100.0, 4).alias("mean_a"),
+        F.round(F.col("s2") / F.col("n2d") / 100.0, 4).alias("mean_b"),
+        F.round(
+            (F.col("s1") / F.col("n1d") - F.col("s2") / F.col("n2d"))
+            / F.sqrt(F.col("se1") + F.col("se2")),
+            4,
+        ).alias("t_stat"),
+        F.round(
+            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1d") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2d") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )

@@ -2290,3 +2290,70 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CURRICULUM_ORACLE = """
+WITH t AS (
+  SELECT source, doc_id, n_chars,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS phase
+  FROM documents
+)
+SELECT source, CAST(phase AS INT) AS phase,
+       CAST(COUNT(*) AS BIGINT)   AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_tok) AS BIGINT)   AS total_tokens
+FROM t
+GROUP BY source, phase
+ORDER BY source, phase
+"""
+
+
+@query("pipeline_curriculum_order", oracle=CURRICULUM_ORACLE)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phasing: within each source, rank documents by a
+    difficulty proxy (length, doc_id tiebreak) and cut the ranking
+    into 4 equal-count phases with NTILE — the short-to-long schedule
+    curriculum-learning data loaders consume, with per-phase token
+    totals so the trainer can budget steps per phase.
+
+    Determinism: the NTILE order key (n_chars, doc_id) is unique per
+    document and ANSI NTILE distributes remainders to the earliest
+    buckets on both engines — identical phase membership anywhere.
+
+    Scale: ONE window partitioned by source (no global sort) feeding
+    a grouped agg that reuses the same (source) exchange; output is
+    sources x 4 rows. A single giant source shards the same way the
+    token-budget picker does — range-split the order key first.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    t = docs.select(
+        "source",
+        "n_chars",
+        token_count("text").alias("n_tok"),
+        F.ntile(4).over(w).alias("phase"),
+    )
+    return (
+        t.groupBy("source", "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            F.col("phase").cast("int").alias("phase"),
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            "total_tokens",
+        )
+        .orderBy("source", "phase")
+    )
