@@ -67,6 +67,9 @@ HEADLINE = [
     "events_cusum_changepoint",
     "similarity_standardize_apply",
     "pipeline_dataset_card",
+    # Round-6 additions (appended — prior keys stay stable).
+    "pipeline_dsir_weights",
+    "dedup_canonical_pick",
 ]
 
 

@@ -2214,21 +2214,24 @@ WITH tok AS (
   SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents
 ),
-raw AS (SELECT tok, COUNT(*) AS cr FROM tok GROUP BY tok),
-tgt AS (SELECT tok, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY tok),
+model AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tok GROUP BY tok
+),
 consts AS (
   SELECT CAST(SUM(cr) AS DOUBLE) AS tr,
          CAST(COUNT(*) AS DOUBLE) AS v,
-         (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) FROM tgt) AS tt
-  FROM raw
+         CAST(SUM(ct) AS DOUBLE)  AS tt
+  FROM model
 ),
 scored AS (
   SELECT t.doc_id, t.lang,
-         LOG10((COALESCE(g.ct, 0) + 1) / (c.tt + c.v))
-           - LOG10((r.cr + 1) / (c.tr + c.v)) AS lr
+         LOG10((m.ct + 1) / (c.tt + c.v))
+           - LOG10((m.cr + 1) / (c.tr + c.v)) AS lr
   FROM tok t
-  JOIN raw r USING (tok)
-  LEFT JOIN tgt g USING (tok)
+  JOIN model m USING (tok)
   CROSS JOIN consts c
 )
 SELECT doc_id, lang,
@@ -2250,10 +2253,11 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance resampling keeps. Same two-model shape as
     text_unigram_logprob, with the ratio replacing the single model.
 
-    Scale: two map-side-combined token counts (the target model is a
-    filtered subtree of the same scan), one broadcast of the
+    Scale: ONE map-side-combined token count builds both models (the
+    target count is a conditional sum in the same agg — no second
+    corpus scan, no raw-vs-target join), one broadcast of the
     vocab-sized model back onto the token stream, one per-doc agg —
-    the corpus is tokenized once and no Python touches the path.
+    and no Python touches the path.
 
     Determinism: log10 is correctly rounded on both engines; the
     per-token difference of two log10s is bit-identical cross-engine
@@ -2262,12 +2266,9 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
-    raw = tok.groupBy("tok").agg(F.count("*").alias("cr"))
-    tgt = (
-        tok.filter(F.col("lang") == "en").groupBy("tok").agg(F.count("*").alias("ct"))
-    )
-    model = raw.join(tgt, "tok", "left").select(
-        "tok", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    model = tok.groupBy("tok").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
     )
     consts = model.agg(
         F.sum("cr").cast("double").alias("tr"),

@@ -1466,3 +1466,66 @@ def test_wav_metadata_only_decode_skips_pcm(spark):
     # Real per-window RMS still works (PCM path intact for the sampler).
     wins = sample_audio_windows(assets, window_ms=500, max_windows=4).collect()
     assert len(wins) == 4 and all(w["rms"] > 0.0 for w in wins)
+
+
+def test_leakage_safe_split_co_assigns_duplicate_content(spark, tmp_path):
+    """Exact-duplicate texts (one content group) must land in ONE
+    split, whatever their doc_ids — the leakage guarantee itself."""
+    import os
+
+    from taps_spark.queries.profiling import sample_leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact text", "en", "web", 19) for i in range(40)]
+        + [(100 + i, f"unique text number {i}", "en", "web", 20) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r["split"]: r for r in sample_leakage_safe_split(spark, d).collect()}
+    assert all(r["straddling_groups"] == 0 for r in out.values())
+    # The 40 dup docs form ONE group and sit entirely in one split.
+    n_groups = sum(r["n_groups"] for r in out.values())
+    n_docs = sum(r["n_docs"] for r in out.values())
+    assert n_docs == 100 and n_groups == 61
+
+
+def test_canonical_pick_prefers_longest_then_lowest_id(spark, tmp_path):
+    """Within an LSH bucket the canonical doc is the longest text;
+    doc_id breaks ties deterministically (MAX_BY on a unique struct)."""
+    import os
+
+    from taps_spark.queries.dedup import dedup_canonical_pick
+
+    # Three docs with identical token sets (same minhash signature =>
+    # same buckets in every band) but different lengths / ids.
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base + " " + base, "en", "web", len(base) * 2 + 1),  # longest
+        (3, base, "en", "web", len(base)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs2")
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = dedup_canonical_pick(spark, d).collect()
+    assert len(out) == 4  # 4 bands, all three docs collide in each
+    for r in out:
+        assert r["n_docs"] == 3 and r["canonical_id"] == 2 and r["n_removed"] == 2
+
+
+def test_token_budget_pick_nested_subset_and_budget_bound(spark, sf_dir):
+    """Picked tokens never exceed the 50% budget, and every source
+    picks at least the single longest doc unless it alone busts the
+    budget."""
+    from taps_spark.queries.text import pipeline_token_budget_pick
+
+    rows = pipeline_token_budget_pick(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["picked_tokens"] <= r["budget_tok"]
+        assert 0.0 <= r["picked_share"] <= 0.5
