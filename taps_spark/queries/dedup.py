@@ -1567,3 +1567,131 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "band_sig")
     )
+
+
+MINHASH_ESTIMATE_ORACLE = """
+WITH docs_s AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id < 150
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM docs_s
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+sv AS (
+  SELECT doc_id, LIST(mh ORDER BY seed) AS sg FROM sig GROUP BY doc_id
+),
+ts AS (
+  SELECT doc_id, LIST(DISTINCT tok) AS t FROM tok GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.lang,
+         LEN(LIST_FILTER(range(1, 9), i -> sa.sg[CAST(i AS INT)] = sb.sg[CAST(i AS INT)]))
+           AS matches,
+         LEN(LIST_INTERSECT(ta.t, tb.t)) AS i,
+         LEN(ta.t) + LEN(tb.t) - LEN(LIST_INTERSECT(ta.t, tb.t)) AS u
+  FROM docs_s a
+  JOIN docs_s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  JOIN sv sa ON sa.doc_id = a.doc_id
+  JOIN sv sb ON sb.doc_id = b.doc_id
+  JOIN ts ta ON ta.doc_id = a.doc_id
+  JOIN ts tb ON tb.doc_id = b.doc_id
+),
+err AS (
+  SELECT lang,
+         CAST(matches AS DOUBLE) / 8 - CAST(i AS DOUBLE) / u AS e
+  FROM pairs
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(ABS(e) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_abs_err_micros,
+       CAST(SUM(CASE WHEN e >= 0
+                     THEN CAST(FLOOR(e * 1000000 + 0.5) AS BIGINT)
+                     ELSE -CAST(FLOOR(-e * 1000000 + 0.5) AS BIGINT) END) AS BIGINT)
+         AS bias_micros
+FROM err
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("dedup_minhash_estimate_quality", oracle=MINHASH_ESTIMATE_ORACLE)
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash(8) family every LSH query
+    rides on: over a sampled doc block (doc_id < 150, paired within
+    language), compare the signature-agreement ESTIMATE of Jaccard
+    (matching rows / 8) against the EXACT token-set Jaccard, and roll
+    up per-language absolute error and signed bias. This is the dial
+    a 100 TB operator reads before trusting a banding threshold — if
+    8 hashes estimate J with 0.12 MAE, a 0.5 band cut is really
+    0.38–0.62.
+
+    Exactness: the estimate is an exact eighth, the error terms are
+    folded to integer micros with FLOOR(x + 0.5) on BOTH engines
+    (identical IEEE steps, no engine ROUND-half divergence), so the
+    sums are order-free integers.
+
+    Scale: pairs come from an equi-join on (lang) over an explicitly
+    sampled block — the sample cap is the knob, never the corpus; at
+    production scale the same audit runs over a hash-sampled pair
+    stream (see sample_hash_10pct) with identical arithmetic.
+    """
+    from taps_spark.operators.dedup import jaccard
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 150
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    sv = sigs.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+        ).alias("sg")
+    )
+    from taps_spark.operators.text import tokens
+
+    ts = docs.select(
+        "doc_id", "lang", F.array_distinct(tokens("text")).alias("t")
+    )
+    a = ts.select(
+        F.col("doc_id").alias("ida"), F.col("lang"), F.col("t").alias("ta")
+    ).join(sv.select(F.col("doc_id").alias("ida"), F.col("sg").alias("sa")), "ida")
+    b = ts.select(
+        F.col("doc_id").alias("idb"), F.col("lang"), F.col("t").alias("tb")
+    ).join(sv.select(F.col("doc_id").alias("idb"), F.col("sg").alias("sb")), "idb")
+    pairs = a.join(b, ["lang"]).filter(F.col("ida") < F.col("idb"))
+    e = pairs.select(
+        "lang",
+        (
+            F.aggregate(
+                F.zip_with(
+                    "sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / 8
+            - jaccard(F.col("ta"), F.col("tb"))
+        ).alias("e"),
+    )
+    micros = lambda c: F.floor(c * 1000000 + 0.5).cast("long")  # noqa: E731
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(micros(F.abs(F.col("e")))).cast("long").alias("sum_abs_err_micros"),
+            F.sum(
+                F.when(F.col("e") >= 0, micros(F.col("e"))).otherwise(
+                    -micros(-F.col("e"))
+                )
+            )
+            .cast("long")
+            .alias("bias_micros"),
+        )
+        .orderBy("lang")
+    )
