@@ -44,8 +44,21 @@ def safe_url(url: str) -> str:
     import re
 
     # Greedy password group anchored on the LAST '@' before the host,
-    # so a password containing '@' is masked in full.
-    masked = re.sub(r"//([^/@]*?):([^/]*)@", r"//\1:[hidden]@", url)
+    # so a password containing '@' is masked in full. Anchored to the
+    # FIRST '//' (the authority separator): an unanchored sub can
+    # match a '//' INSIDE a spec-invalid password (user:PW0//:@host)
+    # and mask the wrong span while the credential prints verbatim —
+    # and the masked!=url outcome then skips the fallback entirely.
+    masked = url
+    auth = url.find("//")
+    if auth != -1:
+        m = re.match(r"([^/@]*?):([^/]*)@", url[auth + 2 :])
+        if m:
+            masked = (
+                url[: auth + 2 + m.end(1)]
+                + ":[hidden]"
+                + url[auth + 2 + m.end(0) - 1 :]
+            )
     if masked == url:
         # Fallback for spec-invalid but real-world URLs the strict
         # pattern can't see: a password containing '/', or a raw '@'
