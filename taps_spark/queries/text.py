@@ -2358,3 +2358,284 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "phase")
     )
+
+
+BIGRAM_LM_ORACLE = """
+WITH tokp AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.lang, a.tok AS w1, b.tok AS w2
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+model AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tokp),
+scored AS (
+  SELECT g.doc_id, g.lang,
+         -LOG10((m.c12 + 1) / (c.c1 + vb.v)) / LOG10(2) AS bits
+  FROM big g
+  JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
+  JOIN ctx c ON c.w1 = g.w1
+  CROSS JOIN vocab vb
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(bits), 3) AS bits_per_token
+FROM scored
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
+@query("text_bigram_lm_bits", oracle=BIGRAM_LM_ORACLE)
+def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (add-one smoothing, bits
+    per token) — one modeling step up from text_unigram_logprob: a
+    document of common words in IMPLAUSIBLE order (shuffled text, SEO
+    keyword soup) scores near the unigram filter's mean but blows up
+    here, because every bigram is unseen. The standard second-stage
+    perplexity gate.
+
+    Scale: bigrams are a MAP-ONLY array zip (slice/zip per doc — no
+    positional self-join on the corpus; the oracle uses the join form,
+    same values); the (w1,w2) model and the w1 context counts are two
+    map-side-combined aggs over bigram-vocabulary keys, broadcast back
+    onto the stream. Python never touches the path.
+
+    Determinism: per-bigram bits derive from exact integer counts via
+    log10 (correctly rounded both engines) divided by the LOG10(2)
+    constant — identical IEEE steps; the per-doc mean rounds to 3
+    (the text_unigram_logprob recipe).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select("doc_id", "lang", tokens("text").alias("t"))
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    model = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    scored = (
+        big.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                -F.log10((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+                / F.log10(F.lit(2.0))
+            ).alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("bits"), 3).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_RESAMPLE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+model AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tok GROUP BY tok
+),
+consts AS (
+  SELECT CAST(SUM(cr) AS DOUBLE) AS tr,
+         CAST(COUNT(*) AS DOUBLE) AS v,
+         CAST(SUM(ct) AS DOUBLE)  AS tt
+  FROM model
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         LOG10((m.ct + 1) / (c.tt + c.v))
+           - LOG10((m.cr + 1) / (c.tr + c.v)) AS lr
+  FROM tok t JOIN model m USING (tok) CROSS JOIN consts c
+),
+docs_w AS (
+  SELECT doc_id, lang, ROUND(AVG(lr), 3) AS s
+  FROM scored GROUP BY doc_id, lang
+),
+kept AS (
+  SELECT lang,
+         CASE WHEN ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000
+                   < LEAST(10000, CAST(FLOOR(10000 * POWER(10, s)) AS BIGINT))
+              THEN 1 ELSE 0 END AS keep
+  FROM docs_w
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)  AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 4) AS share_kept
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("pipeline_importance_resample", oracle=DSIR_RESAMPLE_ORACLE)
+def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the DSIR selection pipeline_dsir_weights plans: turn
+    each document's importance log-weight into a keep rate
+    (10^s basis points, capped at 1.0) and keep the document when its
+    content-hash bucket falls under the rate — deterministic
+    importance RESAMPLING without RNG, with the same nested-sample
+    guarantee as pipeline_mix_apply (a lower weight keeps a subset of
+    a higher weight's buckets). Reports achieved per-language keep
+    rates — target-domain languages survive, off-domain thins out.
+
+    Scale: identical plan shape to the weights query (one tokenized
+    model agg, broadcast back, per-doc agg) plus two scalar
+    expressions and a language-grain rollup — the corpus is read
+    once per subtree; no extra shuffle beyond the weights plan.
+
+    Determinism: the keep decision quantizes ROUND(avg, 3) through
+    POWER(10, s) and FLOOR — identical IEEE steps cross-engine; the
+    hash bucket is the md5 idiom every sampler here uses.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    model = tok.groupBy("tok").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
+    )
+    consts = model.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.count("*").cast("double").alias("v"),
+        F.sum("ct").cast("double").alias("tt"),
+    )
+    scored = tok.join(F.broadcast(model), "tok").join(F.broadcast(consts)).select(
+        "doc_id",
+        "lang",
+        (
+            F.log10((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+            - F.log10((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
+        ).alias("lr"),
+    )
+    docs_w = scored.groupBy("doc_id", "lang").agg(F.round(F.avg("lr"), 3).alias("s"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+            "long"
+        )
+        % 10000
+    )
+    rate = F.least(
+        F.lit(10000).cast("long"),
+        F.floor(10000 * F.pow(F.lit(10.0), F.col("s"))).cast("long"),
+    )
+    kept = docs_w.select(
+        "lang", F.when(bucket < rate, 1).otherwise(0).alias("keep")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.round(
+                F.sum("keep").cast("double") / F.count("*"), 4
+            ).alias("share_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+VOCAB_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab FROM counts),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+         SUM(c) OVER (ORDER BY c DESC, tok
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+),
+ks AS (SELECT CAST(UNNEST([100, 1000, 10000]) AS BIGINT) AS k)
+SELECT k.k AS vocab_size,
+       t.vocab AS full_vocab,
+       CAST(MAX(CASE WHEN r.rnk <= k.k THEN r.cum ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       ROUND(CAST(MAX(CASE WHEN r.rnk <= k.k THEN r.cum ELSE 0 END) AS DOUBLE)
+             / t.total, 4) AS coverage
+FROM ranked r CROSS JOIN ks k CROSS JOIN tot t
+GROUP BY k.k, t.vocab, t.total
+ORDER BY vocab_size
+"""
+
+
+@query("text_vocab_coverage_curve", oracle=VOCAB_COVERAGE_ORACLE)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES does a top-k frequency vocabulary cover, for k in
+    {100, 1k, 10k} — the sizing curve a tokenizer/vocab designer reads
+    before committing to a vocab budget (the knee is where OOV-rate
+    returns diminish).
+
+    Scale: the corpus collapses to vocabulary grain FIRST (map-side
+    combined token counts), so the ranking window runs on |vocab|
+    rows, not corpus rows — the global window is bounded by the
+    vocabulary, which is the quantity being designed (≤ a few M at
+    any corpus size). Deterministic rank: ties break on the token.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in (100, 1000, 10000)])).alias("k")
+    per_k = ranked.select("rnk", "cum", ks).select(
+        F.col("k").cast("long").alias("k"),
+        F.when(F.col("rnk") <= F.col("k"), F.col("cum")).otherwise(0).alias("cov"),
+    )
+    return (
+        per_k.groupBy("k")
+        .agg(F.max("cov").cast("long").alias("covered_tokens"))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("k").alias("vocab_size"),
+            F.col("vocab").alias("full_vocab"),
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total"), 4
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
