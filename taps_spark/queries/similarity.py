@@ -678,3 +678,94 @@ def similarity_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("dim")
     )
+
+
+MATRYOSHKA_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id,
+         embedding::DOUBLE[] AS qf,
+         (embedding[1:16])::DOUBLE[] AS qp
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS vf,
+         (embedding[1:16])::DOUBLE[] AS vp
+  FROM embeddings
+),
+sf AS (
+  SELECT q.q_id, c.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY list_dot_product(q.qf, c.vf)
+                    / SQRT(list_dot_product(q.qf, q.qf) * list_dot_product(c.vf, c.vf))
+                    DESC, c.vec_id) AS r
+  FROM q CROSS JOIN c WHERE c.vec_id <> q.q_id
+),
+sp AS (
+  SELECT q.q_id, c.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY list_dot_product(q.qp, c.vp)
+                    / SQRT(list_dot_product(q.qp, q.qp) * list_dot_product(c.vp, c.vp))
+                    DESC, c.vec_id) AS r
+  FROM q CROSS JOIN c WHERE c.vec_id <> q.q_id
+)
+SELECT f.q_id,
+       CAST(COUNT(p.vec_id) AS INT) AS n_overlap,
+       ROUND(CAST(COUNT(p.vec_id) AS DOUBLE) / 5, 2) AS recall_at_5
+FROM (SELECT * FROM sf WHERE r <= 5) f
+LEFT JOIN (SELECT * FROM sp WHERE r <= 5) p
+  ON p.q_id = f.q_id AND p.vec_id = f.vec_id
+GROUP BY f.q_id
+ORDER BY f.q_id
+"""
+
+
+@query("similarity_matryoshka_prefix_recall", oracle=MATRYOSHKA_ORACLE)
+def similarity_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much of the exact
+    64-dim cosine top-5 survives when the index stores only the FIRST
+    16 dimensions — the question every matryoshka deployment answers
+    before shipping the cheap prefix index (4x memory/compute cut).
+    Reports per-query overlap and recall@5 of prefix-ranked against
+    full-ranked neighbors.
+
+    Scale: two brute-force rankings over the same broadcast(queries)
+    x corpus scan shape as similarity_topk_bruteforce — each reduces
+    map-side via WindowGroupLimit, so the shuffle carries k rows per
+    query per partition; the prefix ranking reads the SAME scan with
+    a slice() projection (no second materialized index).
+
+    Determinism: identical dot-product fold order on both engines;
+    rank ties break on vec_id; recall is an exact fifth.
+    """
+    from taps_spark.operators.similarity import topk_bruteforce
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    full_q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pref_q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.slice("embedding", 1, 16).alias("q_vec")
+    )
+    pref_c = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    full5 = topk_bruteforce(emb, full_q, k=5).select("q_id", "neighbor_id")
+    pref5 = topk_bruteforce(pref_c, pref_q, k=5).select(
+        F.col("q_id").alias("pq"), F.col("neighbor_id").alias("pv")
+    )
+    return (
+        full5.join(
+            pref5,
+            (F.col("q_id") == F.col("pq")) & (F.col("neighbor_id") == F.col("pv")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("pv").cast("int").alias("n_overlap"))
+        .select(
+            "q_id",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / 5, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )

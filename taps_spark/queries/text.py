@@ -2639,3 +2639,98 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+ASPECT_BUCKET_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id, OCTET_LENGTH(ENCODE(text)) AS n
+  FROM documents WHERE doc_id % 3 = 0
+),
+d AS (
+  SELECT asset_id,
+         CAST(64 + n % 512 AS INT)       AS w,
+         CAST(64 + (n * 7) % 512 AS INT) AS h
+  FROM a
+),
+b AS (
+  SELECT asset_id, w, h,
+         CAST(w AS DOUBLE) / h AS ar,
+         CASE WHEN CAST(w AS DOUBLE) / h < 0.65625    THEN '9:16'
+              WHEN CAST(w AS DOUBLE) / h < 0.875      THEN '3:4'
+              WHEN CAST(w AS DOUBLE) / h < 7.0 / 6.0  THEN '1:1'
+              WHEN CAST(w AS DOUBLE) / h < 14.0 / 9.0 THEN '4:3'
+              ELSE '16:9' END AS bucket
+  FROM d
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       ROUND(AVG(ar), 4) AS avg_ar,
+       CAST(CASE bucket WHEN '9:16' THEN 768 WHEN '3:4' THEN 864
+                        WHEN '1:1' THEN 1024 WHEN '4:3' THEN 1152
+                        ELSE 1344 END AS INT) AS target_w,
+       CAST(CASE bucket WHEN '9:16' THEN 1344 WHEN '3:4' THEN 1152
+                        WHEN '1:1' THEN 1024 WHEN '4:3' THEN 864
+                        ELSE 768 END AS INT) AS target_h
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("multimodal_aspect_bucket_stats", oracle=ASPECT_BUCKET_ORACLE)
+def multimodal_aspect_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image-batch training (the SDXL
+    recipe): decode each image's true dimensions, snap its aspect
+    ratio to the nearest of five canonical buckets (threshold CASE on
+    the midpoints — identical IEEE comparisons cross-engine), and
+    report per-bucket population plus the bucket's resize target —
+    the manifest a bucketed dataloader consumes so no batch ever
+    mixes shapes.
+
+    Scale: dimension extraction is the Arrow mapInPandas decode path
+    (operators/multimodal.extract_features — the oracle mirrors the
+    deterministic stub math, gating the plumbing); everything after
+    is a 5-group map-side-combined aggregate. No shuffle carries
+    pixels.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs).filter(F.col("modality") == "image")
+    feats = extract_features(assets).select("asset_id", "width", "height")
+    ar = F.col("width").cast("double") / F.col("height")
+    bucket = (
+        F.when(ar < 0.65625, "9:16")
+        .when(ar < 0.875, "3:4")
+        .when(ar < 7.0 / 6.0, "1:1")
+        .when(ar < 14.0 / 9.0, "4:3")
+        .otherwise("16:9")
+    )
+    b = feats.select(ar.alias("ar"), bucket.alias("bucket"))
+    tw = (
+        F.when(F.col("bucket") == "9:16", 768)
+        .when(F.col("bucket") == "3:4", 864)
+        .when(F.col("bucket") == "1:1", 1024)
+        .when(F.col("bucket") == "4:3", 1152)
+        .otherwise(1344)
+    )
+    th = (
+        F.when(F.col("bucket") == "9:16", 1344)
+        .when(F.col("bucket") == "3:4", 1152)
+        .when(F.col("bucket") == "1:1", 1024)
+        .when(F.col("bucket") == "4:3", 864)
+        .otherwise(768)
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("ar"), 4).alias("avg_ar"),
+        )
+        .select(
+            "bucket",
+            "n_images",
+            "avg_ar",
+            tw.cast("int").alias("target_w"),
+            th.cast("int").alias("target_h"),
+        )
+        .orderBy("bucket")
+    )
