@@ -43,74 +43,76 @@ def safe_url(url: str) -> str:
     (?password=... / ;password=...)."""
     import re
 
-    # Greedy password group anchored on the LAST '@' before the host,
-    # so a password containing '@' is masked in full. Anchored to the
-    # FIRST '//' (the authority separator): an unanchored sub can
-    # match a '//' INSIDE a spec-invalid password (user:PW0//:@host)
-    # and mask the wrong span while the credential prints verbatim —
-    # and the masked!=url outcome then skips the fallback entirely.
+    def _port_like(tail: str, colon: int, at: int) -> bool:
+        # ':' followed by digits up to the first '/', '?' or '#'
+        # occurring before the '@' means host:port — the '@' lives in
+        # the path/query/fragment, not in userinfo, and masking would
+        # mangle a credential-free URL in logs.
+        delims = [i for i in (tail.find(c) for c in "/?#") if i != -1]
+        d = min(delims) if delims else -1
+        return d != -1 and d < at and colon + 1 < d and tail[colon + 1 : d].isdigit()
+
+    # Primary: userinfo matched ONLY at the first '//' (the authority
+    # separator). An unanchored sub can match a '//' INSIDE a
+    # spec-invalid password (user:PW0//:@host), mask the wrong span,
+    # and leave the credential printing verbatim. The password group
+    # stops at '/', '?' and '#' so host:port followed by a query/
+    # fragment '@' (host:8080?a@b) never looks like userinfo; greedy
+    # to the LAST '@' so passwords containing '@' mask in full.
     masked = url
     auth = url.find("//")
     if auth != -1:
-        m = re.match(r"([^/@]*?):([^/]*)@", url[auth + 2 :])
+        # '?' and '#' are excluded from BOTH groups: group2 so that
+        # host:port?query@x never parses as userinfo, and group1 so a
+        # password like PW00#: can't shift the match onto a colon
+        # INSIDE the password (group1 eats 'user:PW00#', group2 goes
+        # empty, and the real credential prints) — hypothesis-found.
+        m = re.match(r"([^/@?#]*?):([^/?#]*)@", url[auth + 2 :])
         if m:
             masked = (
                 url[: auth + 2 + m.end(1)]
                 + ":[hidden]"
                 + url[auth + 2 + m.end(0) - 1 :]
             )
-    if masked == url:
+    if masked == url and auth != -1:
         # Fallback for spec-invalid but real-world URLs the strict
-        # pattern can't see: a password containing '/', or a raw '@'
-        # in the username. Treat everything between '//' and the LAST
-        # '@' before the query/fragment as userinfo; if it contains a
-        # ':', mask from the first ':' through that '@' — over-masking
-        # a rare '@'-in-path URL beats leaking a password.
-        start = masked.find("//")
-        if start != -1:
-            tail = masked[start + 2:]
-            stop = len(tail)
-            for delim in "?#":
-                idx = tail.find(delim)
-                if idx != -1:
-                    stop = min(stop, idx)
-            at = tail.rfind("@", 0, stop)
-            if at == -1:
-                # '?'/'#' can occur INSIDE a spec-invalid password
-                # (user:pa/s?s@host) — the cut above then hides the
-                # '@' and the credential would print verbatim. Retry
-                # over the WHOLE tail, unless the ':' introduces a
-                # numeric port whose first '/' precedes the '@' (then
-                # the '@' lives in the path/query/fragment, not in
-                # userinfo, and masking would mangle a clean URL).
-                at2 = tail.rfind("@")
-                colon = tail.find(":")
-                slash = tail.find("/")
-                port_like = (
-                    colon != -1
-                    and slash != -1
-                    and slash < at2
-                    and tail[colon + 1 : slash].isdigit()
-                )
-                if at2 != -1 and colon != -1 and colon < at2 and not port_like:
-                    at = at2
-            if at != -1 and ":" in tail[:at]:
-                colon = tail.index(":")
-                # Same port guard as the at2 retry above: ':' followed
-                # by digits then '/' before the '@' is host:port/path@x
-                # (the '@' lives in the path), not userinfo — masking
-                # would mangle a credential-free URL in logs.
-                slash = tail.find("/")
-                port_like = (
-                    slash != -1
-                    and slash < at
-                    and tail[colon + 1 : slash].isdigit()
-                    and colon + 1 < slash
-                )
-                if not port_like:
-                    masked = (
-                        masked[: start + 2] + tail[:colon] + ":[hidden]" + tail[at:]
-                    )
+        # pattern can't see: a password containing '/', '?' or '#',
+        # or a raw '@' in the username. Treat everything between '//'
+        # and the LAST '@' before the query/fragment as userinfo; if
+        # it contains a ':', mask from the first ':' through that '@'
+        # — over-masking a rare '@'-in-path URL beats leaking.
+        tail = url[auth + 2 :]
+        stop = len(tail)
+        for delim in "?#":
+            idx = tail.find(delim)
+            if idx != -1:
+                stop = min(stop, idx)
+        at = tail.rfind("@", 0, stop)
+        if at == -1:
+            # '?'/'#' can occur INSIDE a spec-invalid password
+            # (user:pa/s?s@host) — the cut above then hides the '@'
+            # and the credential would print verbatim. Retry over the
+            # WHOLE tail, unless the ':' introduces a numeric port
+            # (then the '@' is past the authority).
+            at2 = tail.rfind("@")
+            colon = tail.find(":")
+            if (
+                at2 != -1
+                and colon != -1
+                and colon < at2
+                and not _port_like(tail, colon, at2)
+            ):
+                at = at2
+        if at != -1 and ":" in tail[:at]:
+            colon = tail.index(":")
+            if not _port_like(tail, colon, at):
+                masked = url[: auth + 2] + tail[:colon] + ":[hidden]" + tail[at:]
+    # Embedded credentials PAST the first authority (a URL carried in
+    # a query parameter: ?next=http://x:y@evil). The global sub is
+    # safe HERE because the first credential is already masked above,
+    # so the wrong-span '//'-inside-password trap has nothing left to
+    # leak; on already-masked spans it is idempotent.
+    masked = re.sub(r"//([^/@?#]*?):([^/?#]*)@", r"//\1:[hidden]@", masked)
     return re.sub(r"(?i)(password=)[^;&]*", r"\1[hidden]", masked)
 
 

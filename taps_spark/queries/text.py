@@ -2209,7 +2209,12 @@ def pipeline_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_ORACLE = """
+#: Shared DSIR scoring CTEs — ONE definition of the token models and
+#: the per-token log-importance ratio, consumed by both DSIR oracles
+#: so the planner (pipeline_dsir_weights) and the executor
+#: (pipeline_importance_resample) can never silently diverge. The
+#: DataFrame twin is _dsir_token_scores below.
+_DSIR_SCORE_CTES = """
 WITH tok AS (
   SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents
@@ -2233,7 +2238,9 @@ scored AS (
   FROM tok t
   JOIN model m USING (tok)
   CROSS JOIN consts c
-)
+)"""
+
+DSIR_ORACLE = _DSIR_SCORE_CTES + """
 SELECT doc_id, lang,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lr), 3) AS dsir_logweight
@@ -2241,6 +2248,33 @@ FROM scored
 GROUP BY doc_id, lang
 ORDER BY doc_id
 """
+
+
+def _dsir_token_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token DSIR log-importance ratios (doc_id, lang, lr) — ONE
+    definition of the token models and the smoothed ratio, shared by
+    the planner (pipeline_dsir_weights) and the executor
+    (pipeline_importance_resample) so their semantics cannot diverge.
+    The SQL twin is _DSIR_SCORE_CTES."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    model = tok.groupBy("tok").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
+    )
+    consts = model.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.count("*").cast("double").alias("v"),
+        F.sum("ct").cast("double").alias("tt"),
+    )
+    return tok.join(F.broadcast(model), "tok").join(F.broadcast(consts)).select(
+        "doc_id",
+        "lang",
+        (
+            F.log10((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+            - F.log10((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
+        ).alias("lr"),
+    )
 
 
 @query("pipeline_dsir_weights", oracle=DSIR_ORACLE)
@@ -2264,27 +2298,9 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-doc mean rounds to 3 decimals (the proven
     text_unigram_logprob recipe).
     """
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
-    model = tok.groupBy("tok").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
-    )
-    consts = model.agg(
-        F.sum("cr").cast("double").alias("tr"),
-        F.count("*").cast("double").alias("v"),
-        F.sum("ct").cast("double").alias("tt"),
-    )
-    scored = tok.join(F.broadcast(model), "tok").join(F.broadcast(consts)).select(
-        "doc_id",
-        "lang",
-        (
-            F.log10((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
-            - F.log10((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
-        ).alias("lr"),
-    )
     return (
-        scored.groupBy("doc_id", "lang")
+        _dsir_token_scores(spark, sf_dir)
+        .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg("lr"), 3).alias("dsir_logweight"),
@@ -2412,7 +2428,14 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the text_unigram_logprob recipe).
     """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = docs.select("doc_id", "lang", tokens("text").alias("t"))
+    # size(t) >= 2 guard: sequence(1, 0) DESCENDS in Spark, so an
+    # unguarded single-token doc indexes t[-1]/t[1] out of bounds
+    # (ANSI crash; silent count inflation otherwise). The oracle's
+    # positional self-join produces no bigrams for such docs, so the
+    # filter is also what keeps the two result sets identical.
+    toks = docs.select("doc_id", "lang", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
     big = toks.select(
         "doc_id",
         "lang",
@@ -2452,29 +2475,7 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_RESAMPLE_ORACLE = """
-WITH tok AS (
-  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents
-),
-model AS (
-  SELECT tok,
-         CAST(COUNT(*) AS BIGINT) AS cr,
-         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-  FROM tok GROUP BY tok
-),
-consts AS (
-  SELECT CAST(SUM(cr) AS DOUBLE) AS tr,
-         CAST(COUNT(*) AS DOUBLE) AS v,
-         CAST(SUM(ct) AS DOUBLE)  AS tt
-  FROM model
-),
-scored AS (
-  SELECT t.doc_id, t.lang,
-         LOG10((m.ct + 1) / (c.tt + c.v))
-           - LOG10((m.cr + 1) / (c.tr + c.v)) AS lr
-  FROM tok t JOIN model m USING (tok) CROSS JOIN consts c
-),
+DSIR_RESAMPLE_ORACLE = _DSIR_SCORE_CTES + """,
 docs_w AS (
   SELECT doc_id, lang, ROUND(AVG(lr), 3) AS s
   FROM scored GROUP BY doc_id, lang
@@ -2516,26 +2517,11 @@ def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     POWER(10, s) and FLOOR — identical IEEE steps cross-engine; the
     hash bucket is the md5 idiom every sampler here uses.
     """
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
-    model = tok.groupBy("tok").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
+    docs_w = (
+        _dsir_token_scores(spark, sf_dir)
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("lr"), 3).alias("s"))
     )
-    consts = model.agg(
-        F.sum("cr").cast("double").alias("tr"),
-        F.count("*").cast("double").alias("v"),
-        F.sum("ct").cast("double").alias("tt"),
-    )
-    scored = tok.join(F.broadcast(model), "tok").join(F.broadcast(consts)).select(
-        "doc_id",
-        "lang",
-        (
-            F.log10((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
-            - F.log10((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
-        ).alias("lr"),
-    )
-    docs_w = scored.groupBy("doc_id", "lang").agg(F.round(F.avg("lr"), 3).alias("s"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
             "long"

@@ -1529,3 +1529,28 @@ def test_token_budget_pick_nested_subset_and_budget_bound(spark, sf_dir):
     for r in rows:
         assert r["picked_tokens"] <= r["budget_tok"]
         assert 0.0 <= r["picked_share"] <= 0.5
+
+
+def test_bigram_lm_survives_single_token_docs(spark, tmp_path):
+    """Review-caught (r6): sequence(1, size-1) DESCENDS for a
+    single-token doc ([1,0]) and indexes out of bounds — the guard
+    must drop <2-token docs exactly like the oracle's positional
+    join does."""
+    import os
+
+    from taps_spark.queries.text import text_bigram_lm_bits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello", "en", "web", 5),          # 1 token: must not crash
+            (2, "", "en", "web", 0),                # tokenizes to ['']
+            (3, "two words here now", "en", "web", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs3")
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = text_bigram_lm_bits(spark, d).collect()
+    assert [r["doc_id"] for r in out] == [3]
+    assert out[0]["n_bigrams"] == 3
