@@ -1082,3 +1082,92 @@ def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .orderBy(F.col("support").desc(), "part_a", "part_b")
     )
+
+
+ASOF_TOLERANCE_ORACLE = """
+WITH j AS (
+  SELECT e.event_id, e.event_type, e.ts,
+         o.o_orderkey, o.o_orderdate,
+         DATEDIFF('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE)) AS stale_days
+  FROM events e
+  LEFT JOIN LATERAL (
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 1
+  ) o ON TRUE
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN stale_days <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched_within,
+       CAST(SUM(CASE WHEN stale_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stale_rejected,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_order,
+       ROUND(AVG(CASE WHEN stale_days <= 90 THEN CAST(stale_days AS DOUBLE) END), 4)
+         AS avg_stale_days_within
+FROM j
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("join_asof_tolerance", oracle=ASOF_TOLERANCE_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas merge_asof's
+    `tolerance=`, kdb aj within a window): each event takes the user's
+    most recent order only if it is at most 90 days old — a match
+    older than the tolerance is REJECTED, because joining a summer
+    event to a winter price is worse than admitting there is no
+    match. Reports the accept/reject/no-match split per event type
+    plus mean accepted staleness.
+
+    Scale: the match itself is the proven union+window asof_join
+    (one shuffle on the key, linear per-key scan); the tolerance is a
+    pure post-filter expression on the matched row — no second join,
+    no extra shuffle, and the rejection logic costs nothing at
+    100 TB.
+
+    Determinism: staleness is an integer calendar-day difference on
+    both engines; the only float is the rounded mean of those
+    integers.
+    """
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    ev = t["events"].select("event_id", "event_type", "user_id", "ts").withColumn(
+        "__key", F.col("user_id")
+    )
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("__key"), "o_orderdate", "o_orderkey"
+    )
+    j = asof_join(
+        ev,
+        orders,
+        key="__key",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value_cols=["o_orderkey", "o_orderdate"],
+    ).select(
+        "event_type",
+        "asof_o_orderkey",
+        F.datediff(F.to_date("ts"), F.col("asof_o_orderdate")).alias("stale_days"),
+    )
+    within = F.col("stale_days") <= 90
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(within, 1).otherwise(0)).cast("long").alias("n_matched_within"),
+            F.sum(F.when(F.col("stale_days") > 90, 1).otherwise(0))
+            .cast("long")
+            .alias("n_stale_rejected"),
+            F.sum(F.when(F.col("asof_o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_no_order"),
+            F.round(
+                F.avg(F.when(within, F.col("stale_days").cast("double"))), 4
+            ).alias("avg_stale_days_within"),
+        )
+        .orderBy("event_type")
+    )

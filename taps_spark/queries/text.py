@@ -2720,3 +2720,86 @@ def multimodal_aspect_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+MIX_KL_ORACLE = """
+WITH tc AS (
+  SELECT source,
+         CAST(SUM(LEN(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(toks) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE)  AS n
+  FROM tc
+),
+terms AS (
+  SELECT tc.source,
+         tc.toks / t.total AS p,
+         (tc.toks / t.total) * LOG10((tc.toks / t.total) * t.n) / LOG10(2) AS term
+  FROM tc CROSS JOIN tot t
+),
+folded AS (
+  SELECT LIST_REDUCE(LIST(term ORDER BY source), (a, b) -> a + b) AS kl_bits,
+         MAX(p) AS max_share, MIN(p) AS min_share,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM terms
+)
+SELECT n_sources,
+       (SELECT CAST(SUM(toks) AS BIGINT) FROM tc) AS total_tokens,
+       ROUND(kl_bits, 6)  AS kl_from_uniform_bits,
+       ROUND(max_share, 4) AS max_share,
+       ROUND(min_share, 4) AS min_share
+FROM folded
+"""
+
+
+@query("pipeline_mix_kl_report", oracle=MIX_KL_ORACLE)
+def pipeline_mix_kl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix drift monitor: KL divergence (bits) of the
+    achieved per-source token distribution from the uniform target —
+    the one number a mix-rebalancing loop (text_mix_plan ->
+    pipeline_mix_apply) watches to decide whether another rebalance
+    round is worth running; 0 bits = perfectly balanced.
+
+    Determinism: the KL sum folds the per-source terms in SORTED
+    source order on both engines (ordered-array fold — the repo's
+    recipe for bit-identical float reductions), so the double is
+    identical before the display rounding.
+
+    Scale: one token-count scan to source grain (map-side combined),
+    then constant-size arithmetic over #sources rows. Nothing else
+    moves.
+    """
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = docs.groupBy("source").agg(F.sum(token_count("text")).alias("toks"))
+    tot = tc.agg(
+        F.sum("toks").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n"),
+        F.sum("toks").alias("total_tokens"),
+    )
+    p = F.col("toks") / F.col("total")
+    terms = tc.join(F.broadcast(tot)).select(
+        "source",
+        "total_tokens",
+        p.alias("p"),
+        (p * F.log10(p * F.col("n")) / F.log10(F.lit(2.0))).alias("term"),
+    )
+    return terms.groupBy("total_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.aggregate(
+            F.expr("transform(array_sort(collect_list(struct(source, term))), e -> e.term)"),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("kl_bits"),
+        F.max("p").alias("max_share"),
+        F.min("p").alias("min_share"),
+    ).select(
+        "n_sources",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round("kl_bits", 6).alias("kl_from_uniform_bits"),
+        F.round("max_share", 4).alias("max_share"),
+        F.round("min_share", 4).alias("min_share"),
+    )
