@@ -132,3 +132,22 @@ def test_bench_compare_min_fallback(tmp_path, monkeypatch, capsys):
     assert [r["query"] for r in out["regressions"]] == ["qb"]
     assert [d["query"] for d in out["dismissed_as_noise"]] == ["qa"]
     assert "min-of-N holds" in out["dismissed_as_noise"][0]["basis"]
+
+
+def test_driver_rotation_orders_failures_then_least_covered():
+    """The driver gates a bounded prefix of queries(); the contract is
+    (1) queries with a non-green row in the LATEST driver artifact
+    re-gate first, (2) everything else sorts by ascending green-row
+    count so new queries get a hard-signal row next round. Asserted
+    against the invariant, not specific names, so the test survives
+    future rounds' artifacts."""
+    import __spark_entry__ as e
+
+    names = list(e.queries().keys())
+    failed = e._failed_latest_round()
+    counts = e._coverage_counts()
+
+    n_failed = len([n for n in names if n in failed])
+    assert set(names[:n_failed]) == failed & set(names)
+    rest = [counts.get(n, 0) for n in names[n_failed:]]
+    assert rest == sorted(rest), "non-failed queries must sort by ascending coverage"
