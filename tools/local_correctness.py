@@ -62,6 +62,12 @@ def _normval(v):
         return ("a", tuple(_normval(x) for x in v))
     if isinstance(v, dict):
         return ("m", tuple(sorted((str(k), _normval(x)) for k, x in v.items())))
+    # DATE cells intentionally normalize to DIFFERENT classes per
+    # engine (Spark toPandas -> datetime.date 'D'; DuckDB fetch_df ->
+    # datetime64 't'): the driver's hash is equally type-sensitive,
+    # which is why every oracle-gated query outputs dates as formatted
+    # STRINGS (date_format / STRFTIME). A raw-DATE output column
+    # failing here is the gate doing its job, not a false positive.
     if isinstance(v, pd.Timestamp) or isinstance(v, datetime.datetime):
         return ("t", pd.Timestamp(v))
     if isinstance(v, datetime.date):
