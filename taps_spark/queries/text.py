@@ -2238,14 +2238,24 @@ scored AS (
   FROM tok t
   JOIN model m USING (tok)
   CROSS JOIN consts c
+),
+qtok AS (
+  SELECT doc_id, lang, CAST(FLOOR(lr * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM scored
+),
+doc_milli AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(FLOOR((CAST(SUM(q) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 1000000000))
+                    * 1000 + 0.5) AS BIGINT) AS dsir_logweight_milli
+  FROM qtok
+  GROUP BY doc_id, lang
 )"""
 
 DSIR_ORACLE = _DSIR_SCORE_CTES + """
-SELECT doc_id, lang,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(AVG(lr), 3) AS dsir_logweight
-FROM scored
-GROUP BY doc_id, lang
+SELECT doc_id, lang, n_tokens, dsir_logweight_milli
+FROM doc_milli
 ORDER BY doc_id
 """
 
@@ -2277,6 +2287,38 @@ def _dsir_token_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_doc_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log-weight in integer MILLIS — the hash-proof
+    fold shared by the planner and the executor (SQL twin: the
+    qtok/doc_milli CTEs in _DSIR_SCORE_CTES). Recipe: quantize each
+    token's lr to an integer 1e-9 grid with FLOOR(lr*1e9 + 0.5)
+    (identical IEEE multiply/add/floor on both engines since the
+    per-token lr is bit-identical), sum EXACTLY in DECIMAL(38,0)
+    (order-independent — no float-summation-order dependence on any
+    fixture generation), then fold the exact integer mean to millis
+    through one correctly-rounded division. |sum(q)| stays below 2^53
+    for any document under ~9e6 tokens x |lr|<=1, so the DOUBLE cast
+    of the exact sum is itself exact."""
+    q = F.floor(F.col("lr") * 1000000000 + F.lit(0.5)).cast("decimal(38,0)")
+    per_doc = (
+        _dsir_token_scores(spark, sf_dir)
+        .select("doc_id", "lang", q.alias("q"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tokens"), F.sum("q").alias("sq"))
+    )
+    milli = F.floor(
+        (
+            F.col("sq").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1000000000.0))
+        )
+        * 1000
+        + F.lit(0.5)
+    ).cast("long")
+    return per_doc.select(
+        "doc_id", "lang", "n_tokens", milli.alias("dsir_logweight_milli")
+    )
+
+
 @query("pipeline_dsir_weights", oracle=DSIR_ORACLE)
 def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, public): score every
@@ -2293,20 +2335,16 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized model back onto the token stream, one per-doc agg —
     and no Python touches the path.
 
-    Determinism: log10 is correctly rounded on both engines; the
-    per-token difference of two log10s is bit-identical cross-engine
-    and the per-doc mean rounds to 3 decimals (the proven
-    text_unigram_logprob recipe).
+    Determinism (r7 hardening — the r6 driver hash-flake): the old
+    ROUND(AVG(lr), 3) was an UNORDERED double sum fed to engine ROUND
+    — summation order could move the mean across a rounding boundary
+    on a different fixture generation. Now each token's lr is
+    quantized to an integer 1e-9 grid, summed EXACTLY in
+    DECIMAL(38,0), and the weight is emitted as integer millis folded
+    from the exact sum (_dsir_doc_milli) — order-independent and
+    integer-hashed on ANY fixture.
     """
-    return (
-        _dsir_token_scores(spark, sf_dir)
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("lr"), 3).alias("dsir_logweight"),
-        )
-        .orderBy("doc_id")
-    )
+    return _dsir_doc_milli(spark, sf_dir).orderBy("doc_id")
 
 
 CURRICULUM_ORACLE = """
@@ -2477,8 +2515,8 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DSIR_RESAMPLE_ORACLE = _DSIR_SCORE_CTES + """,
 docs_w AS (
-  SELECT doc_id, lang, ROUND(AVG(lr), 3) AS s
-  FROM scored GROUP BY doc_id, lang
+  SELECT doc_id, lang, CAST(dsir_logweight_milli AS DOUBLE) / 1000 AS s
+  FROM doc_milli
 ),
 kept AS (
   SELECT lang,
@@ -2513,14 +2551,17 @@ def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions and a language-grain rollup — the corpus is read
     once per subtree; no extra shuffle beyond the weights plan.
 
-    Determinism: the keep decision quantizes ROUND(avg, 3) through
-    POWER(10, s) and FLOOR — identical IEEE steps cross-engine; the
-    hash bucket is the md5 idiom every sampler here uses.
+    Determinism: the weight enters as the EXACT integer millis of
+    _dsir_doc_milli (r7 hardening — no unordered double sum anywhere),
+    so s is one correctly-rounded integer/1000 division on both
+    engines; the keep decision then quantizes through POWER(10, s) and
+    FLOOR — identical IEEE steps cross-engine; the hash bucket is the
+    md5 idiom every sampler here uses.
     """
-    docs_w = (
-        _dsir_token_scores(spark, sf_dir)
-        .groupBy("doc_id", "lang")
-        .agg(F.round(F.avg("lr"), 3).alias("s"))
+    docs_w = _dsir_doc_milli(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        (F.col("dsir_logweight_milli").cast("double") / 1000).alias("s"),
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
