@@ -88,15 +88,20 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NORM_ORACLE = """
+WITH q AS (
+  SELECT label,
+         CAST(FLOOR(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * 1000000000 + 0.5) AS DECIMAL(38,0)) AS qn
+  FROM embeddings
+)
 SELECT label,
        COUNT(*) AS n_vecs,
-       ROUND(AVG(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
-         AS avg_l2_norm,
-       ROUND(MIN(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
-         AS min_l2_norm,
-       ROUND(MAX(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
-         AS max_l2_norm
-FROM embeddings
+       CAST(FLOOR((CAST(SUM(qn) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000000))
+                  * 1000000 + 0.5) AS BIGINT) AS avg_l2_norm_micros,
+       CAST(MIN(qn) AS BIGINT) // 1000 AS min_l2_norm_micros,
+       CAST(MAX(qn) AS BIGINT) // 1000 AS max_l2_norm_micros
+FROM q
 GROUP BY label
 ORDER BY label
 """
@@ -106,20 +111,37 @@ ORDER BY label
 def similarity_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm statistics — the vector-column hygiene scan
     (catches unnormalized / degenerate embeddings before ANN).
-    Map-only math + tiny grouped agg."""
+    Map-only math + tiny grouped agg.
+
+    Determinism (r7 hardening, the DSIR lesson): per-vector norms are
+    bit-identical cross-engine, but their unordered sum inside AVG was
+    not order-proof — norms are nano-quantized, summed exactly in
+    DECIMAL(38,0), and all three stats emitted as integer micros
+    (operators/numeric.py recipe; min/max divide the nano grid down,
+    both engines flooring positive integers identically)."""
+    from taps_spark.operators.numeric import exact_mean_scaled, quantize_nano
     from taps_spark.operators.similarity import as_double, dot
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     v = as_double(F.col("embedding"))
     norm = F.sqrt(dot(v, v))
     return (
-        emb.select("label", norm.alias("n2"))
+        emb.select("label", quantize_nano(norm).alias("qn"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("n2"), 4).alias("avg_l2_norm"),
-            F.round(F.min("n2"), 4).alias("min_l2_norm"),
-            F.round(F.max("n2"), 4).alias("max_l2_norm"),
+            F.sum("qn").alias("sq"),
+            F.expr("CAST(min(qn) AS BIGINT) div 1000").alias("min_l2_norm_micros"),
+            F.expr("CAST(max(qn) AS BIGINT) div 1000").alias("max_l2_norm_micros"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            exact_mean_scaled(F.col("sq"), F.col("n_vecs"), 1000000).alias(
+                "avg_l2_norm_micros"
+            ),
+            "min_l2_norm_micros",
+            "max_l2_norm_micros",
         )
         .orderBy("label")
     )
@@ -129,15 +151,18 @@ NN_STATS_ORACLE = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 best AS (
   SELECT a.vec_id, a.label,
-         MAX(list_dot_product(a.v, b.v)
-             / SQRT(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))) AS best_cos
+         CAST(FLOOR(MAX(list_dot_product(a.v, b.v)
+                        / SQRT(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)))
+                    * 1000000000 + 0.5) AS DECIMAL(38,0)) AS qbest
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
   GROUP BY a.vec_id, a.label
 )
 SELECT label,
        COUNT(*) AS n_vecs,
-       ROUND(AVG(best_cos), 4) AS avg_best_cos,
-       ROUND(MAX(best_cos), 4) AS max_best_cos
+       CAST(FLOOR((CAST(SUM(qbest) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000000))
+                  * 1000000 + 0.5) AS BIGINT) AS avg_best_cos_micros,
+       CAST(FLOOR(CAST(MAX(qbest) AS DOUBLE) / 1000) AS BIGINT) AS max_best_cos_micros
 FROM best
 GROUP BY label
 ORDER BY label
@@ -169,18 +194,35 @@ def similarity_label_nn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
         as_double(F.col("embedding")).alias("vb"),
     ).withColumn("nb2", dot(F.col("vb"), F.col("vb")))
+    # Determinism (r7 hardening, the DSIR lesson): per-pair cosines
+    # and their per-vector MAX are order-free, but the per-label AVG
+    # summed doubles in arbitrary order — the max is nano-quantized
+    # first, summed exactly in DECIMAL(38,0), and both stats emitted
+    # as integer micros (operators/numeric.py recipe).
+    from taps_spark.operators.numeric import exact_mean_scaled, quantize_nano
+
     cos = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na2") * F.col("nb2"))
     best = (
         a.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("b_id")))
         .groupBy("vec_id", "label")
-        .agg(F.max(cos).alias("best_cos"))
+        .agg(quantize_nano(F.max(cos)).alias("qbest"))
     )
     return (
         best.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("best_cos"), 4).alias("avg_best_cos"),
-            F.round(F.max("best_cos"), 4).alias("max_best_cos"),
+            F.sum("qbest").alias("sq"),
+            F.floor(F.max("qbest").cast("double") / 1000)
+            .cast("long")
+            .alias("max_best_cos_micros"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            exact_mean_scaled(F.col("sq"), F.col("n_vecs"), 1000000).alias(
+                "avg_best_cos_micros"
+            ),
+            "max_best_cos_micros",
         )
         .orderBy("label")
     )
@@ -213,19 +255,78 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
-DIM_STANDARDIZE_ORACLE = """
-SELECT i AS dim,
-       ROUND(AVG(x), 4) AS mean_x,
-       ROUND(STDDEV_SAMP(x), 4) AS std_x,
-       ROUND(CAST(MIN(x) AS DOUBLE), 4) AS min_x,
-       ROUND(CAST(MAX(x) AS DOUBLE), 4) AS max_x
-FROM (
-  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-)
-GROUP BY i
+#: Shared exact per-dimension moment CTEs (r7 hardening, the DSIR
+#: lesson): coordinates are nano-quantized, first/second moments
+#: summed EXACTLY in DECIMAL(38,0) (order-independent), and the
+#: mean/std folded to integer micros through sqrt — which, unlike the
+#: log/exp libm family, is IEEE-correctly-rounded on every platform.
+#: Consumed by both the fit (similarity_dim_standardize) and the
+#: transform (similarity_standardize_apply); DataFrame twin is
+#: _dim_folded_moments below.
+_DIM_MOMENTS_CTES = """
+WITH qx AS (
+  SELECT vec_id, i, x,
+         CAST(FLOOR(x * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+folded AS (
+  SELECT i,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(FLOOR((CAST(SUM(q) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 1000000000))
+                    * 1000000 + 0.5) AS BIGINT) AS mean_x_micros,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS DOUBLE)
+                         / (CAST(COUNT(*) AS DOUBLE)
+                            * CAST(COUNT(*) - 1 AS DOUBLE)))
+                    / 1000 + 0.5) AS BIGINT) AS std_x_micros,
+         CAST(FLOOR(CAST(MIN(q) AS DOUBLE) / 1000) AS BIGINT) AS min_x_micros,
+         CAST(FLOOR(CAST(MAX(q) AS DOUBLE) / 1000) AS BIGINT) AS max_x_micros
+  FROM qx
+  GROUP BY i
+)"""
+
+DIM_STANDARDIZE_ORACLE = _DIM_MOMENTS_CTES + """
+SELECT i AS dim, mean_x_micros, std_x_micros, min_x_micros, max_x_micros
+FROM folded
 ORDER BY dim
 """
+
+
+def _dim_folded_moments(emb: DataFrame) -> DataFrame:
+    """Exact per-dimension embedding moments folded to integer micros —
+    the DataFrame twin of _DIM_MOMENTS_CTES (one definition of the
+    grid, the exact DECIMAL(38,0) sums, and the sqrt fold, shared by
+    the fit and transform queries so they cannot diverge)."""
+    from taps_spark.operators.numeric import exact_mean_scaled, quantize_nano
+
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    mom = (
+        ex.select((F.col("pos") + 1).alias("dim"), quantize_nano(F.col("x")).alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).alias("sqq"),
+            F.min("q").alias("mnq"),
+            F.max("q").alias("mxq"),
+        )
+    )
+    var_num = (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    std_grid = F.sqrt(
+        var_num / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    return mom.select(
+        "dim",
+        "n",
+        exact_mean_scaled(F.col("sq"), F.col("n"), 1000000).alias("mean_x_micros"),
+        F.floor(std_grid / 1000 + F.lit(0.5)).cast("long").alias("std_x_micros"),
+        F.floor(F.col("mnq").cast("double") / 1000).cast("long").alias("min_x_micros"),
+        F.floor(F.col("mxq").cast("double") / 1000).cast("long").alias("max_x_micros"),
+    )
 
 
 @query("similarity_dim_standardize", oracle=DIM_STANDARDIZE_ORACLE)
@@ -240,40 +341,34 @@ def similarity_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — at 100 TB the exchange carries kilobytes.  The transform
     step is then a broadcast of the 64 (mean, std) pairs and a
     zip_with, all JVM-side.
+
+    Determinism (r7 hardening, the DSIR lesson): raw AVG/STDDEV_SAMP
+    summed doubles in arbitrary order; now the exact DECIMAL(38,0)
+    moment grid feeds an IEEE-exact sqrt fold — see _DIM_MOMENTS_CTES.
     """
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    ex = emb.select(F.posexplode("embedding").alias("pos", "x"))
-    return (
-        ex.groupBy((F.col("pos") + 1).alias("dim"))
-        .agg(
-            F.round(F.avg("x"), 4).alias("mean_x"),
-            F.round(F.stddev_samp("x"), 4).alias("std_x"),
-            F.round(F.min("x").cast("double"), 4).alias("min_x"),
-            F.round(F.max("x").cast("double"), 4).alias("max_x"),
-        )
-        .orderBy("dim")
-    )
+    return _dim_folded_moments(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ).select(
+        "dim", "mean_x_micros", "std_x_micros", "min_x_micros", "max_x_micros"
+    ).orderBy("dim")
 
 
-STANDARDIZE_APPLY_ORACLE = """
-WITH s AS (
-  SELECT i, AVG(x) AS m, STDDEV_SAMP(x) AS sd
-  FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
-  GROUP BY i
-),
+STANDARDIZE_APPLY_ORACLE = _DIM_MOMENTS_CTES + """,
 arrs AS (
-  SELECT LIST(m ORDER BY i) AS means, LIST(sd ORDER BY i) AS sds FROM s
+  SELECT LIST(CAST(mean_x_micros AS DOUBLE) / 1000000 ORDER BY i) AS means,
+         LIST(CAST(std_x_micros AS DOUBLE) / 1000000 ORDER BY i) AS sds
+  FROM folded
 ),
 z AS (
   SELECT e.vec_id,
          LIST_TRANSFORM(range(1, LEN(e.embedding) + 1),
-             i -> (e.embedding[CAST(i AS INT)] - arrs.means[CAST(i AS INT)])
+             i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                   - arrs.means[CAST(i AS INT)])
                   / arrs.sds[CAST(i AS INT)]) AS zs
   FROM embeddings e CROSS JOIN arrs
 )
 SELECT vec_id,
-       LIST_REDUCE(LIST_TRANSFORM(zs, z -> CAST(ROUND(z * 1000) AS BIGINT)),
+       LIST_REDUCE(LIST_TRANSFORM(zs, z -> CAST(FLOOR(z * 1000 + 0.5) AS BIGINT)),
                    (a, b) -> a + b) AS z_millis_sum,
        LEN(LIST_FILTER(zs, z -> ABS(z) > 3.0)) AS n_clipped
 FROM z
@@ -296,12 +391,18 @@ def similarity_standardize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, no driver collect, no Python.  The checksum sums
     per-element integer millis so it is order-insensitive AND exact —
     the cross-engine-safe way to fingerprint a float vector.
+
+    Determinism (r7 hardening, the DSIR lesson): the moments enter as
+    the FOLDED integer micros of _dim_folded_moments (exact decimal
+    sums + IEEE-exact sqrt), so every per-coordinate z is bit-identical
+    cross-engine; the per-element fold is FLOOR(z*1000+0.5), not
+    engine ROUND.
     """
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    stats = (
-        emb.select(F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg("x").alias("m"), F.stddev_samp("x").alias("sd"))
+    stats = _dim_folded_moments(emb).select(
+        (F.col("dim") - 1).alias("pos"),
+        (F.col("mean_x_micros").cast("double") / 1000000).alias("m"),
+        (F.col("std_x_micros").cast("double") / 1000000).alias("sd"),
     )
     arrs = stats.agg(
         F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"),
@@ -320,7 +421,7 @@ def similarity_standardize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "vec_id",
         F.expr(
-            "aggregate(transform(zs, z -> CAST(ROUND(z * 1000, 0) AS BIGINT)), "
+            "aggregate(transform(zs, z -> CAST(FLOOR(z * 1000 + 0.5D) AS BIGINT)), "
             "0L, (a, b) -> a + b)"
         ).alias("z_millis_sum"),
         F.expr("size(filter(zs, z -> ABS(z) > 3.0D))").alias("n_clipped"),

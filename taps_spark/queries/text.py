@@ -933,12 +933,15 @@ stats AS (
 ),
 scored AS (
   SELECT t.doc_id, t.lang,
-         LOG10((m.c + 1) / (s.total + s.vocab)) AS lp
+         CAST(FLOOR(LOG10((m.c + 1) / (s.total + s.vocab))
+                    * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
   FROM tok t JOIN model m USING (tok) CROSS JOIN stats s
 )
 SELECT doc_id, lang,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(AVG(lp), 3) AS avg_logprob
+       CAST(FLOOR((CAST(SUM(q) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000000))
+                  * 1000 + 0.5) AS BIGINT) AS avg_logprob_milli
 FROM scored
 GROUP BY doc_id, lang
 ORDER BY doc_id
@@ -958,11 +961,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two-pass shape as `text_lang_id`, with exchange reuse across
     train and score subtrees. No Python touches the hot path.
 
-    Determinism: log10 is correctly rounded on both engines (IEEE
-    recommended function); per-token values agree to the last ulp at
-    this vocab size and the mean is rounded to 3 decimals — verified
-    exactly against the oracle at sf0.01 and sf0.1.
+    Determinism (r7 hardening, the DSIR lesson applied to the same
+    shape): per-token log10 values are bit-identical cross-engine,
+    but their UNORDERED sum inside AVG was not order-proof — each is
+    now quantized to an integer 1e-9 grid, summed exactly in
+    DECIMAL(38,0), and the mean emitted as integer millis folded from
+    the exact sum (operators/numeric.py recipe).
     """
+    from taps_spark.operators.numeric import exact_mean_scaled, quantize_nano
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
     model = tok.groupBy("tok").agg(F.count("*").alias("c"))
@@ -973,13 +980,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tok.join(F.broadcast(model), "tok").join(F.broadcast(stats)).select(
         "doc_id",
         "lang",
-        F.log10((F.col("c") + 1) / (F.col("total") + F.col("vocab"))).alias("lp"),
+        quantize_nano(
+            F.log10((F.col("c") + 1) / (F.col("total") + F.col("vocab")))
+        ).alias("q"),
     )
     return (
         scored.groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("lp"), 3).alias("avg_logprob"),
+        .agg(F.count("*").alias("n_tokens"), F.sum("q").alias("sq"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            exact_mean_scaled(F.col("sq"), F.col("n_tokens"), 1000).alias(
+                "avg_logprob_milli"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -2299,23 +2313,21 @@ def _dsir_doc_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one correctly-rounded division. |sum(q)| stays below 2^53
     for any document under ~9e6 tokens x |lr|<=1, so the DOUBLE cast
     of the exact sum is itself exact."""
-    q = F.floor(F.col("lr") * 1000000000 + F.lit(0.5)).cast("decimal(38,0)")
+    from taps_spark.operators.numeric import exact_mean_scaled, quantize_nano
+
     per_doc = (
         _dsir_token_scores(spark, sf_dir)
-        .select("doc_id", "lang", q.alias("q"))
+        .select("doc_id", "lang", quantize_nano(F.col("lr")).alias("q"))
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_tokens"), F.sum("q").alias("sq"))
     )
-    milli = F.floor(
-        (
-            F.col("sq").cast("double")
-            / (F.col("n_tokens").cast("double") * F.lit(1000000000.0))
-        )
-        * 1000
-        + F.lit(0.5)
-    ).cast("long")
     return per_doc.select(
-        "doc_id", "lang", "n_tokens", milli.alias("dsir_logweight_milli")
+        "doc_id",
+        "lang",
+        "n_tokens",
+        exact_mean_scaled(F.col("sq"), F.col("n_tokens"), 1000).alias(
+            "dsir_logweight_milli"
+        ),
     )
 
 
@@ -2430,7 +2442,8 @@ ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
 vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tokp),
 scored AS (
   SELECT g.doc_id, g.lang,
-         -LOG10((m.c12 + 1) / (c.c1 + vb.v)) / LOG10(2) AS bits
+         CAST(FLOOR((-LOG10((m.c12 + 1) / (c.c1 + vb.v)) / LOG10(2))
+                    * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
   FROM big g
   JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
   JOIN ctx c ON c.w1 = g.w1
@@ -2438,7 +2451,9 @@ scored AS (
 )
 SELECT doc_id, lang,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(AVG(bits), 3) AS bits_per_token
+       CAST(FLOOR((CAST(SUM(q) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000000))
+                  * 1000 + 0.5) AS BIGINT) AS bits_per_token_milli
 FROM scored
 GROUP BY doc_id, lang
 ORDER BY doc_id
@@ -2460,10 +2475,12 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggs over bigram-vocabulary keys, broadcast back
     onto the stream. Python never touches the path.
 
-    Determinism: per-bigram bits derive from exact integer counts via
-    log10 (correctly rounded both engines) divided by the LOG10(2)
-    constant — identical IEEE steps; the per-doc mean rounds to 3
-    (the text_unigram_logprob recipe).
+    Determinism (r7 hardening, the DSIR lesson): per-bigram bits are
+    bit-identical cross-engine (exact integer counts through log10),
+    but their unordered sum inside AVG was not order-proof — each is
+    now quantized to an integer 1e-9 grid, summed exactly in
+    DECIMAL(38,0), and emitted as integer millis folded from the
+    exact sum (operators/numeric.py recipe).
     """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # size(t) >= 2 guard: sequence(1, 0) DESCENDS in Spark, so an
@@ -2490,6 +2507,8 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("tok"))
         .agg(F.countDistinct("tok").cast("double").alias("v"))
     )
+    from taps_spark.operators.numeric import exact_mean_scaled, quantize_nano
+
     scored = (
         big.join(F.broadcast(model), ["w1", "w2"])
         .join(F.broadcast(ctx), "w1")
@@ -2497,17 +2516,22 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            (
+            quantize_nano(
                 -F.log10((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
                 / F.log10(F.lit(2.0))
-            ).alias("bits"),
+            ).alias("q"),
         )
     )
     return (
         scored.groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg("bits"), 3).alias("bits_per_token"),
+        .agg(F.count("*").alias("n_bigrams"), F.sum("q").alias("sq"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            exact_mean_scaled(F.col("sq"), F.col("n_bigrams"), 1000).alias(
+                "bits_per_token_milli"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -2691,7 +2715,10 @@ b AS (
 )
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_images,
-       ROUND(AVG(ar), 4) AS avg_ar,
+       CAST(FLOOR((CAST(SUM(CAST(FLOOR(ar * 1000000000 + 0.5) AS DECIMAL(38,0)))
+                        AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000000))
+                  * 1000000 + 0.5) AS BIGINT) AS avg_ar_micros,
        CAST(CASE bucket WHEN '9:16' THEN 768 WHEN '3:4' THEN 864
                         WHEN '1:1' THEN 1024 WHEN '4:3' THEN 1152
                         ELSE 1344 END AS INT) AS target_w,
@@ -2746,16 +2773,20 @@ def multimodal_aspect_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .when(F.col("bucket") == "4:3", 864)
         .otherwise(768)
     )
+    from taps_spark.operators.numeric import exact_mean_scaled, quantize_nano
+
     return (
         b.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
-            F.round(F.avg("ar"), 4).alias("avg_ar"),
+            F.sum(quantize_nano(F.col("ar"))).alias("sq"),
         )
         .select(
             "bucket",
             "n_images",
-            "avg_ar",
+            exact_mean_scaled(F.col("sq"), F.col("n_images"), 1000000).alias(
+                "avg_ar_micros"
+            ),
             tw.cast("int").alias("target_w"),
             th.cast("int").alias("target_h"),
         )
@@ -2843,4 +2874,282 @@ def pipeline_mix_kl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("kl_bits", 6).alias("kl_from_uniform_bits"),
         F.round("max_share", 4).alias("max_share"),
         F.round("min_share", 4).alias("min_share"),
+    )
+
+
+GOPHER_DUP_NGRAM_ORACLE = """
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+n AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(MAX(c) AS BIGINT) AS topc
+  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tokp GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT a.doc_id, a.tok || chr(31) || b.tok AS g
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bstat AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb, CAST(COUNT(DISTINCT g) AS BIGINT) AS db
+  FROM bg GROUP BY doc_id
+),
+tg AS (
+  SELECT a.doc_id, a.tok || chr(31) || b.tok || chr(31) || c.tok AS g
+  FROM tokp a
+  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+tstat AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt, CAST(COUNT(DISTINCT g) AS BIGINT) AS dt
+  FROM tg GROUP BY doc_id
+)
+SELECT n.doc_id,
+       n.n_tokens,
+       CAST(FLOOR((CAST(n.topc AS DOUBLE) / n.n_tokens) * 1000000 + 0.5) AS BIGINT)
+         AS top_word_ppm,
+       CASE WHEN COALESCE(b.nb, 0) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR((CAST(b.nb - b.db AS DOUBLE) / b.nb) * 1000000 + 0.5)
+                      AS BIGINT) END AS dup_bigram_ppm,
+       CASE WHEN COALESCE(t.nt, 0) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR((CAST(t.nt - t.dt AS DOUBLE) / t.nt) * 1000000 + 0.5)
+                      AS BIGINT) END AS dup_trigram_ppm
+FROM n
+LEFT JOIN bstat b ON b.doc_id = n.doc_id
+LEFT JOIN tstat t ON t.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+@query("text_gopher_dup_ngrams", oracle=GOPHER_DUP_NGRAM_ORACLE)
+def text_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    public): the share of the top word among all tokens, and the
+    duplicate-bigram / duplicate-trigram excess (occurrences beyond
+    each n-gram's first, over total n-grams) — the three cheapest
+    filters against keyword-stuffed or loop-generated text, emitted
+    as exact integer ppm.
+
+    Scale: ENTIRELY map-only — n-grams, their distinct counts and the
+    longest-run top-word count are per-row HOFs over the token array
+    (no corpus-grain n-gram shuffle; the oracle's positional
+    self-joins are the SQL spelling of the same per-doc math). At
+    100 TB this runs at scan speed with zero exchanges.
+
+    Determinism: every output is an integer count ratio folded with
+    FLOOR(x*1e6 + 0.5) from exact per-doc integers.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.select(
+        "doc_id", tokens("text").alias("t")
+    ).withColumn("st", F.array_sort("t"))
+    expr = t.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate("
+            "  CASE WHEN size(t) >= 2 THEN sequence(1, size(t) - 1)"
+            "       ELSE CAST(array() AS array<int>) END,"
+            "  named_struct('run', 1L, 'best', 1L),"
+            "  (acc, i) -> IF(element_at(st, i + 1) = element_at(st, i),"
+            "                 named_struct('run', acc.run + 1L,"
+            "                              'best', GREATEST(acc.best, acc.run + 1L)),"
+            "                 named_struct('run', 1L, 'best', acc.best)),"
+            "  acc -> acc.best)"
+        ).alias("topc"),
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN"
+            "  transform(sequence(1, size(t) - 1),"
+            "            i -> concat(t[i - 1], '\\u001f', t[i]))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("bg"),
+        F.expr(
+            "CASE WHEN size(t) >= 3 THEN"
+            "  transform(sequence(1, size(t) - 2),"
+            "            i -> concat(t[i - 1], '\\u001f', t[i], '\\u001f', t[i + 1]))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("tg"),
+    )
+    # ppm fold from exact per-doc integers; zero-denominator guard
+    # matches the oracle's CASE (docs shorter than the n-gram order).
+    ppm = lambda num, den: F.when(den == 0, F.lit(0).cast("long")).otherwise(  # noqa: E731
+        F.floor((num.cast("double") / den) * 1000000 + F.lit(0.5)).cast("long")
+    )
+    return expr.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("topc").cast("double") / F.col("n_tokens")) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("top_word_ppm"),
+        ppm(
+            F.size("bg") - F.size(F.array_distinct("bg")), F.size("bg")
+        ).alias("dup_bigram_ppm"),
+        ppm(
+            F.size("tg") - F.size(F.array_distinct("tg")), F.size("tg")
+        ).alias("dup_trigram_ppm"),
+    ).orderBy("doc_id")
+
+
+CHUNK_DEDUP_ORACLE = """
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         MD5(array_to_string(t[s : s + 63], ' ')) AS chunk_md5
+  FROM arr, (SELECT unnest(range(1, 100000, 48)) AS s)
+  WHERE s <= LEN(t)
+),
+freq AS (
+  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
+  FROM ch GROUP BY chunk_md5
+)
+SELECT ch.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(FLOOR((CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*)) * 1000000 + 0.5) AS BIGINT) AS dup_chunk_ppm
+FROM ch JOIN freq f USING (chunk_md5)
+GROUP BY ch.doc_id
+ORDER BY ch.doc_id
+"""
+
+
+@query("dedup_chunk_overlap_share", oracle=CHUNK_DEDUP_ORACLE)
+def dedup_chunk_overlap_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document duplication (the paragraph-dedup
+    shape of CCNet/RefinedWeb, run on 64-token windows because the
+    fixtures carry no newline structure): fingerprint every
+    chunk_token_windows window, count windows whose content appears
+    in MORE THAN ONE document, and report each document's duplicated
+    share as integer ppm — the signal that catches shared boilerplate
+    INSIDE otherwise-distinct documents, which whole-doc fingerprints
+    miss entirely.
+
+    Scale: one map-only chunking pass (no shuffle), ONE 16-byte
+    fingerprint shuffle at chunk grain for the frequency table, one
+    broadcast-or-shuffle join back, per-doc rollup. This is the
+    linear-cost path real pipelines run where LSH would be overkill;
+    at 100 TB the fingerprint shuffle is the only wide stage and it
+    carries hashes, never text.
+
+    Determinism: counts and an integer ppm fold only — no floats.
+    """
+    from taps_spark.operators.text import chunk_token_windows
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ch = chunk_token_windows(docs, "text", "doc_id", window=64, stride=48).select(
+        "doc_id", "chunk_md5"
+    )
+    freq = ch.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        ch.join(freq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.floor(
+                (F.col("dup_chunks").cast("double") / F.col("n_chunks")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dup_chunk_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EPOCH_SHUFFLE_ORACLE = """
+WITH b AS (
+  SELECT source,
+         ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':epoch1'), 1, 6))::BIGINT
+           % 16 AS bucket
+  FROM documents
+),
+per AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY source, bucket
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(MIN(n) AS BIGINT) AS min_bucket,
+       CAST(FLOOR((CAST(MAX(n) - MIN(n) AS DOUBLE) / SUM(n)) * 1000000 + 0.5)
+            AS BIGINT) AS spread_ppm
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_epoch_shuffle_uniformity", oracle=EPOCH_SHUFFLE_ORACLE)
+def pipeline_epoch_shuffle_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-epoch shuffle audit: assign every document its
+    epoch-1 dataloader shard via a content-free keyed hash
+    (md5(doc_id || ':epoch1') % 16 — a different epoch string reshards
+    the corpus with zero state) and report per-source shard balance:
+    shards used, heaviest/lightest shard, and the max-min spread as
+    ppm of the source. The check a 100 TB loader runs BEFORE training
+    to prove no shard will straggle and every source is spread across
+    all shards — a skewed shard is a skewed GPU.
+
+    Scale: map-only hash + one (source, bucket)-grain agg (at most
+    sources x 16 groups survive the map-side combine), then a
+    source-grain rollup. No window, no sort, nothing corpus-grain.
+
+    Determinism: the md5 bucket idiom every sampler here uses;
+    outputs are integers and one exact-count ppm fold.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch1"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    per = (
+        docs.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("buckets_used"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.min("n").cast("long").alias("min_bucket"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "buckets_used",
+            "max_bucket",
+            "min_bucket",
+            F.floor(
+                ((F.col("max_bucket") - F.col("min_bucket")).cast("double") / F.col("n_docs"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("spread_ppm"),
+        )
+        .orderBy("source")
     )
