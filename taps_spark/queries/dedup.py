@@ -1695,3 +1695,148 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+LSH_SAMPLED_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+samp AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE ('0x' || SUBSTRING(MD5(CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR)), 1, 6))::BIGINT
+        % 3 = 0
+),
+tsets AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT))) AS toks
+  FROM documents
+),
+verified AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+         CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / (LEN(ta.toks) + LEN(tb.toks) - LEN(list_intersect(ta.toks, tb.toks))) AS j
+  FROM samp
+  JOIN tsets ta ON ta.doc_id = doc_a
+  JOIN tsets tb ON tb.doc_id = doc_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_sampled,
+       CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR((CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS DOUBLE)
+                             / COUNT(*)) * 1000000 + 0.5) AS BIGINT) END
+         AS est_dup_ppm
+FROM verified
+"""
+
+
+@query("dedup_lsh_sampled_verify", oracle=LSH_SAMPLED_ORACLE)
+def dedup_lsh_sampled_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED verification of the LSH candidate stream: enumerate
+    candidates exactly as dedup_lsh_verified_pairs does, but run the
+    expensive token-set Jaccard only on a deterministic 1-in-3
+    pair-hash sample and report the estimated duplicate rate — the
+    knob a 100 TB dedup pipeline turns when the full verify pass is
+    the budget bottleneck and it only needs the RATE (to pick a
+    banding threshold or decide whether dedup pays at all) rather
+    than the pair list. The verify cost drops by the sample factor;
+    everything up to sampling is the cheap fingerprint machinery.
+
+    The sample is md5(doc_a|doc_b)-keyed — deterministic on any
+    cluster and unbiased w.r.t. content (the hash never sees text) —
+    so this stays oracle-exact: the estimate itself is reproducible,
+    unlike an RNG sample. Within-group pairs (identical token sets)
+    are known Jaccard-1 without any set intersection; sampled cross
+    pairs verify once per GROUP pair (_condensed_prelude) and only
+    for groups the sample actually touches.
+
+    Determinism: exact integer counts and one ppm fold.
+    """
+    from taps_spark.operators.dedup import jaccard_hashed
+
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    grp, cand, ta, tb = _condensed_prelude(docs)
+    pairs = _fan_out_doc_pairs(grp, cand.withColumn("j", F.lit(0.0))).select(
+        "doc_a", "doc_b", (F.col("j") == 1.0).alias("known_dup")
+    )
+    key = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_a").cast("string"),
+                        F.lit("|"),
+                        F.col("doc_b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    sampled = pairs.filter(key == 0)
+    d2g = grp.select("gid", F.explode("members").alias("doc"))
+    sc = (
+        sampled.filter(~F.col("known_dup"))
+        .join(d2g.select(F.col("doc").alias("doc_a"), F.col("gid").alias("ga")), "doc_a")
+        .join(d2g.select(F.col("doc").alias("doc_b"), F.col("gid").alias("gb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("ga", "gb").alias("src"),
+            F.greatest("ga", "gb").alias("dst"),
+        )
+    )
+    gj = (
+        sc.select("src", "dst")
+        .distinct()
+        .join(ta, "src")
+        .join(tb, "dst")
+        .select(
+            "src", "dst", jaccard_hashed(F.col("toks_a"), F.col("toks_b")).alias("j")
+        )
+    )
+    scored = sc.join(gj, ["src", "dst"]).select(
+        (F.col("j") >= 0.8).alias("is_dup")
+    ).unionByName(
+        sampled.filter(F.col("known_dup")).select(F.lit(True).alias("is_dup"))
+    )
+    tot = pairs.agg(F.count("*").alias("n_candidates"))
+    s = scored.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias(
+            "n_dups_sampled"
+        ),
+    )
+    return tot.crossJoin(s).select(
+        "n_candidates",
+        "n_sampled",
+        "n_dups_sampled",
+        F.when(F.col("n_sampled") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("n_dups_sampled").cast("double") / F.col("n_sampled")) * 1000000
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("est_dup_ppm"),
+    )

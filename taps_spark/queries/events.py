@@ -2005,3 +2005,114 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / F.sqrt(den1.cast("double") * den2.cast("double")), 6
         ).alias("acf"),
     ).orderBy("lag")
+
+
+INTERARRIVAL_ORACLE = """
+WITH o AS (
+  SELECT event_type,
+         epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+  FROM events
+),
+g AS (
+  SELECT event_type, nt - t AS gap FROM o WHERE nt IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       CAST(FLOOR(CAST(SUM(gap) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS avg_gap_us
+FROM g
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_interarrival_stats", oracle=INTERARRIVAL_ORACLE)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: the
+    microsecond gap from each event to its user's NEXT event,
+    aggregated by the earlier event's type — the dial capacity
+    planning and session-timeout tuning read (a session gap threshold
+    should sit far above typical same-user inter-arrival).
+
+    Scale: the same single per-user window sort as the sessionizer,
+    then an event-type-grain agg (map-side combined to |types| rows).
+
+    Determinism: gaps are exact integer microseconds
+    (operators/events unix_micros pattern); SUM is an exact BIGINT
+    and the mean folds from it with FLOOR(x + 0.5).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select(
+            "event_type",
+            micros.alias("t"),
+            F.lead(micros).over(w).alias("nt"),
+        )
+        .filter(F.col("nt").isNotNull())
+        .select("event_type", (F.col("nt") - F.col("t")).alias("gap"))
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap_us"),
+            F.max("gap").cast("long").alias("max_gap_us"),
+            F.floor(
+                F.sum("gap").cast("double") / F.count("*") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(9, CAST(FLOOR(value / 35) AS INT)) AS bucket,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_micros
+  FROM events
+)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v_micros) AS BIGINT) AS sum_value_micros
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@query("events_value_histogram", oracle=VALUE_HISTOGRAM_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (10 bins of width
+    35, top bin open-ended): the one-pass distribution profile a
+    monitoring dashboard draws — equal-width binning is the
+    shuffle-free histogram (bin id is a map-side expression, unlike
+    quantile binning which needs a sort or a sketch).
+
+    Scale: map-only bin assignment, one agg at (type x bin) grain —
+    at most 50 groups survive the map-side combine regardless of
+    input size.
+
+    Determinism: bin ids are FLOOR of an exact division of
+    bit-identical doubles; per-row micros quantization then exact
+    BIGINT sums.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bucket = F.least(F.lit(9), F.floor(F.col("value") / 35).cast("int"))
+    vmicros = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        ev.select("event_type", bucket.alias("bucket"), vmicros.alias("v"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("long").alias("sum_value_micros"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -761,3 +761,128 @@ def governance_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_req", "n_groups", "min_l", "groups_below_l", "rows_below_l")
         .orderBy("l_req")
     )
+
+
+T_CLOSENESS_ORACLE = """
+WITH base AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+  FROM customer
+),
+cell AS (SELECT nat, seg, band, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
+grp AS (SELECT nat, seg, CAST(SUM(c) AS BIGINT) AS n_g FROM cell GROUP BY 1, 2),
+gband AS (SELECT band, CAST(SUM(c) AS BIGINT) AS cb FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+fullg AS (
+  SELECT g.nat, g.seg, g.n_g, b.band, b.cb, COALESCE(c.c, 0) AS c, t.n
+  FROM grp g CROSS JOIN gband b CROSS JOIN tot t
+  LEFT JOIN cell c ON c.nat = g.nat AND c.seg = g.seg AND c.band = b.band
+),
+tvd AS (
+  SELECT nat, seg, n_g,
+         CAST(FLOOR((CAST(SUM(ABS(c * n - cb * n_g)) AS DOUBLE)
+                     / (2.0 * n_g * n)) * 1000000 + 0.5) AS BIGINT) AS tvd_ppm
+  FROM fullg
+  GROUP BY nat, seg, n_g, n
+),
+ts AS (SELECT UNNEST([100000, 200000, 300000]) AS t_ppm)
+SELECT CAST(t_ppm AS BIGINT) AS t_ppm,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tvd) AS n_groups,
+       (SELECT CAST(MAX(tvd_ppm) AS BIGINT) FROM tvd) AS max_tvd_ppm,
+       CAST(COALESCE(SUM(CASE WHEN tvd_ppm > t_ppm THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS groups_above_t,
+       CAST(COALESCE(SUM(CASE WHEN tvd_ppm > t_ppm THEN n_g ELSE 0 END), 0) AS BIGINT)
+         AS rows_above_t
+FROM tvd CROSS JOIN ts
+GROUP BY t_ppm
+ORDER BY t_ppm
+"""
+
+
+@query("governance_t_closeness", oracle=T_CLOSENESS_ORACLE)
+def governance_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the k-anonymity /
+    l-diversity ladder: a QI group can be large AND diverse yet still
+    leak when its sensitive-value DISTRIBUTION skews far from the
+    table's. Per (nation, market-segment) group, compute the total
+    variation distance between the group's account-balance-band
+    distribution and the global one (exact integer cross-products:
+    |c_gb*N - C_b*n_g| summed over the full band set, divided once),
+    then report for t in {0.1, 0.2, 0.3} how many groups and rows
+    exceed the distance.
+
+    Scale: everything aggregates at (QI x band) grain, then a
+    #groups x #bands densify against the BROADCAST band margin —
+    group count x ~11 bands, never row grain. The BIGINT
+    cross-products hold to ~3e9 rows per margin pair; past that,
+    widen to DECIMAL(38,0) (same fold).
+
+    Determinism: exact integer counts and cross-products; one double
+    division folded to ppm with FLOOR(x*1e6 + 0.5).
+    """
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    base = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+    )
+    cell = base.groupBy("nat", "seg", "band").agg(F.count("*").alias("c"))
+    grp = cell.groupBy("nat", "seg").agg(F.sum("c").alias("n_g"))
+    glob = cell.groupBy("band").agg(F.sum("c").alias("cb"))
+    tot = cell.agg(F.sum("c").alias("n"))
+    fullg = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["nat", "seg", "band"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    tvd = (
+        fullg.groupBy("nat", "seg", "n_g", "n")
+        .agg(
+            F.sum(F.abs(F.col("c") * F.col("n") - F.col("cb") * F.col("n_g"))).alias(
+                "sad"
+            )
+        )
+        .select(
+            "nat",
+            "seg",
+            "n_g",
+            F.floor(
+                (F.col("sad").cast("double") / (F.lit(2.0) * F.col("n_g") * F.col("n")))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("tvd_ppm"),
+        )
+    )
+    ts = tvd.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(
+                    F.array(F.lit(100000), F.lit(200000), F.lit(300000))
+                ).alias("t_ppm")
+            )
+        )
+    )
+    return (
+        ts.groupBy("t_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("tvd_ppm").alias("max_tvd_ppm"),
+            F.sum(F.when(F.col("tvd_ppm") > F.col("t_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("groups_above_t"),
+            F.sum(F.when(F.col("tvd_ppm") > F.col("t_ppm"), F.col("n_g")).otherwise(0))
+            .cast("long")
+            .alias("rows_above_t"),
+        )
+        .select(
+            F.col("t_ppm").cast("long").alias("t_ppm"),
+            "n_groups",
+            "max_tvd_ppm",
+            "groups_above_t",
+            "rows_above_t",
+        )
+        .orderBy("t_ppm")
+    )

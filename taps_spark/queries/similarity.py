@@ -870,3 +870,98 @@ def similarity_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("q_id")
     )
+
+
+CENTROID_SEP_ORACLE = """
+WITH raw AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM raw GROUP BY label, dim
+),
+pair AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(CAST(a.s AS DECIMAL(38,0)) * b.s) AS ab,
+         SUM(CAST(a.s AS DECIMAL(38,0)) * a.s) AS aa,
+         SUM(CAST(b.s AS DECIMAL(38,0)) * b.s) AS bb
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       CAST(FLOOR((CAST(ab AS DOUBLE)
+                   / SQRT(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS centroid_cos_micros
+FROM pair
+ORDER BY label_a, label_b
+"""
+
+
+@query("similarity_label_centroid_separation", oracle=CENTROID_SEP_ORACLE)
+def similarity_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid separation: the pairwise cosine between
+    every two LABEL CENTROIDS — the embedding-space health check run
+    before training a classifier or building an IVF index on class
+    structure (two classes whose centroids sit at cosine ~1 will
+    never separate; the fixtures' random vectors should sit near 0).
+    Cosine is scale-invariant, so the exact per-dimension coordinate
+    SUMS stand in for the means and no division ever happens before
+    the final fold.
+
+    Scale: one (label x dim)-grain agg over micro-quantized
+    coordinates (map-side combined to |labels| x dim rows), then an
+    equi-join on dim over that TINY frame — pair work is
+    |labels|^2 x dim regardless of corpus size.
+
+    Determinism: per-coordinate micro quantization, exact BIGINT
+    per-dimension sums, exact DECIMAL(38,0) dot products; one
+    double fold through IEEE-exact sqrt to integer micros.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = (
+        ex.select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("q"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pair = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(dec(F.col("sa")) * F.col("sb")).alias("ab"),
+            F.sum(dec(F.col("sa")) * F.col("sa")).alias("aa"),
+            F.sum(dec(F.col("sb")) * F.col("sb")).alias("bb"),
+        )
+    )
+    return pair.select(
+        "label_a",
+        "label_b",
+        F.floor(
+            (
+                F.col("ab").cast("double")
+                / F.sqrt(F.col("aa").cast("double") * F.col("bb").cast("double"))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("centroid_cos_micros"),
+    ).orderBy("label_a", "label_b")
