@@ -2116,3 +2116,189 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+PARETO_ORACLE = """
+WITH uc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rnk,
+         SUM(c) OVER (ORDER BY c DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM uc
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(c) AS BIGINT) AS n_events
+  FROM uc
+),
+ps AS (SELECT unnest([1, 5, 10]) AS pct)
+SELECT CAST(ps.pct AS INT) AS top_pct,
+       GREATEST(1, CAST(FLOOR(t.n_users * ps.pct / 100.0) AS BIGINT)) AS k_users,
+       t.n_users, t.n_events,
+       CAST(MAX(CASE WHEN r.rnk <= GREATEST(1, CAST(FLOOR(t.n_users * ps.pct / 100.0) AS BIGINT))
+                     THEN r.cum ELSE 0 END) AS BIGINT) AS events_covered,
+       CAST(FLOOR((CAST(MAX(CASE WHEN r.rnk <= GREATEST(1, CAST(FLOOR(t.n_users * ps.pct / 100.0) AS BIGINT))
+                                 THEN r.cum ELSE 0 END) AS DOUBLE) / t.n_events)
+                  * 1000000 + 0.5) AS BIGINT) AS coverage_ppm
+FROM r CROSS JOIN tot t CROSS JOIN ps
+GROUP BY ps.pct, t.n_users, t.n_events
+ORDER BY top_pct
+"""
+
+
+@query("events_power_users_pareto", oracle=PARETO_ORACLE)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of activity: what share of all events do
+    the top 1% / 5% / 10% most-active users generate — the skew
+    audit that decides whether per-user processing needs salting and
+    whether a per-user quota would even matter.
+
+    Scale: the heavy lifting is ONE user-grain count (map-side
+    combined); the ranking window then runs over |users| rows, not
+    events — acceptable to |users| ~ 1e9 with a range-partitioned
+    sort; output is 3 rows.
+
+    Determinism: unique-key ranking (count desc, user_id), exact
+    cumulative integer sums, one ppm fold.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    uc = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("user_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = uc.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("user_id"))).alias("rnk"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    tot = uc.agg(
+        F.count("*").alias("n_users"), F.sum("c").cast("long").alias("n_events")
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("pct")
+    )
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("n_users") * F.col("pct") / 100.0).cast("long"),
+    )
+    j = r.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ps)).withColumn("k", k)
+    return (
+        j.groupBy("pct", "n_users", "n_events", "k")
+        .agg(
+            F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum")).otherwise(0))
+            .cast("long")
+            .alias("events_covered")
+        )
+        .select(
+            F.col("pct").cast("int").alias("top_pct"),
+            F.col("k").alias("k_users"),
+            "n_users",
+            "n_events",
+            "events_covered",
+            F.floor(
+                (F.col("events_covered").cast("double") / F.col("n_events")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("top_pct")
+    )
+
+
+TIME_TO_CONVERT_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT s.user_id, p.p_us - s.s_us AS delta
+  FROM s JOIN p ON p.user_id = s.user_id
+),
+r AS (
+  SELECT delta, ROW_NUMBER() OVER (ORDER BY delta, user_id) AS rnk FROM d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+         CAST(MIN(delta) AS BIGINT) AS min_us,
+         CAST(MAX(delta) AS BIGINT) AS max_us,
+         CAST(FLOOR(CAST(SUM(delta) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS avg_us
+  FROM d
+),
+med AS (
+  SELECT CAST(r.delta AS BIGINT) AS median_lo_us
+  FROM r, stats
+  WHERE r.rnk = CAST(FLOOR((stats.n_converted + 1) / 2.0) AS BIGINT)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup_users,
+       n_converted, min_us, max_us, avg_us, median_lo_us
+FROM stats CROSS JOIN med
+"""
+
+
+@query("events_time_to_convert", oracle=TIME_TO_CONVERT_ORACLE)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency: for every user, the
+    microsecond gap between their FIRST signup and their first
+    purchase at-or-after it, summarized as min/avg/max plus the
+    deterministic lower median — the growth-funnel latency number,
+    computed without interpolation so it cross-checks exactly.
+
+    Scale: two user-grain aggs sharing one user_id exchange, a
+    user-grain join, and a ranking window over CONVERTED users only.
+
+    Determinism: gaps are exact integer micros; the mean folds from
+    an exact BIGINT sum; the median is the rank-⌊(n+1)/2⌋ ORDER
+    STATISTIC (delta, user_id tiebreak), not an interpolated
+    quantile, so no float ever appears.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(micros).alias("s_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", micros.alias("t"))
+        .join(s, "user_id")
+        .filter(F.col("t") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("p_us"))
+    )
+    d = s.join(p, "user_id").select(
+        "user_id", (F.col("p_us") - F.col("s_us")).alias("delta")
+    )
+    r = d.select(
+        "delta",
+        F.row_number().over(Window.orderBy("delta", "user_id")).alias("rnk"),
+    )
+    nsign = s.agg(F.count("*").alias("n_signup_users"))
+    stats = d.agg(
+        F.count("*").alias("n_converted"),
+        F.min("delta").cast("long").alias("min_us"),
+        F.max("delta").cast("long").alias("max_us"),
+        F.floor(F.sum("delta").cast("double") / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("avg_us"),
+    )
+    med = (
+        r.crossJoin(F.broadcast(stats.select("n_converted")))
+        .filter(F.col("rnk") == F.floor((F.col("n_converted") + 1) / 2.0))
+        .select(F.col("delta").cast("long").alias("median_lo_us"))
+    )
+    return nsign.crossJoin(stats).crossJoin(med).select(
+        "n_signup_users",
+        "n_converted",
+        "min_us",
+        "max_us",
+        "avg_us",
+        "median_lo_us",
+    )

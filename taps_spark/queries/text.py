@@ -3153,3 +3153,179 @@ def pipeline_epoch_shuffle_uniformity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source")
     )
+
+
+SHINGLE_DUP_CURVE_ORACLE = """
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT n.n, array_to_string(a.t[s.s : s.s + n.n - 1], ' ') AS g
+  FROM arr a
+  CROSS JOIN (SELECT unnest([3, 5, 8]) AS n) n
+  CROSS JOIN (SELECT unnest(range(1, 100000)) AS s) s
+  WHERE s.s <= LEN(a.t) - n.n + 1
+)
+SELECT CAST(n AS INT) AS shingle_n,
+       CAST(COUNT(*) AS BIGINT) AS total_shingles,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_shingles,
+       CAST(FLOOR((CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE) / COUNT(*))
+                  * 1000000 + 0.5) AS BIGINT) AS dup_ppm
+FROM grams
+GROUP BY n
+ORDER BY shingle_n
+"""
+
+
+@query("pipeline_shingle_dup_curve", oracle=SHINGLE_DUP_CURVE_ORACLE)
+def pipeline_shingle_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication as a function of shingle size (3/5/8-token
+    windows, stride 1): the exploratory curve run BEFORE choosing a
+    dedup configuration — short shingles saturate (every corpus
+    repeats 3-grams), long shingles under-trigger; the knee tells you
+    what n-gram the MinHash shingler should use for THIS corpus.
+
+    Scale: shingles are map-only HOF zips fanned out by explode; the
+    only wide stage is the distinct-count at shingle grain (hashed
+    128-bit fingerprints would halve the shuffle width at 100 TB —
+    swap array_join for xxhash64(array_join) when the strings are
+    long). Output is 3 rows.
+
+    Determinism: exact integer counts and one ppm fold.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.select("doc_id", tokens("text").alias("t"))
+    parts = []
+    for n in (3, 5, 8):
+        parts.append(
+            t.select(
+                F.lit(n).cast("int").alias("shingle_n"),
+                F.explode(
+                    F.expr(
+                        f"CASE WHEN size(t) >= {n} THEN"
+                        f"  transform(sequence(1, size(t) - {n} + 1),"
+                        f"            s -> array_join(slice(t, s, {n}), ' '))"
+                        f" ELSE CAST(array() AS array<string>) END"
+                    )
+                ).alias("g"),
+            )
+        )
+    from functools import reduce
+
+    grams = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        grams.groupBy("shingle_n")
+        .agg(
+            F.count("*").alias("total_shingles"),
+            F.countDistinct("g").alias("distinct_shingles"),
+        )
+        .select(
+            "shingle_n",
+            "total_shingles",
+            "distinct_shingles",
+            F.floor(
+                (
+                    (F.col("total_shingles") - F.col("distinct_shingles")).cast("double")
+                    / F.col("total_shingles")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("shingle_n")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_ORACLE = """
+WITH tc AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM tc GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+  FROM counts
+),
+top AS (SELECT source, tok FROM ranked WHERE r <= 1000),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM top GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS s
+  FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       COALESCE(sh.s, 0) AS shared_terms,
+       CAST(FLOOR((CAST(COALESCE(sh.s, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(sh.s, 0))) * 1000000 + 0.5) AS BIGINT)
+         AS overlap_ppm
+FROM sz sa
+JOIN sz sb ON sa.source < sb.source
+LEFT JOIN shared sh ON sh.source_a = sa.source AND sh.source_b = sb.source
+ORDER BY source_a, source_b
+"""
+
+
+@query("text_source_vocab_overlap", oracle=SOURCE_VOCAB_OVERLAP_ORACLE)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: Jaccard of each
+    source pair's top-1000 term sets (count-ranked, token tiebreak) —
+    the redundancy map a mix designer reads to find sources that are
+    near-rebrands of each other (high overlap ⇒ near-duplicate
+    domains; dedup across them BEFORE weighting the mix).
+
+    Scale: everything beyond the one (source, token)-grain count runs
+    at top-k-vocabulary grain — the ranking window partitions by
+    source over ≤|vocab| rows, and the pair join fans at most
+    |sources|² × 1000 rows. Corpus text is read once.
+
+    Determinism: exact counts, a unique-key window order, and one
+    integer ppm fold.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("tok"))
+    top = counts.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 1000)
+    sz = top.groupBy("source").agg(F.count("*").alias("n"))
+    a = top.select(F.col("source").alias("source_a"), "tok")
+    b = top.select(F.col("source").alias("source_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("s"))
+    )
+    pairs = (
+        sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+        .join(
+            sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .join(shared, ["source_a", "source_b"], "left")
+        .withColumn("shared_terms", F.coalesce(F.col("s"), F.lit(0)).cast("long"))
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "shared_terms",
+        F.floor(
+            (
+                F.col("shared_terms").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_terms"))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("overlap_ppm"),
+    ).orderBy("source_a", "source_b")
