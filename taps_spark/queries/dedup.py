@@ -1840,3 +1840,68 @@ def dedup_lsh_sampled_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("est_dup_ppm"),
     )
+
+
+PREFIX_DEDUP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         MD5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1 : 64], ' '))
+           AS pfp,
+         MD5(text) AS ffp
+  FROM documents
+),
+grp AS (
+  SELECT pfp,
+         CAST(MIN(doc_id) AS BIGINT) AS group_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT ffp) AS BIGINT) AS n_variants
+  FROM fp
+  GROUP BY pfp
+  HAVING COUNT(*) >= 2
+)
+SELECT group_id, n_docs, n_variants,
+       n_variants > 1 AS is_truncation_family
+FROM grp
+ORDER BY group_id
+"""
+
+
+@query("dedup_exact_prefix", oracle=PREFIX_DEDUP_ORACLE)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: group documents by the md5 of their
+    FIRST 64 tokens — the cheap pass that catches truncation
+    duplicates (same page scraped to different depths, same article
+    with/without a footer) that whole-text fingerprints treat as
+    distinct. Groups whose members differ in FULL text
+    (n_variants > 1) are exactly those truncation families; groups
+    with one variant are ordinary exact duplicates the prefix also
+    sees.
+
+    Scale: one md5-fingerprint shuffle, identical cost profile to
+    dedup_exact; the 64-token prefix bounds hashing work per row no
+    matter how long documents get.
+
+    Determinism: md5 + exact counts only.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 64), " ")).alias("pfp"),
+        F.md5("text").alias("ffp"),
+    )
+    return (
+        fp.groupBy("pfp")
+        .agg(
+            F.min("doc_id").alias("group_id"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("ffp").alias("n_variants"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "group_id",
+            "n_docs",
+            "n_variants",
+            (F.col("n_variants") > 1).alias("is_truncation_family"),
+        )
+        .orderBy("group_id")
+    )

@@ -965,3 +965,150 @@ def similarity_label_centroid_separation(spark: SparkSession, sf_dir: str) -> Da
         .cast("long")
         .alias("centroid_cos_micros"),
     ).orderBy("label_a", "label_b")
+
+
+JL_AUDIT_ORACLE = """
+WITH raw AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings WHERE vec_id < 40
+),
+q AS (
+  SELECT vec_id, d, CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS qx FROM raw
+),
+proj AS (
+  SELECT q.vec_id, k.k,
+         CAST(SUM(CASE WHEN ('0x' || SUBSTRING(MD5(CAST(k.k AS VARCHAR) || ':' || CAST(q.d AS VARCHAR)), 1, 1))::INT < 8
+                       THEN q.qx ELSE -q.qx END) AS BIGINT) AS y
+  FROM q CROSS JOIN (SELECT unnest(range(1, 17)) AS k) k
+  GROUP BY q.vec_id, k.k
+),
+pd AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2p
+  FROM proj a JOIN proj b ON a.k = b.k AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+od AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2o
+  FROM q a JOIN q b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+ratio AS (
+  SELECT pd.ida, pd.idb,
+         CAST(FLOOR(((CAST(pd.d2p AS DOUBLE) / 16) / od.d2o) * 1000000 + 0.5)
+              AS BIGINT) AS ratio_micros
+  FROM pd JOIN od ON od.ida = pd.ida AND od.idb = pd.idb
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(ratio_micros) AS BIGINT) AS min_ratio_micros,
+       CAST(MAX(ratio_micros) AS BIGINT) AS max_ratio_micros,
+       CAST(FLOOR(CAST(SUM(ratio_micros) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS avg_ratio_micros,
+       CAST(SUM(CASE WHEN ratio_micros BETWEEN 700000 AND 1300000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_30pct
+FROM ratio
+"""
+
+
+@query("similarity_jl_projection_audit", oracle=JL_AUDIT_ORACLE)
+def similarity_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection audit: project a
+    sampled vector block (vec_id < 40) from 64 to 16 dimensions with
+    a DETERMINISTIC ±1 sign matrix (md5(k:d) first hex digit), then
+    measure how well pairwise squared distances survive
+    (projected/16 vs original, as a ratio) — the fidelity check run
+    before shipping a cheap projected index to a 100 TB ANN tier.
+
+    Scale: the sign matrix is an expression, never materialized; the
+    projection is one (vec x k)-grain agg over the SAMPLED block, and
+    pair work is sample-quadratic by construction (the sample size is
+    the knob, exactly like dedup_minhash_estimate_quality).
+
+    Determinism: coordinates are micro-quantized BEFORE projecting,
+    so projections and squared distances are exact BIGINTs
+    (|y| <= 64·|qx| keeps the 16-term square sum under 2^63); the
+    ratio folds once per pair, and the mean folds from the exact
+    integer ratio sum.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < 40
+    )
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("qx"),
+    )
+    ks = spark.range(1, 17).select(F.col("id").cast("int").alias("k"))
+    sign = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"), F.lit(":"), F.col("d").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 8
+    )
+    proj = (
+        q.crossJoin(F.broadcast(ks))
+        .select(
+            "vec_id",
+            "k",
+            F.when(sign, F.col("qx")).otherwise(-F.col("qx")).alias("sx"),
+        )
+        .groupBy("vec_id", "k")
+        .agg(F.sum("sx").alias("y"))
+    )
+    pa = proj.select(F.col("vec_id").alias("ida"), "k", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("idb"), "k", F.col("y").alias("yb"))
+    pd_ = (
+        pa.join(pb, "k")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))).alias("d2p")
+        )
+    )
+    qa = q.select(F.col("vec_id").alias("ida"), "d", F.col("qx").alias("xa"))
+    qb = q.select(F.col("vec_id").alias("idb"), "d", F.col("qx").alias("xb"))
+    od = (
+        qa.join(qb, "d")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(
+            F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).alias("d2o")
+        )
+    )
+    ratio = pd_.join(od, ["ida", "idb"]).select(
+        F.floor(
+            ((F.col("d2p").cast("double") / 16) / F.col("d2o")) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ratio_micros")
+    )
+    return ratio.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("ratio_micros").cast("long").alias("min_ratio_micros"),
+        F.max("ratio_micros").cast("long").alias("max_ratio_micros"),
+        F.floor(F.sum("ratio_micros").cast("double") / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("avg_ratio_micros"),
+        F.sum(
+            F.when(
+                F.col("ratio_micros").between(700000, 1300000), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_30pct"),
+    )

@@ -3329,3 +3329,65 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_ppm"),
     ).orderBy("source_a", "source_b")
+
+
+TOKENIZER_FERTILITY_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
+       CAST(FLOOR((CAST(SUM(LEN(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                   / SUM(n_chars)) * 1000000 + 0.5) AS BIGINT)
+         AS tokens_per_char_ppm,
+       CAST(FLOOR((CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS DOUBLE)
+                   / SUM(LEN(regexp_split_to_array(trim(text), '\\s+'))))
+                  * 1000 + 0.5) AS BIGINT) AS bytes_per_token_milli
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("pipeline_tokenizer_fertility", oracle=TOKENIZER_FERTILITY_ORACLE)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: tokens-per-character
+    and bytes-per-token — the numbers that size a training budget
+    across languages (a language whose tokenizer is 2x as fertile
+    costs 2x the steps for the same text) and flag scripts the
+    tokenizer handles poorly (bytes/token spikes).
+
+    Scale: one map-only pass (token count, char count, byte count are
+    row expressions), one language-grain agg. Nothing else moves.
+
+    Determinism: exact BIGINT sums and two integer folds.
+    """
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.octet_length("text")).cast("long").alias("total_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "total_bytes",
+        F.floor(
+            (F.col("total_tokens").cast("double") / F.col("total_chars")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tokens_per_char_ppm"),
+        F.floor(
+            (F.col("total_bytes").cast("double") / F.col("total_tokens")) * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("bytes_per_token_milli"),
+    ).orderBy("lang")
