@@ -1484,3 +1484,65 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+EXACT_DECILES_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT priority, cents,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents, o_orderkey) AS rnk,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM o
+),
+ks AS (SELECT unnest(range(1, 10)) AS k)
+SELECT r.priority, CAST(ks.k AS INT) AS decile,
+       CAST(r.cents AS BIGINT) AS cutpoint_cents
+FROM r CROSS JOIN ks
+WHERE r.rnk = CAST(CEIL(r.n * ks.k / 10.0) AS BIGINT)
+ORDER BY priority, decile
+"""
+
+
+@query("stats_exact_deciles", oracle=EXACT_DECILES_ORACLE)
+def stats_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile cutpoints of order value per priority class as
+    RANK STATISTICS (the value at rank ⌈n·k/10⌉, orderkey tiebreak) —
+    the non-interpolated quantiles a partitioner or pricing-band
+    designer wants when the cut must equal an actual data value and
+    reproduce bit-for-bit on any engine (interpolated quantiles are
+    float-blend territory; rank statistics are integer-exact).
+
+    Scale: one window per priority class (design grain, ~5 classes;
+    range-partition the sort key for a single giant class) and a
+    broadcast of 9 rank targets. Integer cents only.
+
+    Determinism: ranks are unique (cents, orderkey) and cutpoints are
+    exact integers — no floats anywhere after the cents fold.
+    """
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+    r = o.select(
+        "priority",
+        "cents",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("priority")).alias("n"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk") == F.ceil(F.col("n") * F.col("decile") / 10.0))
+        .select("priority", "decile", F.col("cents").alias("cutpoint_cents"))
+        .orderBy("priority", "decile")
+    )

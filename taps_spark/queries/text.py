@@ -3391,3 +3391,100 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bytes_per_token_milli"),
     ).orderBy("lang")
+
+
+PACK_WASTE_ORACLE = """
+WITH tc AS (
+  SELECT doc_id, lang,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM tc
+),
+packs AS (
+  SELECT lang, CAST((cum_tok - n_tok) // 2048 AS INT) AS pack_id,
+         CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+  FROM cum
+  GROUP BY lang, (cum_tok - n_tok) // 2048
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN pack_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflow_packs,
+       CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       CAST(FLOOR((CAST(SUM(pack_tokens) AS DOUBLE) / (COUNT(*) * 2048))
+                  * 1000000 + 0.5) AS BIGINT) AS avg_fill_ppm
+FROM packs
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("pipeline_pack_waste_stats", oracle=PACK_WASTE_ORACLE)
+def pipeline_pack_waste_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the text_pack_sequences binning:
+    per language, how many 2048-token packs form, how full they run
+    on average (fill ppm of capacity), and how many OVERFLOW the
+    budget because a document straddles a boundary — the numbers that
+    decide between start-offset binning (cheap, may overflow) and
+    document splitting (exact, costs a chunking pass) for a training
+    loader.
+
+    Scale: identical plan spine to text_pack_sequences (one window
+    partitioned by lang, token counts travel, text never does) plus a
+    language-grain rollup.
+
+    Determinism: exact integer token sums; one ppm fold.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = docs.select("doc_id", "lang", token_count("text").alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tc.withColumn("cum_tok", F.sum("n_tok").over(w))
+    packs = (
+        cum.select(
+            "lang",
+            F.expr("CAST((cum_tok - n_tok) div 2048 AS INT)").alias("pack_id"),
+            "n_tok",
+        )
+        .groupBy("lang", "pack_id")
+        .agg(F.sum("n_tok").alias("pack_tokens"))
+    )
+    return (
+        packs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum("pack_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("pack_tokens") > 2048, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overflow_packs"),
+            F.max("pack_tokens").cast("long").alias("max_pack_tokens"),
+        )
+        .select(
+            "lang",
+            "n_packs",
+            "total_tokens",
+            "n_overflow_packs",
+            "max_pack_tokens",
+            F.floor(
+                (F.col("total_tokens").cast("double") / (F.col("n_packs") * 2048))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_fill_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -458,7 +458,10 @@ def test_dim_standardize_combines_map_side(spark, sf_dir):
     import re
 
     plan = formatted_plan(spark, "similarity_dim_standardize", sf_dir)
-    assert "partial_avg" in plan, "map-side partial aggregate missing"
+    # r7: the hardened query sums exact decimal moments instead of
+    # avg/stddev — the map-side combine is now partial_sum/partial_min.
+    assert "partial_sum" in plan, "map-side partial aggregate missing"
+    assert "partial_min" in plan and "partial_max" in plan
 
     def node_num(pattern):
         m = re.search(r"\((\d+)\) " + pattern, plan)
