@@ -1905,3 +1905,99 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+NEAR_DUP_PURGE_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+tsets AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT))) AS toks
+  FROM documents
+),
+verified AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+         CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / (LEN(ta.toks) + LEN(tb.toks) - LEN(list_intersect(ta.toks, tb.toks))) AS j
+  FROM cand
+  JOIN tsets ta ON ta.doc_id = doc_a
+  JOIN tsets tb ON tb.doc_id = doc_b
+),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE j >= 0.9)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(FLOOR((CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*)) * 1000000 + 0.5) AS BIGINT) AS drop_ppm
+FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("pipeline_near_dup_purge", oracle=NEAR_DUP_PURGE_ORACLE)
+def pipeline_near_dup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the near-dup verdicts as a purge: keep-first over
+    verified pairs (any document with a Jaccard >= 0.9 duplicate of
+    SMALLER doc_id is dropped), reported as per-source kept/dropped
+    counts — the actual corpus-reduction step a training pipeline
+    runs after dedup_lsh_verified_pairs diagnoses, wired end to end
+    in one plan.
+
+    Scale: the verified group graph comes from the condensed prelude
+    (_condensed_group_graph — Jaccard once per distinct-content group
+    pair); the drop set fans out as pure scalars, stays doc-linear,
+    and applies as one broadcast-able anti-join against the corpus.
+
+    Determinism: exact counts and one ppm fold; the keep-first rule
+    needs no tie-breaking randomness (doc_id is the canonical order).
+    """
+    docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
+    grp, gedges = _condensed_group_graph(docs, threshold=0.9)
+    dropped = (
+        _fan_out_doc_pairs(grp, gedges.withColumn("j", F.lit(1.0)))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    flagged = docs.select("source", "doc_id").join(
+        dropped.withColumn("is_dropped", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            F.floor(
+                (F.col("n_dropped").cast("double") / F.col("n_docs")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("drop_ppm"),
+        )
+        .orderBy("source")
+    )

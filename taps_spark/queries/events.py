@@ -2302,3 +2302,62 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_us",
         "median_lo_us",
     )
+
+
+BURST_ORACLE = """
+WITH d AS (
+  SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
+),
+w AS (
+  SELECT event_type, day, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prev
+  FROM d
+)
+SELECT event_type, day, c AS n_events, CAST(prev7 AS BIGINT) AS prev7_events
+FROM w
+WHERE n_prev = 7 AND c * 7 > 2 * prev7
+ORDER BY event_type, day
+"""
+
+
+@query("events_burst_days", oracle=BURST_ORACLE)
+def events_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection on daily event volume: flag (type, day) cells
+    whose count exceeds 2x the trailing-7-day average — the
+    incident/virality detector every event pipeline runs, kept exact
+    by comparing c*7 > 2*sum_prev7 in INTEGERS instead of dividing.
+
+    Scale: one (type, day)-grain count (map-side combined), one
+    window per type over day-grain rows — thousands of rows per year
+    regardless of event volume.
+
+    Determinism: integer counts and an integer cross-multiplied
+    threshold; day strings via date_format (UTC on both engines).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    b = d.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(w).alias("prev7"),
+        F.count("*").over(w).alias("n_prev"),
+    )
+    return (
+        b.filter((F.col("n_prev") == 7) & (F.col("c") * 7 > 2 * F.col("prev7")))
+        .select(
+            "event_type",
+            "day",
+            F.col("c").alias("n_events"),
+            F.col("prev7").cast("long").alias("prev7_events"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1112,3 +1112,136 @@ def similarity_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("n_within_30pct"),
     )
+
+
+COVARIANCE_ORACLE = """
+WITH raw AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings WHERE vec_id < 500
+),
+q AS (
+  SELECT vec_id, d, CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS qx FROM raw
+),
+marg AS (
+  SELECT d, CAST(SUM(qx) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY d
+),
+cross_ AS (
+  SELECT a.d AS i, b.d AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS sqq
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.d >= a.d
+  GROUP BY a.d, b.d
+)
+SELECT c.i, c.j,
+       CAST(ma.n * c.sqq - ma.s * mb.s AS BIGINT) AS cov_grid
+FROM cross_ c
+JOIN marg ma ON ma.d = c.i
+JOIN marg mb ON mb.d = c.j
+ORDER BY i, j
+"""
+
+
+@query("similarity_covariance_matrix", oracle=COVARIANCE_ORACLE)
+def similarity_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding covariance matrix (upper triangle, scaled by
+    n²) over a deterministic 500-vector block — the fit input for
+    whitening / PCA / ZCA preprocessing of an embedding corpus,
+    computed ENTIRELY on an integer grid: cov_grid(i,j) =
+    n·Σqᵢqⱼ − Σqᵢ·Σqⱼ with micro-quantized coordinates, so every
+    cell is an exact BIGINT on any engine (true covariance =
+    cov_grid / (n²·1e12)).
+
+    Scale: the pair fan-out is per-ROW dim² (64² map-side, combined
+    to 2080 groups before the exchange) — corpus-linear; the block
+    bound keeps the BIGINT cross-products safe (|cov_grid| ≤
+    n²·(4e6)² ⇒ DECIMAL(38,0) past ~2M-row blocks, same fold).
+
+    Determinism: integer grid end to end; no floats in the output.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < 500
+    )
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("qx"),
+    )
+    marg = q.groupBy("d").agg(
+        F.sum("qx").alias("s"), F.count("*").alias("n")
+    )
+    a = q.select("vec_id", F.col("d").alias("i"), F.col("qx").alias("qa"))
+    b = q.select("vec_id", F.col("d").alias("j"), F.col("qx").alias("qb"))
+    cross = (
+        a.join(b, "vec_id")
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("sqq"))
+    )
+    ma = marg.select(F.col("d").alias("i"), F.col("s").alias("sa"), "n")
+    mb = marg.select(F.col("d").alias("j"), F.col("s").alias("sb"))
+    return (
+        cross.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sqq") - F.col("sa") * F.col("sb"))
+            .cast("long")
+            .alias("cov_grid"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query("similarity_pca_top_component")  # rows-only: iterative power method
+def similarity_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding block via DISTRIBUTED
+    power iteration over the exact integer covariance
+    (similarity_covariance_matrix): 8 matvec rounds, each one
+    join + grouped sum, lineage-truncated like PageRank — the
+    whitening/PCA primitive at the scale where the corpus can't
+    leave the cluster but the matrix (dim²) is tiny. Sign convention:
+    the largest-|component| coordinate is made positive.
+
+    Rows-only (the normalization chain is iterative IEEE, not
+    ANSI-SQL); tests/test_operators.py pins the result against a
+    dense NumPy power-iteration replay at 1e-6 and checks unit norm.
+    """
+    cov = similarity_covariance_matrix(spark, sf_dir).select(
+        "i", "j", F.col("cov_grid").cast("double").alias("c")
+    )
+    full = cov.unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint(eager=True)
+    x = full.select("i").distinct().select(
+        F.col("i").alias("j"), F.lit(1.0).alias("xv")
+    )
+    for it in range(8):
+        y = (
+            full.join(x, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("xv")).alias("yv"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("yv") * F.col("yv"))).alias("nrm"))
+        x = (
+            y.crossJoin(F.broadcast(nrm))
+            .select(F.col("i").alias("j"), (F.col("yv") / F.col("nrm")).alias("xv"))
+        )
+        if it % 3 == 2:
+            x = x.localCheckpoint(eager=True)
+    sign_src = x.orderBy(F.abs(F.col("xv")).desc(), F.col("j")).limit(1).select(
+        F.when(F.col("xv") < 0, -1.0).otherwise(1.0).alias("sgn")
+    )
+    return (
+        x.crossJoin(F.broadcast(sign_src))
+        .select(
+            F.col("j").alias("dim"),
+            F.round(F.col("xv") * F.col("sgn"), 6).alias("component"),
+        )
+        .orderBy("dim")
+    )

@@ -1554,3 +1554,42 @@ def test_bigram_lm_survives_single_token_docs(spark, tmp_path):
     out = text_bigram_lm_bits(spark, d).collect()
     assert [r["doc_id"] for r in out] == [3]
     assert out[0]["n_bigrams"] == 3
+
+
+def test_pca_top_component_matches_numpy_replay(spark, sf_dir):
+    """similarity_pca_top_component (rows-only: iterative power
+    method) must agree with a dense NumPy replay of the SAME
+    computation — integer-grid covariance, 8 power iterations from
+    the all-ones start, largest-|component| coordinate positive —
+    to 1e-6 per coordinate, and be unit-norm."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    got = {
+        r["dim"]: r["component"]
+        for r in REGISTRY["similarity_pca_top_component"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == 64
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = tb.to_pandas()
+    df = df[df.vec_id < 500]
+    X = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    Q = np.floor(X * 1_000_000 + 0.5)
+    n = Q.shape[0]
+    s = Q.sum(axis=0)
+    cov = n * (Q.T @ Q) - np.outer(s, s)
+    x = np.ones(64)
+    for _ in range(8):
+        y = cov @ x
+        x = y / math.sqrt(float((y * y).sum()))
+    if x[np.argmax(np.abs(x))] < 0:
+        x = -x
+    assert abs(math.sqrt(sum(v * v for v in got.values())) - 1.0) < 1e-6
+    for d in range(64):
+        assert abs(got[d + 1] - x[d]) < 1e-6, (d, got[d + 1], x[d])
