@@ -1073,7 +1073,7 @@ def similarity_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFram
     pa = proj.select(F.col("vec_id").alias("ida"), "k", F.col("y").alias("ya"))
     pb = proj.select(F.col("vec_id").alias("idb"), "k", F.col("y").alias("yb"))
     pd_ = (
-        pa.join(pb, "k")
+        pa.join(F.broadcast(pb), "k")
         .filter(F.col("ida") < F.col("idb"))
         .groupBy("ida", "idb")
         .agg(
@@ -1083,14 +1083,14 @@ def similarity_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFram
     qa = q.select(F.col("vec_id").alias("ida"), "d", F.col("qx").alias("xa"))
     qb = q.select(F.col("vec_id").alias("idb"), "d", F.col("qx").alias("xb"))
     od = (
-        qa.join(qb, "d")
+        qa.join(F.broadcast(qb), "d")
         .filter(F.col("ida") < F.col("idb"))
         .groupBy("ida", "idb")
         .agg(
             F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).alias("d2o")
         )
     )
-    ratio = pd_.join(od, ["ida", "idb"]).select(
+    ratio = pd_.join(F.broadcast(od), ["ida", "idb"]).select(
         F.floor(
             ((F.col("d2p").cast("double") / 16) / F.col("d2o")) * 1000000 + F.lit(0.5)
         )
@@ -1223,7 +1223,7 @@ def similarity_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for it in range(8):
         y = (
-            full.join(x, "j")
+            full.join(F.broadcast(x), "j")
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("xv")).alias("yv"))
         )

@@ -3300,7 +3300,7 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = top.select(F.col("source").alias("source_a"), "tok")
     b = top.select(F.col("source").alias("source_b"), "tok")
     shared = (
-        a.join(b, "tok")
+        a.join(F.broadcast(b), "tok")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("s"))
@@ -3311,7 +3311,7 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
             F.col("source_a") < F.col("source_b"),
         )
-        .join(shared, ["source_a", "source_b"], "left")
+        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
         .withColumn("shared_terms", F.coalesce(F.col("s"), F.lit(0)).cast("long"))
     )
     return pairs.select(
