@@ -2361,3 +2361,157 @@ def events_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+SESSION_LENGTH_HIST_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+),
+per AS (
+  SELECT user_id, session_id,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT LEAST(5, CAST(dur_us // 600000000 AS INT)) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+FROM per
+GROUP BY LEAST(5, CAST(dur_us // 600000000 AS INT))
+ORDER BY bucket
+"""
+
+
+@query("events_session_length_histogram", oracle=SESSION_LENGTH_HIST_ORACLE)
+def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration histogram (10-minute buckets, top bucket
+    open): the one-glance shape check on the sessionizer's output —
+    a fat bucket 0 means bursty single-hit traffic, mass in the open
+    bucket means the inactivity gap is set too wide.
+
+    Scale: rides the proven gaps-and-islands spine (one user_id
+    exchange shared by the lag and the session rollup), then a
+    6-group aggregate — map-side combined, output constant-size.
+
+    Determinism: exact integer microsecond durations; integer floor
+    bucketing; counts only.
+    """
+    from taps_spark.operators.events import sessionize
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    s = sessionize(ev, "user_id", "ts", "event_id", 30)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = s.groupBy("user_id", "session_id").agg(
+        (F.max(micros) - F.min(micros)).alias("dur_us"),
+        F.count("*").alias("n_events"),
+    )
+    bucket = F.least(F.lit(5), F.expr("CAST(dur_us div 600000000 AS INT)"))
+    return (
+        per.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.max("dur_us").cast("long").alias("max_dur_us"),
+        )
+        .orderBy("bucket")
+    )
+
+
+TYPE_SHARE_DRIFT_ORACLE = """
+WITH d AS (
+  SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
+),
+n AS (SELECT day, CAST(SUM(c) AS BIGINT) AS nd FROM d GROUP BY day),
+j AS (
+  SELECT d.event_type, d.day, d.c, n.nd,
+         LAG(d.c)  OVER (PARTITION BY d.event_type ORDER BY d.day) AS pc,
+         LAG(n.nd) OVER (PARTITION BY d.event_type ORDER BY d.day) AS pn
+  FROM d JOIN n USING (day)
+),
+delta AS (
+  SELECT event_type,
+         CAST(FLOOR((CAST(ABS(c * pn - pc * nd) AS DOUBLE) / (nd * pn))
+                    * 1000000 + 0.5) AS BIGINT) AS delta_ppm
+  FROM j WHERE pc IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_day_pairs,
+       CAST(MAX(delta_ppm) AS BIGINT) AS max_drift_ppm,
+       CAST(FLOOR(CAST(SUM(delta_ppm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS avg_drift_ppm
+FROM delta
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_type_share_drift", oracle=TYPE_SHARE_DRIFT_ORACLE)
+def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day drift of each event type's traffic share — the
+    schema-free distribution monitor that catches a logging change or
+    a bot flood as a share step, even when total volume looks normal.
+    The share delta |c_d/n_d − c_{d-1}/n_{d-1}| is computed by integer
+    cross-multiplication before ONE ppm fold, so no float ratio chain
+    ever forms.
+
+    Scale: (type, day)-grain counts (map-side combined), a day-grain
+    total broadcast back, one lag window per type over day-grain rows.
+
+    Determinism: exact integer counts and cross-products; folded ppm
+    integers aggregate by MAX and an exact-sum mean.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("c"))
+    n = d.groupBy("day").agg(F.sum("c").alias("nd"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    j = (
+        d.join(F.broadcast(n), "day")
+        .withColumn("pc", F.lag("c").over(w))
+        .withColumn("pn", F.lag("nd").over(w))
+        .filter(F.col("pc").isNotNull())
+    )
+    delta = j.select(
+        "event_type",
+        F.floor(
+            (
+                F.abs(F.col("c") * F.col("pn") - F.col("pc") * F.col("nd")).cast("double")
+                / (F.col("nd") * F.col("pn"))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("delta_ppm"),
+    )
+    return (
+        delta.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_day_pairs"),
+            F.max("delta_ppm").alias("max_drift_ppm"),
+            F.floor(F.sum("delta_ppm").cast("double") / F.count("*") + F.lit(0.5))
+            .cast("long")
+            .alias("avg_drift_ppm"),
+        )
+        .orderBy("event_type")
+    )

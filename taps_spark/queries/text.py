@@ -3488,3 +3488,98 @@ def pipeline_pack_waste_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+NGRAM_BLOCKLIST_ORACLE = """
+WITH arr AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+tri AS (
+  SELECT a.doc_id, a.source, array_to_string(a.t[s.s : s.s + 2], ' ') AS g
+  FROM arr a
+  CROSS JOIN (SELECT unnest(range(1, 100000)) AS s) s
+  WHERE s.s <= LEN(a.t) - 2
+),
+top AS (
+  SELECT g FROM (
+    SELECT g, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, g) AS r
+    FROM tri GROUP BY g
+  ) WHERE r <= 20
+)
+SELECT tri.source,
+       CAST(COUNT(*) AS BIGINT) AS total_trigrams,
+       CAST(SUM(CASE WHEN top.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS blocked_trigrams,
+       CAST(FLOOR((CAST(SUM(CASE WHEN top.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*)) * 1000000 + 0.5) AS BIGINT) AS blocked_ppm
+FROM tri LEFT JOIN top ON top.g = tri.g
+GROUP BY tri.source
+ORDER BY tri.source
+"""
+
+
+@query("text_common_ngram_blocklist", oracle=NGRAM_BLOCKLIST_ORACLE)
+def text_common_ngram_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate pressure per source: build the corpus top-20
+    trigram blocklist (count-ranked, gram tiebreak) and measure what
+    share of each source's trigrams it covers — high coverage marks
+    navigation chrome / template text the cleaning pass should strip
+    before dedup ever runs (boilerplate inflates near-dup candidates
+    quadratically).
+
+    Scale: trigrams are map-only HOF zips; the blocklist ranking runs
+    at trigram-VOCABULARY grain and only 20 rows broadcast back onto
+    the stream — the probe join is a broadcast hash, never a shuffle
+    of the corpus.
+
+    Determinism: exact counts, unique-key ranking, one ppm fold.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from pyspark.sql import Window
+
+    tri = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 3 THEN"
+                "  transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2),"
+                "            s -> array_join(slice(split(trim(text), '\\\\s+'), s, 3), ' '))"
+                " ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("g"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a map-side
+    # top-20 per partition reduced on the driver, NOT a global sort
+    # of the trigram vocabulary (the window form would be).
+    top = (
+        tri.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("g"))
+        .limit(20)
+        .select("g", F.lit(1).alias("blocked"))
+    )
+    return (
+        tri.join(F.broadcast(top), "g", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_trigrams"),
+            F.sum(F.coalesce(F.col("blocked"), F.lit(0)))
+            .cast("long")
+            .alias("blocked_trigrams"),
+        )
+        .select(
+            "source",
+            "total_trigrams",
+            "blocked_trigrams",
+            F.floor(
+                (F.col("blocked_trigrams").cast("double") / F.col("total_trigrams"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("blocked_ppm"),
+        )
+        .orderBy("source")
+    )
