@@ -2515,3 +2515,93 @@ def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+IQR_OUTLIER_ORACLE = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+r AS (
+  SELECT event_type, vm,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+q AS (
+  SELECT event_type,
+         MAX(CASE WHEN rnk = CAST(CEIL(n * 0.25) AS BIGINT) THEN vm END) AS q1,
+         MAX(CASE WHEN rnk = CAST(CEIL(n * 0.75) AS BIGINT) THEN vm END) AS q3
+  FROM r GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(q.q1 AS BIGINT) AS q1_micros,
+       CAST(q.q3 AS BIGINT) AS q3_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN v.vm * 2 > q.q3 * 2 + 3 * (q.q3 - q.q1)
+                       OR v.vm * 2 < q.q1 * 2 - 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM v JOIN q ON q.event_type = v.event_type
+GROUP BY v.event_type, q.q1, q.q3
+ORDER BY v.event_type
+"""
+
+
+@query("events_anomaly_iqr", oracle=IQR_OUTLIER_ORACLE)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type with RANK-STATISTIC
+    quartiles (value at rank ⌈0.25n⌉ / ⌈0.75n⌉, event_id tiebreak)
+    and the 1.5-IQR fences applied by integer cross-multiplication
+    (v·2 > q3·2 + 3·IQR) — the robust outlier counter that, unlike
+    the z-score variant, a single extreme value cannot poison, and
+    unlike interpolated quartiles, reproduces bit-for-bit anywhere.
+
+    Scale: one window per event type over micro-quantized values,
+    quartiles broadcast back (|types| rows), fences applied at scan
+    speed.
+
+    Determinism: integer micros, rank statistics, integer fences —
+    no float appears anywhere.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("vm", "event_id")
+    r = v.select(
+        "event_type",
+        "vm",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rnk") == F.ceil(F.col("n") * 0.25), F.col("vm"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rnk") == F.ceil(F.col("n") * 0.75), F.col("vm"))
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("vm") * 2 > F.col("q3") * 2 + 3 * iqr) | (
+        F.col("vm") * 2 < F.col("q1") * 2 - 3 * iqr
+    )
+    return (
+        v.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("q1").cast("long").alias("q1_micros"),
+            F.col("q3").cast("long").alias("q3_micros"),
+            "n_events",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -3583,3 +3583,135 @@ def text_common_ngram_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+HASH_FEATURE_COLLISION_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT tok,
+         ('0x' || SUBSTRING(MD5(tok), 1, 6))::BIGINT % 1024 AS bucket
+  FROM vocab
+),
+per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_toks FROM b GROUP BY bucket
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(MAX(n_toks) AS BIGINT) AS max_tokens_per_bucket,
+       CAST(SUM(CASE WHEN n_toks > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+         AS collided_vocab,
+       CAST(FLOOR((CAST(SUM(CASE WHEN n_toks > 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM vocab)) * 1000000 + 0.5) AS BIGINT)
+         AS collided_ppm
+FROM per
+"""
+
+
+@query("text_hash_feature_collision_audit", oracle=HASH_FEATURE_COLLISION_ORACLE)
+def text_hash_feature_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit (the HashingTF question): hash
+    the corpus vocabulary into 1024 buckets (md5 — engine-portable)
+    and measure how much of the vocabulary shares a bucket — the
+    number that decides whether a hashed feature space is big enough
+    for a downstream classifier, checked BEFORE training instead of
+    debugged after.
+
+    Scale: runs entirely at VOCABULARY grain (one distinct over the
+    token stream, map-side combined), then a 1024-group aggregate.
+
+    Determinism: md5 bucketing, exact counts, one ppm fold.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    vocab = docs.select(F.explode(tokens("text")).alias("tok")).distinct()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10).cast("long") % 1024
+    )
+    per = vocab.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n_toks"))
+    vs = vocab.agg(F.count("*").alias("vocab_size"))
+    agg = per.agg(
+        F.count("*").alias("buckets_used"),
+        F.max("n_toks").cast("long").alias("max_tokens_per_bucket"),
+        F.sum(F.when(F.col("n_toks") > 1, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("collided_vocab"),
+    )
+    return vs.crossJoin(agg).select(
+        "vocab_size",
+        "buckets_used",
+        "max_tokens_per_bucket",
+        "collided_vocab",
+        F.floor(
+            (F.col("collided_vocab").cast("double") / F.col("vocab_size")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("collided_ppm"),
+    )
+
+
+TRUNCATION_WASTE_ORACLE = """
+WITH tc AS (
+  SELECT lang,
+         CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+       CAST(SUM(CASE WHEN n_tok > 64 THEN n_tok - 64 ELSE 0 END) AS BIGINT)
+         AS tokens_lost,
+       CAST(FLOOR((CAST(SUM(CASE WHEN n_tok > 64 THEN n_tok - 64 ELSE 0 END) AS DOUBLE)
+                   / SUM(n_tok)) * 1000000 + 0.5) AS BIGINT) AS lost_ppm
+FROM tc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("pipeline_truncation_waste", oracle=TRUNCATION_WASTE_ORACLE)
+def pipeline_truncation_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation waste at a 64-token window: per
+    language, how many documents exceed the window and what share of
+    corpus tokens a hard-truncate loader would silently drop — the
+    number that decides between truncation and the chunking path
+    (text_chunk_windows) before anyone trains on accidentally-headless
+    documents.
+
+    Scale: map-only token counts, one language-grain agg.
+
+    Determinism: exact integer sums, one ppm fold.
+    """
+    from taps_spark.operators.text import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = docs.select("lang", token_count("text").alias("n_tok"))
+    lost = F.when(F.col("n_tok") > 64, F.col("n_tok") - 64).otherwise(0)
+    return (
+        tc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("n_tok") > 64, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_truncated"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "docs_truncated",
+            "tokens_lost",
+            F.floor(
+                (F.col("tokens_lost").cast("double") / F.col("total_tokens")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lost_ppm"),
+        )
+        .orderBy("lang")
+    )
