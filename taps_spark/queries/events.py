@@ -2605,3 +2605,55 @@ def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+WEEKLY_HEATMAP_ORACLE = """
+WITH cell AS (
+  SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cell)
+SELECT iso_dow, hour, n AS n_events,
+       CAST(FLOOR((CAST(n AS DOUBLE) / t.total) * 1000000 + 0.5) AS BIGINT)
+         AS share_ppm
+FROM cell CROSS JOIN tot t
+ORDER BY iso_dow, hour
+"""
+
+
+@query("events_weekly_heatmap", oracle=WEEKLY_HEATMAP_ORACLE)
+def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity heatmap: event counts and corpus share per
+    (ISO weekday, UTC hour) cell — the capacity-planning grid every
+    traffic dashboard draws, and the input to any "run the batch job
+    in the quiet cells" scheduler.
+
+    Scale: one map-only cell assignment + a 168-group aggregate.
+
+    Determinism: ISO weekday on both engines (Spark weekday()+1 ==
+    DuckDB isodow), UTC hours, exact counts, one ppm fold.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ts = F.col("ts").cast("timestamp")
+    cell = ev.groupBy(
+        (F.weekday(ts) + 1).cast("int").alias("iso_dow"),
+        F.hour(ts).cast("int").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    tot = cell.agg(F.sum("n").alias("total"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "iso_dow",
+            "hour",
+            F.col("n").alias("n_events"),
+            F.floor(
+                (F.col("n").cast("double") / F.col("total")) * 1000000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("iso_dow", "hour")
+    )

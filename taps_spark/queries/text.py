@@ -3715,3 +3715,138 @@ def pipeline_truncation_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+JS_DIVERGENCE_ORACLE = """
+WITH tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY source, tok
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+aterms AS (
+  SELECT p.sa, p.sb,
+         CAST(FLOOR((0.5 * (ta.c / na.n)
+                     * (LOG10((ta.c / na.n)
+                              / (((ta.c / na.n) + (COALESCE(tb.c, 0) / nb.n)) / 2))
+                        / LOG10(2)))
+                    * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM pairs p
+  JOIN tc ta ON ta.source = p.sa
+  JOIN tot na ON na.source = p.sa
+  JOIN tot nb ON nb.source = p.sb
+  LEFT JOIN tc tb ON tb.source = p.sb AND tb.tok = ta.tok
+),
+bterms AS (
+  SELECT p.sa, p.sb,
+         CAST(FLOOR((0.5 * (tb.c / nb.n)
+                     * (LOG10((tb.c / nb.n)
+                              / (((tb.c / nb.n) + (COALESCE(ta.c, 0) / na.n)) / 2))
+                        / LOG10(2)))
+                    * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM pairs p
+  JOIN tc tb ON tb.source = p.sb
+  JOIN tot nb ON nb.source = p.sb
+  JOIN tot na ON na.source = p.sa
+  LEFT JOIN tc ta ON ta.source = p.sa AND ta.tok = tb.tok
+),
+allt AS (
+  SELECT sa, sb, q FROM aterms UNION ALL SELECT sa, sb, q FROM bterms
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(FLOOR((CAST(SUM(q) AS DOUBLE) / 1000000000) * 1000 + 0.5) AS BIGINT)
+         AS js_bits_milli
+FROM allt
+GROUP BY sa, sb
+ORDER BY source_a, source_b
+"""
+
+
+@query("text_source_js_divergence", oracle=JS_DIVERGENCE_ORACLE)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between every source pair's
+    token distributions — the symmetric, bounded mix-comparison
+    metric (0 = identical corpora, 1 bit = disjoint): what a mix
+    designer actually reads when deciding whether two sources bring
+    distinct distributions or re-skinned copies (complements
+    text_source_vocab_overlap, which only sees SET overlap).
+
+    Scale: everything runs at (source, token) vocabulary grain — the
+    corpus collapses to counts first; the pair fan-out is
+    |pairs| x |vocab-per-source| rows of arithmetic, no text moves.
+    Per-term contributions are nano-quantized and summed EXACTLY in
+    DECIMAL(38,0) (the r7 law — a 190-pair x vocab unordered double
+    sum is exactly the DSIR trap shape).
+
+    Determinism: per-term doubles are bit-identical (integer-count
+    divisions, LOG10 ratios composed identically on both engines);
+    the sum is an exact integer; one milli fold at the end.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    pairs = (
+        tot.select(F.col("source").alias("sa"))
+        .join(tot.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+
+    def _terms(own_src, other_src):
+        own = tc.select(
+            F.col("source").alias(own_src), "tok", F.col("c").alias("c_own")
+        )
+        other = tc.select(
+            F.col("source").alias("o_src"),
+            F.col("tok").alias("tok2"),
+            F.col("c").alias("c_other"),
+        )
+        n_own = tot.select(F.col("source").alias(own_src), F.col("n").alias("n_own"))
+        n_other = tot.select(
+            F.col("source").alias(other_src), F.col("n").alias("n_other")
+        )
+        j = (
+            pairs.join(own, own_src)
+            .join(F.broadcast(n_own), own_src)
+            .join(F.broadcast(n_other), other_src)
+            .join(
+                other,
+                (F.col(other_src) == F.col("o_src"))
+                & (F.col("tok") == F.col("tok2")),
+                "left",
+            )
+        )
+        p = F.col("c_own") / F.col("n_own")
+        q = F.coalesce(F.col("c_other"), F.lit(0)) / F.col("n_other")
+        m = (p + q) / 2
+        term = F.lit(0.5) * p * (F.log10(p / m) / F.log10(F.lit(2.0)))
+        return j.select(
+            "sa",
+            "sb",
+            F.floor(term * 1000000000 + F.lit(0.5)).cast("decimal(38,0)").alias("q"),
+        )
+
+    allt = _terms("sa", "sb").unionByName(_terms("sb", "sa"))
+    return (
+        allt.groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_terms"), F.sum("q").alias("sq"))
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_terms",
+            F.floor(
+                (F.col("sq").cast("double") / 1000000000) * 1000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("js_bits_milli"),
+        )
+        .orderBy("source_a", "source_b")
+    )
