@@ -1755,8 +1755,12 @@ def dedup_lsh_sampled_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob a 100 TB dedup pipeline turns when the full verify pass is
     the budget bottleneck and it only needs the RATE (to pick a
     banding threshold or decide whether dedup pays at all) rather
-    than the pair list. The verify cost drops by the sample factor;
-    everything up to sampling is the cheap fingerprint machinery.
+    than the pair list. The VERIFY stage's cost drops by the sample
+    factor; signature/banding generation is shared with every other
+    LSH query and dominates at the fixtures' low duplication — on a
+    boilerplate-heavy corpus (real crawls: verify >> generate because
+    candidates grow quadratically in bucket sizes) the sample factor
+    approaches the whole-query speedup.
 
     The sample is md5(doc_a|doc_b)-keyed — deterministic on any
     cluster and unbiased w.r.t. content (the hash never sees text) —
@@ -1772,9 +1776,43 @@ def dedup_lsh_sampled_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = parallelize_cpu(load_tables(spark, sf_dir, ("documents",))["documents"])
     grp, cand, ta, tb = _condensed_prelude(docs)
-    pairs = _fan_out_doc_pairs(grp, cand.withColumn("j", F.lit(0.0))).select(
-        "doc_a", "doc_b", (F.col("j") == 1.0).alias("known_dup")
+    # Fan group-pair candidates to doc pairs CARRYING (src, dst): the
+    # sampled pairs then need zero doc->group re-joins to find their
+    # verify key (an earlier draft re-joined a members-exploded map
+    # twice — two extra shuffles of every sampled pair; warm sf0.1
+    # profile: 19.3 s old vs 15.8 s carried, with the full verify at
+    # 18.4 s — candidate GENERATION dominates both, the sampled
+    # verify JOIN itself is ~3x cheaper as intended).
+    gm = grp.select("gid", "members")
+    cross = (
+        cand.join(
+            gm.select(F.col("gid").alias("src"), F.col("members").alias("ma")), "src"
+        )
+        .join(gm.select(F.col("gid").alias("dst"), F.col("members").alias("mb")), "dst")
+        .select("src", "dst", F.explode("ma").alias("x"), "mb")
+        .select("src", "dst", "x", F.explode("mb").alias("y"))
+        .select(
+            "src",
+            "dst",
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            F.lit(False).alias("known_dup"),
+        )
     )
+    within = (
+        grp.filter(F.col("n_docs") >= 2)
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            F.lit(None).cast("long").alias("src"),
+            F.lit(None).cast("long").alias("dst"),
+            "doc_a",
+            "doc_b",
+            F.lit(True).alias("known_dup"),
+        )
+    )
+    pairs = cross.unionByName(within)
     key = (
         F.conv(
             F.substring(
@@ -1794,18 +1832,7 @@ def dedup_lsh_sampled_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 3
     )
     sampled = pairs.filter(key == 0)
-    d2g = grp.select("gid", F.explode("members").alias("doc"))
-    sc = (
-        sampled.filter(~F.col("known_dup"))
-        .join(d2g.select(F.col("doc").alias("doc_a"), F.col("gid").alias("ga")), "doc_a")
-        .join(d2g.select(F.col("doc").alias("doc_b"), F.col("gid").alias("gb")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.least("ga", "gb").alias("src"),
-            F.greatest("ga", "gb").alias("dst"),
-        )
-    )
+    sc = sampled.filter(~F.col("known_dup")).select("src", "dst", "doc_a", "doc_b")
     gj = (
         sc.select("src", "dst")
         .distinct()
