@@ -1245,3 +1245,109 @@ def similarity_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+KNN_EVAL_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS true_label, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < 100
+),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.q_id, q.true_label, c.vec_id, c.label,
+         list_dot_product(q.q_vec, c.v)
+           / SQRT(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v))
+           AS _score
+  FROM q CROSS JOIN c
+  WHERE c.vec_id <> q.q_id
+),
+top AS (
+  SELECT q_id, true_label, label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY _score DESC, vec_id) AS rnk
+        FROM s)
+  WHERE rnk <= 5
+),
+votes AS (
+  SELECT q_id, true_label, label, COUNT(*) AS votes
+  FROM top GROUP BY q_id, true_label, label
+),
+pred AS (
+  SELECT q_id, true_label, label AS pred_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY votes DESC, label) AS r
+        FROM votes)
+  WHERE r = 1
+)
+SELECT true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(FLOOR((CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) AS BIGINT)
+         AS accuracy_ppm
+FROM pred
+GROUP BY true_label
+ORDER BY true_label
+"""
+
+
+@query("similarity_knn_classifier_eval", oracle=KNN_EVAL_ORACLE)
+def similarity_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label prediction over exact cosine,
+    evaluated on a 100-query block — the standard embedding-quality
+    probe (kNN accuracy) run before trusting a space for retrieval or
+    weak labeling; near-uniform accuracy on random fixtures IS the
+    informative answer (no leaked structure).
+
+    Scale: rides the oracle-gated topk_bruteforce kernel (broadcast
+    queries x one corpus scan, WindowGroupLimit partial reduction);
+    voting and accuracy run at query grain.
+
+    Determinism: the ranking key is the proven exact-cosine kernel
+    with a vec_id tiebreak; votes are integers, majority ties break
+    to the smallest label, and accuracy is one ppm fold.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.operators.similarity import topk_bruteforce
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    top = topk_bruteforce(emb, queries.select("q_id", "q_vec"), k=5).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label")),
+        "neighbor_id",
+    )
+    votes = top.groupBy("q_id", "label").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("q_id", F.col("label").alias("pred_label"))
+    )
+    j = queries.select("q_id", "true_label").join(pred, "q_id")
+    return (
+        j.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_queries",
+            "n_correct",
+            F.floor(
+                (F.col("n_correct").cast("double") / F.col("n_queries")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("accuracy_ppm"),
+        )
+        .orderBy("true_label")
+    )

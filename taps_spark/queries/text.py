@@ -3850,3 +3850,54 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+RELEASE_FINGERPRINT_ORACLE = """
+WITH h AS (
+  SELECT source, n_chars,
+         ('0x' || SUBSTRING(MD5(text), 1, 15))::BIGINT % 1000000007 AS hv
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(hv) % 1000000007 AS BIGINT) AS content_checksum,
+       CAST(MIN(hv) AS BIGINT) AS min_hash,
+       CAST(MAX(hv) AS BIGINT) AS max_hash
+FROM h
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_release_fingerprint", oracle=RELEASE_FINGERPRINT_ORACLE)
+def pipeline_release_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release fingerprint per source: an order-insensitive
+    content checksum (sum of per-document md5 residues mod a prime)
+    plus doc/char counts — the version stamp a data card carries so
+    two 'v1.2' tarballs on different clusters can be proven identical
+    WITHOUT moving the data (the reference's CRC-per-chunk idea,
+    lib/taps/utils.rb:25-31, lifted to release granularity).
+
+    Scale: map-only hashing, one source-grain agg; the modular sum
+    commutes with any partitioning, so partial checksums from
+    per-shard jobs combine exactly.
+
+    Determinism: md5 residues and modular BIGINT sums — no floats.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hv = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % 1000000007
+    )
+    return (
+        docs.select("source", "n_chars", hv.alias("hv"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum("hv") % 1000000007).cast("long").alias("content_checksum"),
+            F.min("hv").cast("long").alias("min_hash"),
+            F.max("hv").cast("long").alias("max_hash"),
+        )
+        .orderBy("source")
+    )
