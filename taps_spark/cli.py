@@ -121,9 +121,21 @@ def safe_url(url: str) -> str:
             # host:port/pa@th URLs unmangled).
             tail = url[auth + 2 :]
             at = tail.rfind("@")
-            if at != -1 and ":" in tail[:at]:
-                colon = tail.index(":")
-                if not _port_like(tail, colon, at):
+            if at != -1:
+                # Skip PAST port-like colons rather than bailing on the
+                # first one: 'https://host:8080/?next=http://u:P@W/x@evil'
+                # has a real outer port AND an embedded spec-invalid
+                # credential — the r7 advisor execution-verified that
+                # stopping at the first (port) colon suppressed masking
+                # and leaked 'P@W/x'. Mask from the first NON-port-like
+                # colon before the last '@' (for colons past the first
+                # path/query delimiter _port_like is always False, so
+                # anything beyond the authority is maskable — over-mask,
+                # never leak).
+                colon = tail.find(":")
+                while colon != -1 and colon < at and _port_like(tail, colon, at):
+                    colon = tail.find(":", colon + 1)
+                if colon != -1 and colon < at:
                     masked = (
                         url[: auth + 2] + tail[:colon] + ":[hidden]" + tail[at:]
                     )

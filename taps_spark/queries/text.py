@@ -3003,8 +3003,8 @@ WITH arr AS (
 ch AS (
   SELECT doc_id,
          MD5(array_to_string(t[s : s + 63], ' ')) AS chunk_md5
-  FROM arr, (SELECT unnest(range(1, 100000, 48)) AS s)
-  WHERE s <= LEN(t)
+  FROM arr CROSS JOIN LATERAL
+       (SELECT unnest(range(1, LEN(arr.t) + 1, 48)) AS s) s
 ),
 freq AS (
   SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
@@ -3163,7 +3163,8 @@ grams AS (
   SELECT n.n, array_to_string(a.t[s.s : s.s + n.n - 1], ' ') AS g
   FROM arr a
   CROSS JOIN (SELECT unnest([3, 5, 8]) AS n) n
-  CROSS JOIN (SELECT unnest(range(1, 100000)) AS s) s
+  CROSS JOIN LATERAL
+    (SELECT unnest(range(1, LEN(a.t) + 1)) AS s) s
   WHERE s.s <= LEN(a.t) - n.n + 1
 )
 SELECT CAST(n AS INT) AS shingle_n,
@@ -3498,8 +3499,8 @@ WITH arr AS (
 tri AS (
   SELECT a.doc_id, a.source, array_to_string(a.t[s.s : s.s + 2], ' ') AS g
   FROM arr a
-  CROSS JOIN (SELECT unnest(range(1, 100000)) AS s) s
-  WHERE s.s <= LEN(a.t) - 2
+  CROSS JOIN LATERAL
+    (SELECT unnest(range(1, LEN(a.t) - 1)) AS s) s
 ),
 top AS (
   SELECT g FROM (

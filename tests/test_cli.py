@@ -342,6 +342,25 @@ def test_safe_url_leaves_port_and_at_in_path_alone():
     )
 
 
+def test_safe_url_outer_port_with_embedded_invalid_credential():
+    """ADVICE r7 (execution-verified leak): an outer URL with a real
+    numeric host:port carrying an embedded spec-invalid credential in
+    a query param — the fallback's port check on the FIRST colon
+    suppressed masking entirely and printed password 'P@W/x'. The
+    fallback must skip past port-like colons and mask from the first
+    non-port-like one."""
+    from taps_spark.cli import safe_url
+
+    masked = safe_url("https://host:8080/?next=http://u:P@W/x@evil")
+    assert "P@W" not in masked and "W/x" not in masked, masked
+    assert masked == "https://host:8080/?next=http:[hidden]@evil"
+    # Outer port + credential-free '@' in the query stays untouched.
+    assert (
+        safe_url("https://host:8080/?next=a@b")
+        == "https://host:8080/?next=a@b"
+    )
+
+
 def test_schema_load_is_dialect_agnostic(tmp_path, monkeypatch):
     """`schema load <url> <file>` only needs a raw JDBC connection
     (apply_ddl) — it must NOT fail dialect resolution for unmapped

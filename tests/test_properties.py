@@ -421,8 +421,9 @@ def test_png_kernel_roundtrips_any_image(width, height, color_type, data):
     ).filter(lambda p: "PW" not in p),
     st.sampled_from(["postgres", "mysql", "jdbc:postgresql"]),
     st.booleans(),
+    st.sampled_from(["plain", "embed", "embed_port"]),
 )
-def test_safe_url_never_leaks_any_password(user, pw_tail, scheme, with_path):
+def test_safe_url_never_leaks_any_password(user, pw_tail, scheme, with_path, shape):
     """For ANY password — including spec-invalid ones containing
     '/', '?', '#', '@' or ':' — the credential must not survive into
     safe_url's output. The 'PW' sentinel sits at BOTH ends of the
@@ -430,13 +431,20 @@ def test_safe_url_never_leaks_any_password(user, pw_tail, scheme, with_path):
     construction): the r6 judge's tail leak — a password like
     p@ss/w@rd backtracking the primary match to the FIRST '@' —
     masked the prefix but printed the tail, so a prefix-only sentinel
-    missed it."""
+    missed it. The 'embed_port' shape is the r7 advisor's leak: the
+    credential URL nested in a query param of an OUTER url whose
+    host carries a numeric port — the fallback must skip port-like
+    colons, not bail on the first one."""
     from taps_spark.cli import safe_url
 
     password = "PW" + pw_tail + "PW"
     url = f"{scheme}://{user}:{password}@dbhost"
     if with_path:
         url += "/dbname"
+    if shape == "embed":
+        url = f"https://outer/?next={url}"
+    elif shape == "embed_port":
+        url = f"https://outer:8080/?next={url}"
     masked = safe_url(url)
     assert "PW" not in masked, (url, masked)
     assert "[hidden]" in masked, (url, masked)
