@@ -670,6 +670,25 @@ def embedding_nn_dedup_blocked(
     )
 
 
+def adaptive_planes(
+    n: int, target_bucket: int = 125, lo: int = 4, hi: int = 16
+) -> int:
+    """Hyperplane count per LSH band sized to the CORPUS: planes =
+    ⌈log₂(n / target_bucket)⌉ clamped to [lo, hi], so expected bucket
+    occupancy stays ~target_bucket as n grows. A FIXED plane count is
+    a measured scale-killer: with 4 planes (16 buckets/band), pair
+    work Σ|bucket|² grows quadratically in corpus size — the r8
+    10×-scale experiment clocked dedup_embedding_cosine at α=1.57
+    (5.6 s → 207 s for 10× vectors) before this fix. The formula is
+    reproduced verbatim in the DuckDB oracles
+    (GREATEST(lo, LEAST(hi, CEIL(LOG2(COUNT(*)/target))))) — both
+    engines compute the identical IEEE double chain, so bucket math
+    stays bit-equal at every corpus size."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(n, 1) / target_bucket))))
+
+
 def _portable_sign_weights(band: int, plane: int, dim: int) -> list[int]:
     """Deterministic ±1 hyperplane weights from md5 parity of
     "band_plane_pos" — reproducible in any engine with md5 (the

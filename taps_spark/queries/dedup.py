@@ -827,7 +827,9 @@ w AS (
          CASE WHEN ('0x' || SUBSTR(MD5(b.band || '_' || p.plane || '_' || i.pos), 1, 15))::BIGINT % 2 = 1
               THEN 1 ELSE -1 END AS wgt
   FROM (SELECT unnest(range(4)) AS band) b
-  CROSS JOIN (SELECT unnest(range(4)) AS plane) p
+  CROSS JOIN (SELECT unnest(range(CAST(GREATEST(4, LEAST(16,
+       CEIL(LOG2((SELECT COUNT(*) FROM embeddings) / 125.0)))) AS BIGINT)))
+       AS plane) p
   CROSS JOIN (SELECT unnest(range(64)) AS pos) i
 ),
 proj AS (
@@ -886,10 +888,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the pytest soundness/recall baseline; the oracle reproduces
     the identical md5-parity integer bucket math, so candidates (and
     hence NN/dropped) match bit-for-bit."""
-    from taps_spark.operators.dedup import embedding_nn_dedup_blocked
+    from taps_spark.operators.dedup import adaptive_planes, embedding_nn_dedup_blocked
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return embedding_nn_dedup_blocked(emb, threshold=0.4, bands=4, planes=4)
+    # Corpus-sized plane count (operators/dedup.adaptive_planes): the
+    # one-scalar count() is a parquet-metadata read; a fixed 4-plane
+    # band measured alpha=1.57 at the r8 10x-scale experiment.
+    planes = adaptive_planes(emb.count())
+    return embedding_nn_dedup_blocked(emb, threshold=0.4, bands=4, planes=planes)
 
 
 EMB_LSH_ORACLE = """
@@ -903,7 +909,9 @@ w AS (
          CASE WHEN ('0x' || SUBSTR(MD5(b.band || '_' || p.plane || '_' || i.pos), 1, 15))::BIGINT % 2 = 1
               THEN 1 ELSE -1 END AS wgt
   FROM (SELECT unnest(range(4)) AS band) b
-  CROSS JOIN (SELECT unnest(range(4)) AS plane) p
+  CROSS JOIN (SELECT unnest(range(CAST(GREATEST(4, LEAST(16,
+       CEIL(LOG2((SELECT COUNT(*) FROM embeddings) / 125.0)))) AS BIGINT)))
+       AS plane) p
   CROSS JOIN (SELECT unnest(range(64)) AS pos) i
 ),
 proj AS (
@@ -951,10 +959,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-parity weights so the oracle reproduces every bucket exactly
     (no float-sum-order divergence); see
     operators/dedup.embedding_lsh_band_stats."""
-    from taps_spark.operators.dedup import embedding_lsh_band_stats
+    from taps_spark.operators.dedup import adaptive_planes, embedding_lsh_band_stats
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return embedding_lsh_band_stats(emb, bands=4, planes=4, threshold=0.4)
+    planes = adaptive_planes(emb.count())
+    return embedding_lsh_band_stats(emb, bands=4, planes=planes, threshold=0.4)
 
 
 CROSS_SOURCE_ORACLE = """
@@ -2143,4 +2152,156 @@ def pipeline_near_dup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drop_ppm"),
         )
         .orderBy("source")
+    )
+
+
+BAND_TUNING_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(MD5(CAST(s.seed AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, STRING_AGG(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+tsets AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT))) AS toks
+  FROM documents
+),
+verified AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+         CAST(LEN(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / (LEN(ta.toks) + LEN(tb.toks) - LEN(list_intersect(ta.toks, tb.toks))) AS j
+  FROM cand
+  JOIN tsets ta ON ta.doc_id = doc_a
+  JOIN tsets tb ON tb.doc_id = doc_b
+),
+p AS MATERIALIZED (
+  -- collision probability per (bands b x rows r) config over the
+  -- OBSERVED candidate Jaccard spectrum at j >= 0.5, p = 1-(1-j^r)^b
+  -- written as explicit squaring chains (identical IEEE parse tree
+  -- on both engines; POWER() libm implementations may differ by ulp)
+  SELECT j >= 0.8 AS is_dup,
+         1.0 - ((1.0-j)*(1.0-j))*((1.0-j)*(1.0-j))
+             * ((1.0-j)*(1.0-j))*((1.0-j)*(1.0-j))           AS p_b8r1,
+         1.0 - ((1.0-j*j)*(1.0-j*j))*((1.0-j*j)*(1.0-j*j))   AS p_b4r2,
+         1.0 - (1.0-(j*j)*(j*j))*(1.0-(j*j)*(j*j))           AS p_b2r4,
+         ((j*j)*(j*j))*((j*j)*(j*j))                         AS p_b1r8
+  FROM verified WHERE j >= 0.5
+),
+q AS (
+  SELECT config, is_dup, CAST(FLOOR(pc * 1000000000 + 0.5) AS BIGINT) AS qp
+  FROM (
+    SELECT is_dup, 'b8r1' AS config, p_b8r1 AS pc FROM p
+    UNION ALL SELECT is_dup, 'b4r2', p_b4r2 FROM p
+    UNION ALL SELECT is_dup, 'b2r4', p_b2r4 FROM p
+    UNION ALL SELECT is_dup, 'b1r8', p_b1r8 FROM p
+  )
+)
+SELECT config,
+       CAST(COUNT(*) AS BIGINT)                       AS n_pairs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+       CAST(SUM(CASE WHEN is_dup THEN qp ELSE 0 END) AS BIGINT) AS exp_dup_caught_gig,
+       CAST(SUM(CASE WHEN is_dup THEN 0 ELSE qp END) AS BIGINT) AS exp_fp_gig,
+       CASE WHEN SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN is_dup THEN qp ELSE 0 END)
+                      // (SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000) AS BIGINT)
+       END AS recall_ppm
+FROM q
+GROUP BY config
+ORDER BY config
+"""
+
+
+@query("dedup_minhash_band_tuning", oracle=BAND_TUNING_ORACLE)
+def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter selection audit: for each (bands b × rows r)
+    layout of the 8-hash MinHash signature, the expected collision
+    probability p = 1−(1−j^r)^b evaluated over the OBSERVED candidate
+    Jaccard spectrum (j ≥ 0.5, doc-pair grain) — expected duplicates
+    caught, expected false-positive verify load, and expected recall
+    at the 0.8 dup threshold. This is the analysis run before
+    committing a banding config at corpus scale, where r trades
+    verify volume against recall.
+
+    Scale: rides the shared memoized signature/score stages
+    (_condensed_prelude_cached / _verified_scores_cached) — the only
+    new work is four scalar probability columns over the verified
+    pair stream and a 4-config rollup.
+
+    Determinism: p is computed with explicit squaring chains
+    (identical IEEE parse tree on both engines — POWER()'s libm may
+    differ by an ulp), quantized to an integer 1e-9 grid per pair,
+    then summed exactly.
+    """
+    grp = _condensed_prelude_cached(spark, sf_dir)[0]
+    gscored = _verified_scores_cached(spark, sf_dir)
+    pairs = _fan_out_doc_pairs(grp, gscored.filter(F.col("j") >= 0.5)).filter(
+        F.col("j") >= 0.5
+    )
+    j = F.col("j")
+    m = F.lit(1.0) - j
+    j2 = j * j
+    p_b8r1 = F.lit(1.0) - ((m * m) * (m * m)) * ((m * m) * (m * m))
+    mb = F.lit(1.0) - j2
+    p_b4r2 = F.lit(1.0) - ((mb * mb) * (mb * mb))
+    mc = F.lit(1.0) - (j2 * j2)
+    p_b2r4 = F.lit(1.0) - (mc * mc)
+    p_b1r8 = (j2 * j2) * (j2 * j2)
+    base = pairs.select(
+        (j >= 0.8).alias("is_dup"),
+        p_b8r1.alias("b8r1"),
+        p_b4r2.alias("b4r2"),
+        p_b2r4.alias("b2r4"),
+        p_b1r8.alias("b1r8"),
+    )
+    stacked = base.select(
+        "is_dup",
+        F.expr(
+            "stack(4, 'b8r1', b8r1, 'b4r2', b4r2, 'b2r4', b2r4, 'b1r8', b1r8)"
+        ).alias("config", "pc"),
+    ).select(
+        "config",
+        "is_dup",
+        F.floor(F.col("pc") * 1000000000 + F.lit(0.5)).cast("long").alias("qp"),
+    )
+    dup_qp = F.when(F.col("is_dup"), F.col("qp")).otherwise(F.lit(0))
+    n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long")
+    return (
+        stacked.groupBy("config")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            n_dup.alias("n_dup_pairs"),
+            F.sum(dup_qp).cast("long").alias("exp_dup_caught_gig"),
+            F.sum(F.when(F.col("is_dup"), 0).otherwise(F.col("qp")))
+            .cast("long")
+            .alias("exp_fp_gig"),
+        )
+        .select(
+            "config",
+            "n_pairs",
+            "n_dup_pairs",
+            "exp_dup_caught_gig",
+            "exp_fp_gig",
+            F.when(
+                F.col("n_dup_pairs") == 0, F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.expr("exp_dup_caught_gig div (n_dup_pairs * 1000)")
+            )
+            .alias("recall_ppm"),
+        )
+        .orderBy("config")
     )

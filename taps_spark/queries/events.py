@@ -2657,3 +2657,64 @@ def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow", "hour")
     )
+
+
+STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("events_streaks_longest", oracle=STREAKS_ORACLE)
+def events_streaks_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (plus total
+    active days and streak count) — classic gaps-and-islands at the
+    user grain, the engagement metric behind retention ladders and
+    streak-based features.
+
+    Scale: distinct (user, day) first (the only corpus-grain shuffle,
+    at day grain ≪ event grain), then windows and rollups at the
+    user-day and user grain.
+
+    Determinism: integer epoch days; distinct days make the
+    row_number island id tie-free.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        days.withColumn("grp", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").cast("long").alias("longest_streak"),
+            F.sum("run_len").cast("long").alias("n_active_days"),
+            F.count("*").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

@@ -1546,3 +1546,209 @@ def stats_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "decile", F.col("cents").alias("cutpoint_cents"))
         .orderBy("priority", "decile")
     )
+
+
+QUANTILE_SKETCH_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         STRFTIME(o_orderdate, '%Y-%m') AS mth,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT priority, mth, cents,
+         ROW_NUMBER() OVER (PARTITION BY priority, mth
+                            ORDER BY cents, o_orderkey) AS rnk,
+         COUNT(*) OVER (PARTITION BY priority, mth) AS nd
+  FROM o
+),
+cent AS (
+  SELECT priority, mth, ((rnk - 1) * 64) // nd AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS w, SUM(cents) AS s
+  FROM r GROUP BY priority, mth, ((rnk - 1) * 64) // nd
+),
+merged AS (
+  SELECT priority, mth, bucket, w, s // w AS m,
+         SUM(w) OVER (PARTITION BY priority
+                      ORDER BY s // w, mth, bucket
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY priority) AS n
+  FROM cent
+),
+ks AS (SELECT unnest(range(1, 10)) AS k),
+hit AS (
+  SELECT priority, CAST(ks.k AS INT) AS decile, m,
+         ROW_NUMBER() OVER (PARTITION BY priority, ks.k
+                            ORDER BY cumw, m, mth, bucket) AS pick
+  FROM merged CROSS JOIN ks
+  WHERE cumw >= (n * ks.k + 9) // 10
+)
+SELECT priority, decile, CAST(m AS BIGINT) AS est_cents
+FROM hit WHERE pick = 1
+ORDER BY priority, decile
+"""
+
+
+@query("stats_quantile_sketch_deciles", oracle=QUANTILE_SKETCH_ORACLE)
+def stats_quantile_sketch_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch (VERDICT r7 task #5): per-(priority,
+    month) partials — each compressed to ≤64 equi-count centroids
+    (weight, exact cents sum) — union-merged by centroid mean with a
+    cumulative-weight pick of each decile's first covering centroid.
+    This is the shape a 100 TB percentile rollup actually ships:
+    partials build map-side at data grain and are REGISTER-BOUNDED
+    (64 centroids per partial regardless of partial row count), the
+    merge touches only days×64 rows per class, and partials from any
+    shard subset merge associatively — unlike an exact rank
+    statistic, which needs the full sort.
+
+    Rank-error bound vs stats_exact_deciles (the oracle-gated truth
+    twin): each partial's bucket holds ≤⌈n_d/64⌉ rows, so the picked
+    centroid's true rank is within Σ_d⌈n_d/64⌉ ≈ N/64 + #partials of
+    the decile target — pinned by tests/test_operators.py.
+
+    Determinism: integer cents, integer floor-division centroid means
+    (non-negative sums), unique (m, month, bucket) merge order — no
+    floats anywhere, fully oracle-gated (a sketch with deterministic
+    compression needs no rows-only concession).
+    """
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mth"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    wd = Window.partitionBy("priority", "mth").orderBy("cents", "o_orderkey")
+    nd = Window.partitionBy("priority", "mth")
+    cent = (
+        o.select(
+            "priority",
+            "mth",
+            "cents",
+            F.row_number().over(wd).alias("rnk"),
+            F.count("*").over(nd).alias("nd"),
+        )
+        .groupBy(
+            "priority",
+            "mth",
+            F.expr("((rnk - 1) * 64) div nd").alias("bucket"),
+        )
+        .agg(F.count("*").alias("w"), F.sum("cents").alias("s"))
+    )
+    wm = (
+        Window.partitionBy("priority")
+        .orderBy("m", "mth", "bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = cent.select(
+        "priority", "mth", "bucket", "w", F.expr("s div w").alias("m")
+    ).select(
+        "priority",
+        "mth",
+        "bucket",
+        "m",
+        F.sum("w").over(wm).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("priority")).alias("n"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    pick_w = Window.partitionBy("priority", "decile").orderBy(
+        "cumw", "m", "mth", "bucket"
+    )
+    return (
+        merged.crossJoin(F.broadcast(ks))
+        .filter(
+            F.col("cumw") >= F.expr("(n * decile + 9) div 10")
+        )
+        .withColumn("pick", F.row_number().over(pick_w))
+        .filter(F.col("pick") == 1)
+        .select("priority", "decile", F.col("m").alias("est_cents"))
+        .orderBy("priority", "decile")
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS flag,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS ry
+  FROM lineitem
+),
+s AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))) AS sd2
+  FROM r GROUP BY flag
+)
+SELECT flag,
+       n,
+       CAST(sd2 AS BIGINT) AS sum_d2,
+       CAST(FLOOR((1.0 - (6.0 * CAST(sd2 AS DOUBLE))
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+                  * 1000000 + 0.5) AS BIGINT) AS rho_ppm
+FROM s
+ORDER BY flag
+"""
+
+
+@query("stats_spearman_rank", oracle=SPEARMAN_ORACLE)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    per return flag — the robust (outlier-immune) association measure
+    profilers run next to Pearson (stats_corr_matrix) when deciding
+    whether a relationship is monotone rather than linear. Ranks are
+    row_number with a deterministic (value, pk) tiebreak, so ρ is the
+    Spearman of a fixed total order — reproducible on any engine
+    (average-rank ties would be float-blend territory).
+
+    Scale: two windows per flag class (design grain, 3 classes —
+    range-partition the sort key for one giant class); Σd² folds in
+    DECIMAL(38,0) (d² ≤ n², Σ ≤ n³ overflows BIGINT past ~2M rows).
+
+    Determinism: exact integer ranks and Σd²; ρ's float chain is a
+    fixed parse tree over exactly-agreed integers, folded to ppm.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.row_number().over(wq).alias("rx"),
+        F.row_number().over(wp).alias("ry"),
+    )
+    s = r.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sd2"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "flag",
+        "n",
+        F.col("sd2").cast("long").alias("sum_d2"),
+        F.floor(
+            (
+                F.lit(1.0)
+                - (F.lit(6.0) * F.col("sd2").cast("double"))
+                / (nd * (nd * nd - F.lit(1.0)))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rho_ppm"),
+    ).orderBy("flag")

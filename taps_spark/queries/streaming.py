@@ -78,6 +78,55 @@ def events_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataF
     return stream_user_stats(spark, sf_dir).orderBy("user_id")
 
 
+STATE_TTL_TWIN_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS day,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS q
+  FROM events
+),
+days AS (
+  SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS v
+  FROM e GROUP BY user_id, day
+),
+g AS (
+  SELECT *,
+         CASE WHEN day - LAG(day) OVER (PARTITION BY user_id ORDER BY day) > 2
+              THEN 1 ELSE 0 END AS brk
+  FROM days
+),
+gen AS (
+  SELECT *,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS generation
+  FROM g
+)
+SELECT user_id,
+       CAST(generation AS INT) AS generation,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS sum_value_micros,
+       generation < MAX(generation) OVER (PARTITION BY user_id) AS expired
+FROM gen
+GROUP BY user_id, generation
+ORDER BY user_id, generation
+"""
+
+
+@query("events_stream_state_ttl_twin", oracle=STATE_TTL_TWIN_ORACLE)
+def events_stream_state_ttl_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL + timer-finalization semantics of the v2 arbitrary-state
+    API, executed on the v1 applyInPandasWithState path across REAL
+    micro-batches (events split 5 ways, one file per trigger): per-user
+    state generations expire on a >2-day event-time gap, `expired`
+    marking the generations a v2 timer callback would have emitted at
+    expiry. Gated by a gaps-and-islands batch oracle — exact integer
+    micros folds end to end. See
+    taps_spark/streaming/stateful.py:stream_state_ttl_twin."""
+    from taps_spark.streaming.stateful import stream_state_ttl_twin
+
+    return stream_state_ttl_twin(spark, sf_dir)
+
+
 STREAM_JOIN_ORACLE = """
 SELECT v.event_id AS view_event_id,
        c.event_id AS click_event_id,

@@ -3902,3 +3902,242 @@ def pipeline_release_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CONTEXT_LENGTH_HIST_ORACLE = """
+WITH d AS (
+  SELECT source,
+         LEN(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT source, CAST(FLOOR(LOG2(n_tok)) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source, CAST(FLOOR(LOG2(n_tok)) AS INT)
+),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source) AS tot_tokens
+  FROM b
+)
+SELECT source, bucket, n_docs, n_tokens,
+       CAST(cum_tokens * 1000000 // tot_tokens AS BIGINT) AS cum_token_ppm
+FROM c
+ORDER BY source, bucket
+"""
+
+
+@query("pipeline_context_length_histogram", oracle=CONTEXT_LENGTH_HIST_ORACLE)
+def pipeline_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning histogram: documents bucketed by
+    power-of-two token count per source, with each bucket's doc/token
+    counts and the cumulative token share — the distribution you
+    consult before choosing a training context length and packing
+    strategy (how much of the corpus fits under 2^k tokens, how much
+    must truncate or pack).
+
+    Scale: one map-side token count per doc (no explode — LEN of the
+    split array), one shuffle at (source, bucket) grain (≤ sources ×
+    ~20 buckets rows), windows at the same design grain.
+
+    Determinism: LOG2 of an integer is the identical libm double on
+    both engines (exact at powers of two); counts/sums/ppm are pure
+    integer arithmetic.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "source", F.size(tokens("text")).alias("n_tok")
+    )
+    b = d.groupBy(
+        "source", F.floor(F.log2("n_tok")).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    ws = Window.partitionBy("source")
+    wc = ws.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        b.select(
+            "source",
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.sum("n_tokens").over(wc).alias("cum_tokens"),
+            F.sum("n_tokens").over(ws).alias("tot_tokens"),
+        )
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.expr("cum_tokens * 1000000 div tot_tokens").alias("cum_token_ppm"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+QUALITY_PRUNE_CURVE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, LEN(t) AS n_tok,
+         LEN(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+         LEN(list_filter(t, x -> LEN(x) >= 4)) AS n_long
+  FROM d
+),
+scored AS (
+  SELECT doc_id, n_tok,
+         (n_alpha * 600000 + n_long * 400000) // n_tok AS score_ppm
+  FROM s WHERE n_tok > 0
+),
+ks AS (SELECT unnest([200000, 400000, 600000, 800000]) AS threshold_ppm),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n_tok) AS BIGINT) AS nt FROM scored)
+SELECT CAST(ks.threshold_ppm AS BIGINT) AS threshold_ppm,
+       CAST(SUM(CASE WHEN score_ppm >= ks.threshold_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         AS surviving_docs,
+       CAST(SUM(CASE WHEN score_ppm >= ks.threshold_ppm THEN n_tok ELSE 0 END) AS BIGINT)
+         AS surviving_tokens,
+       CAST(SUM(CASE WHEN score_ppm >= ks.threshold_ppm THEN n_tok ELSE 0 END)
+            * 1000000 // tot.nt AS BIGINT) AS token_share_ppm
+FROM scored CROSS JOIN ks CROSS JOIN tot
+GROUP BY ks.threshold_ppm, tot.nt
+ORDER BY threshold_ppm
+"""
+
+
+@query("pipeline_quality_prune_curve", oracle=QUALITY_PRUNE_CURVE_ORACLE)
+def pipeline_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold SENSITIVITY curve: corpus survival (docs,
+    tokens, token share) at four settings of an integer-exact quality
+    score (60% alphabetic-token ratio + 40% long-token ratio, on a
+    ppm grid) — the audit run before committing a quality gate at
+    corpus scale, the quality-side twin of dedup_threshold_sweep.
+
+    Scale: per-doc score is two HOF filters over one split (map-only,
+    no explode); the sweep is ONE conditional aggregation — extra
+    thresholds cost zero scans.
+
+    Determinism: the score is integer arithmetic end to end
+    ((n_alpha·6e5 + n_long·4e5) div n_tok), so threshold comparisons
+    are exact on both engines.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = tokens("text")
+    s = docs.select(
+        F.size(t).alias("n_tok"),
+        F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha"),
+        F.size(F.filter(t, lambda x: F.length(x) >= 4)).alias("n_long"),
+    ).filter(F.col("n_tok") > 0)
+    scored = s.select(
+        "n_tok",
+        F.expr("(n_alpha * 600000 + n_long * 400000) div n_tok").alias("score_ppm"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(v) for v in (200000, 400000, 600000, 800000)])
+    ).alias("threshold_ppm")
+    swept = scored.select("n_tok", "score_ppm", ks)
+    return (
+        swept.groupBy("threshold_ppm")
+        .agg(
+            F.sum(F.when(F.col("score_ppm") >= F.col("threshold_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("surviving_docs"),
+            F.sum(
+                F.when(F.col("score_ppm") >= F.col("threshold_ppm"), F.col("n_tok")).otherwise(0)
+            )
+            .cast("long")
+            .alias("surviving_tokens"),
+            F.sum("n_tok").cast("long").alias("_tot"),
+        )
+        .select(
+            F.col("threshold_ppm").cast("long").alias("threshold_ppm"),
+            "surviving_docs",
+            "surviving_tokens",
+            F.expr("surviving_tokens * 1000000 div _tot").alias("token_share_ppm"),
+        )
+        .orderBy("threshold_ppm")
+    )
+
+
+SHARD_REBALANCE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         LEN(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+  FROM d
+),
+a AS (
+  SELECT source, cum_before // 100000 AS shard_id, n_tok FROM c
+)
+SELECT source, CAST(shard_id AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tok) * 1000000 // 100000 AS BIGINT) AS fill_ppm
+FROM a
+GROUP BY source, shard_id
+ORDER BY source, shard_id
+"""
+
+
+@query("pipeline_shard_rebalance_plan", oracle=SHARD_REBALANCE_ORACLE)
+def pipeline_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-shard assignment plan: docs stream into ~100k-token
+    shards per source by cumulative token offset (shard = floor of
+    the tokens BEFORE the doc / target), reporting each shard's doc
+    count, token payload and fill factor — the layout step between
+    `pipeline_token_budget_pick` and writing a release, where shard
+    skew decides downstream loader parallelism.
+
+    Scale: one per-source cumulative window (range-partition the sort
+    key for a single giant source) and a (source, shard) rollup; no
+    data movement beyond the window shuffle.
+
+    Determinism: integer token counts, integer floor division —
+    assignment is exact on both engines.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+    ).select(
+        "source",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_before"),
+    )
+    return (
+        c.select(
+            "source",
+            F.expr("cum_before div 100000").cast("int").alias("shard_id"),
+            "n_tok",
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div 100000").alias("fill_ppm"),
+        )
+        .orderBy("source", "shard_id")
+    )

@@ -13,9 +13,12 @@ from taps_spark.operators.relational import asof_join
 from taps_spark.operators.similarity import cosine, topk_bruteforce, topk_lsh
 
 
-def test_simhash_identical_docs_collide(spark):
+@pytest.mark.parametrize("salt", ["", "s2_"])  # second-seed re-gate (r7 #6)
+def test_simhash_identical_docs_collide(spark, salt):
+    a = f"{salt}spark {salt}join {salt}window {salt}table"
+    b = f"{salt}zz {salt}qq {salt}ww {salt}ee"
     df = spark.createDataFrame(
-        [(1, "spark join window table"), (2, "spark join window table"), (3, "zz qq ww ee")],
+        [(1, a), (2, a), (3, b)],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
@@ -23,8 +26,9 @@ def test_simhash_identical_docs_collide(spark):
     assert out[1] != out[3], "disjoint token sets should differ"
 
 
-def test_simhash_near_duplicates_are_close(spark):
-    base = "the quick brown fox jumps over the lazy dog again and again today"
+@pytest.mark.parametrize("salt", ["", "v2"])  # second-seed re-gate (r7 #6)
+def test_simhash_near_duplicates_are_close(spark, salt):
+    base = f"the quick brown fox{salt} jumps over the lazy dog again and again today"
     near = base + " extra"
     df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
     out = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
@@ -41,7 +45,8 @@ def test_cosine_expression_basics(spark):
     assert rows[1] == 1.0 and rows[2] == 0.0 and rows[3] == 1.0
 
 
-def test_lsh_ann_is_subset_of_bruteforce_candidates(spark, sf_dir):
+def test_lsh_ann_is_subset_of_bruteforce_candidates(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -112,7 +117,8 @@ def test_salted_join_spreads_hot_key(spark):
     assert buckets == 8
 
 
-def test_approx_aggregates_within_error_bounds(spark, sf_dir):
+def test_approx_aggregates_within_error_bounds(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     from taps_spark.queries import REGISTRY, _load
 
     _load()
@@ -132,7 +138,8 @@ def test_approx_aggregates_within_error_bounds(spark, sf_dir):
         assert abs(r["approx_median_price"] - exact[flag]["median"]) / exact[flag]["median"] < 0.05
 
 
-def test_ivf_ann_recall_and_score_fidelity(spark, sf_dir):
+def test_ivf_ann_recall_and_score_fidelity(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     from taps_spark.operators.similarity import topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -152,7 +159,8 @@ def test_ivf_ann_recall_and_score_fidelity(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
-def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+def test_ivf_full_probe_equals_bruteforce(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     """nprobe == nlist degenerates to exact search — same result set."""
     from taps_spark.operators.similarity import topk_ivf
 
@@ -431,17 +439,18 @@ def test_invalid_timestamps_coerce_to_null(spark):
     assert got[1] is None and got[2] is None and got[3] is None
 
 
-def test_simhash_portable_is_token_set_invariant(spark):
+@pytest.mark.parametrize("salt", ["", "x9"])  # second-seed re-gate (r7 #6)
+def test_simhash_portable_is_token_set_invariant(spark, salt):
     """SimHash works on the distinct-token SET: reordering or
     repeating tokens must not change the fingerprint."""
     from taps_spark.operators.dedup import simhash_portable
 
     df = spark.createDataFrame(
         [
-            (1, "alpha beta gamma delta"),
-            (2, "delta gamma beta alpha"),
-            (3, "alpha alpha beta beta gamma gamma delta"),
-            (4, "alpha beta gamma epsilon"),
+            (1, f"alpha{salt} beta gamma delta"),
+            (2, f"delta gamma beta alpha{salt}"),
+            (3, f"alpha{salt} alpha{salt} beta beta gamma gamma delta"),
+            (4, f"alpha{salt} beta gamma epsilon"),
         ],
         "doc_id long, text string",
     )
@@ -450,7 +459,8 @@ def test_simhash_portable_is_token_set_invariant(spark):
     assert sig[4] != sig[1]
 
 
-def test_hll_sketch_union_accuracy_and_merge_consistency(spark, sf_dir):
+def test_hll_sketch_union_accuracy_and_merge_consistency(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     """The mergeable-sketch contract: (1) union of daily partial
     sketches estimates within 5% of exact distinct; (2) merging
     partials equals sketching the whole column in one pass."""
@@ -477,7 +487,8 @@ def test_hll_sketch_union_accuracy_and_merge_consistency(spark, sf_dir):
     assert m == d
 
 
-def test_ivf_partitioned_storage_prunes_probe_scan(spark, sf_dir, tmp_path):
+def test_ivf_partitioned_storage_prunes_probe_scan(spark, any_sf_dir, tmp_path):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     """The IVF production layout: corpus written partitioned by
     centroid_id → a probe restricted to nprobe centroids reads ONLY
     those partitions (PartitionFilters at planning time), which is
@@ -700,7 +711,8 @@ def test_interval_overlap_join_avoids_nested_loop_plan(spark):
     assert "BroadcastNestedLoop" in naive_plan or "CartesianProduct" in naive_plan, naive_plan
 
 
-def test_pq_rerank_recall_and_score_fidelity(spark, sf_dir):
+def test_pq_rerank_recall_and_score_fidelity(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     from taps_spark.operators.similarity import topk_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -760,17 +772,31 @@ def test_bloom_no_false_negatives_and_fp_bound(spark, sf_dir):
     assert n_fp / max(n_non, 1) < 0.05, f"bloom FP rate too high: {n_fp}/{n_non}"
 
 
-def test_pagerank_matches_numpy_replay(spark):
+@pytest.mark.parametrize("graph_seed", [None, 7])  # second-seed re-gate (r7 #6)
+def test_pagerank_matches_numpy_replay(spark, graph_seed):
     """Exact-formulation replay: damped PageRank with uniform dangling
-    redistribution on a small graph, Spark vs NumPy to 1e-9."""
+    redistribution on a small graph, Spark vs NumPy to 1e-9; the
+    seeded variant replays a 12-node random graph so the pin is not
+    shaped by the hand-picked edge list."""
     import numpy as np
 
     from taps_spark.operators.graph import pagerank
 
-    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
-    # 'e' is dangling (appears only as... nowhere) — add one edge into
-    # a sink node to cover the dangling-mass path.
-    edges.append(("c", "sink"))
+    if graph_seed is None:
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+        # 'e' is dangling (appears only as... nowhere) — add one edge
+        # into a sink node to cover the dangling-mass path.
+        edges.append(("c", "sink"))
+    else:
+        rng = np.random.default_rng(graph_seed)
+        names = [f"n{i}" for i in range(12)]
+        edges = sorted(
+            {
+                (names[int(a)], names[int(b)])
+                for a, b in rng.integers(0, 12, size=(40, 2))
+                if a != b
+            }
+        )
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["rank"] for r in pagerank(df, iters=10, damping=0.85).collect()}
 
@@ -794,7 +820,8 @@ def test_pagerank_matches_numpy_replay(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
-def test_semantic_dedup_soundness_and_blocked_recall(spark, sf_dir):
+def test_semantic_dedup_soundness_and_blocked_recall(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     """Every pair semantic_dedup flags must truly be >= threshold
     (exact re-check); and within-cluster blocking must recover every
     all-pairs duplicate whose members share a cluster."""
@@ -1556,7 +1583,8 @@ def test_bigram_lm_survives_single_token_docs(spark, tmp_path):
     assert out[0]["n_bigrams"] == 3
 
 
-def test_pca_top_component_matches_numpy_replay(spark, sf_dir):
+def test_pca_top_component_matches_numpy_replay(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
     """similarity_pca_top_component (rows-only: iterative power
     method) must agree with a dense NumPy replay of the SAME
     computation — integer-grid covariance, 8 power iterations from
@@ -1593,3 +1621,117 @@ def test_pca_top_component_matches_numpy_replay(spark, sf_dir):
     assert abs(math.sqrt(sum(v * v for v in got.values())) - 1.0) < 1e-6
     for d in range(64):
         assert abs(got[d + 1] - x[d]) < 1e-6, (d, got[d + 1], x[d])
+
+
+def test_quantile_sketch_rank_error_bound(spark, sf_dir):
+    """stats_quantile_sketch_deciles vs stats_exact_deciles (the
+    oracle-gated truth twin): each picked centroid's TRUE rank must
+    sit within the sketch's compression bound of the decile target —
+    Σ_d ⌈n_d/64⌉ ≈ N/64 + #partials (each partial bucket holds at
+    most ⌈n_d/64⌉ rows, and the cumulative pick overshoots by at most
+    one centroid)."""
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    est = {
+        (r["priority"], r["decile"]): r["est_cents"]
+        for r in REGISTRY["stats_quantile_sketch_deciles"].fn(spark, sf_dir).collect()
+    }
+    assert len(est) == 9 * 5
+
+    tb = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    cents = defaultdict(list)
+    partials = defaultdict(set)
+    for p, d, t in zip(
+        tb.o_orderpriority, tb.o_orderdate, tb.o_totalprice
+    ):
+        cents[p].append(math.floor(t * 100 + 0.5))
+        partials[p].add(str(d)[:7])
+    import bisect
+
+    for p, vals in cents.items():
+        vals.sort()
+        n = len(vals)
+        counts = defaultdict(int)
+        for d in tb[tb.o_orderpriority == p].o_orderdate:
+            counts[str(d)[:7]] += 1
+        bound = sum(math.ceil(c / 64) for c in counts.values()) + 1
+        for k in range(1, 10):
+            target = math.ceil(n * k / 10)
+            v = est[(p, k)]
+            true_rank_hi = bisect.bisect_right(vals, v)
+            true_rank_lo = bisect.bisect_left(vals, v) + 1
+            # est covers the target if ANY rank occupied by value v
+            # (or the centroid-mean between two values) is within
+            # the compression bound of the target.
+            dist = 0
+            if true_rank_hi < target:
+                dist = target - true_rank_hi
+            elif true_rank_lo > target:
+                dist = true_rank_lo - target
+            assert dist <= bound, (p, k, v, target, true_rank_lo, true_rank_hi, bound)
+
+
+def test_pca_components_match_numpy_deflation_replay(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (VERDICT r7 task #6)
+    """similarity_pca_components (rows-only: projection-deflated
+    power method) must agree with a dense NumPy replay of the
+    IDENTICAL algorithm — per component: 8 power rounds from
+    all-ones, each matvec orthogonalized against prior components
+    (y −= (vᵀy)v) before normalizing — to 1e-6 per coordinate; each
+    component must be unit-norm and the three pairwise orthogonal."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    rows = REGISTRY["similarity_pca_components"].fn(spark, sf_dir).collect()
+    got = {(r["pc"], r["dim"]): r["component"] for r in rows}
+    assert len(got) == 3 * 64
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = tb.to_pandas()
+    df = df[df.vec_id < 500]
+    X = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    Q = np.floor(X * 1_000_000 + 0.5)
+    n = Q.shape[0]
+    s = Q.sum(axis=0)
+    C = (n * (Q.T @ Q) - np.outer(s, s)).astype(np.float64)
+    want = []
+    raw = []
+    for _ in range(3):
+        x = np.ones(64)
+        for _ in range(8):
+            y = C @ x
+            for v in raw:
+                y = y - float(np.dot(v, y)) * v
+            x = y / math.sqrt(float((y * y).sum()))
+        raw.append(x)
+        signed = -x if x[np.argmax(np.abs(x))] < 0 else x
+        want.append(signed)
+    for pc in range(1, 4):
+        v = np.array([got[(pc, d + 1)] for d in range(64)])
+        assert abs(math.sqrt(float((v * v).sum())) - 1.0) < 1e-6, pc
+        for d in range(64):
+            assert abs(v[d] - want[pc - 1][d]) < 1e-6, (pc, d, v[d], want[pc - 1][d])
+    for a in range(3):
+        for b in range(a + 1, 3):
+            dot = float(np.dot(want[a], want[b]))
+            gdot = sum(
+                got[(a + 1, d + 1)] * got[(b + 1, d + 1)] for d in range(64)
+            )
+            # projection deflation makes the replay orthogonal to
+            # machine precision; the engine values are rounded to 6
+            # decimals, so their dot carries ~64·5e-7 of rounding.
+            assert abs(dot) < 1e-9 and abs(gdot) < 1e-4, (a, b, dot, gdot)

@@ -1,0 +1,157 @@
+"""Generate a synthetic N× replica of an sf fixture dir for scale-curve
+measurement (VERDICT r7 task #1): salted replication with NEW key
+ranges and deterministically perturbed content, so duplication rates
+and graph structure stay realistic instead of exploding quadratically
+(a verbatim 10× copy would give every doc 9 exact duplicates).
+
+Only the tables the top-cost registry queries read are produced:
+documents, embeddings, lineitem.
+
+- documents: doc_id offset per replica; for replica k > 0 EVERY token
+  gets a replica-specific suffix — a bijection per replica, so
+  within-replica duplicate structure (Jaccard values, LSH buckets,
+  components) is preserved EXACTLY, while cross-replica Jaccard is 0.
+  This models a 10× crawl honestly: new shards bring new content at
+  the same dup RATE, so true near-dup work grows linearly. (A
+  partial perturbation was measured to be a trap: 20% token mutation
+  leaves former exact-dup pairs at J≈0.47 cross-replica, which still
+  LSH-collides with p≈0.63 per pair — candidate volume then grows
+  QUADRATICALLY in replicas, a fixture artifact that buries the
+  engine's own scaling.)
+- embeddings: vec_id offset; replica k > 0 vectors pass through a
+  seeded signed permutation (v'[i] = s[i]·v[perm[i]]) — norms and
+  all within-replica dot products are exactly preserved, so blocked
+  NN / ANN structure repeats per replica, while cross-replica
+  cosines fall to random background.
+- lineitem: all three join keys offset per replica → N disconnected
+  copies of the co-supplier graph (PageRank rounds stay constant,
+  edges scale linearly — the real-cluster shape for a sharded graph).
+
+Usage: python tools/make_scale_fixture.py [src_sf_dir] [out_dir] [N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("make_scale_fixture")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+
+    reps = spark.range(n).select(F.col("id").cast("int").alias("rep"))
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    perturbed_tokens = F.transform(
+        F.split(F.col("text"), r"\s+"),
+        lambda t: F.when(
+            F.col("rep") > 0,
+            F.concat(t, F.lit("_r"), F.col("rep").cast("string")),
+        ).otherwise(t),
+    )
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("long") * stride).alias("doc_id"),
+            F.concat_ws(" ", perturbed_tokens).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    vstride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    import random
+
+    perms: list[list[int]] = []
+    signs: list[list[int]] = []
+    for k in range(n):
+        rnd = random.Random(1000 + k)
+        p = list(range(dim))
+        if k > 0:
+            rnd.shuffle(p)
+        perms.append(p)
+        signs.append(
+            [1] * dim if k == 0 else [rnd.choice((-1, 1)) for _ in range(dim)]
+        )
+    perm_lit = F.array(
+        *[F.array(*[F.lit(v) for v in p]) for p in perms]
+    )
+    sign_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in s]) for s in signs]
+    )
+    shuffled = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.element_at(F.col("embedding"), perm_lit[F.col("rep")][i] + 1)
+        * sign_lit[F.col("rep")][i],
+    )
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep").cast("long") * vstride).alias("vec_id"),
+            shuffled.cast("array<float>").alias("embedding"),
+            "label",
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    ks = li.agg(
+        F.max("l_orderkey"), F.max("l_partkey"), F.max("l_suppkey")
+    ).collect()[0]
+    (
+        li.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("l_orderkey") + F.col("rep").cast("long") * (ks[0] + 1)).alias(
+                "l_orderkey"
+            ),
+            (F.col("l_partkey") + F.col("rep").cast("long") * (ks[1] + 1)).alias(
+                "l_partkey"
+            ),
+            (F.col("l_suppkey") + F.col("rep").cast("long") * (ks[2] + 1)).alias(
+                "l_suppkey"
+            ),
+            *[
+                c
+                for c in li.columns
+                if c not in ("l_orderkey", "l_partkey", "l_suppkey")
+            ],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "lineitem.parquet"))
+    )
+
+    for t in ("documents", "embeddings", "lineitem"):
+        c = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
+        print(f"{t}: {c} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
