@@ -679,14 +679,22 @@ def adaptive_planes(
     a measured scale-killer: with 4 planes (16 buckets/band), pair
     work Σ|bucket|² grows quadratically in corpus size — the r8
     10×-scale experiment clocked dedup_embedding_cosine at α=1.57
-    (5.6 s → 207 s for 10× vectors) before this fix. The formula is
-    reproduced verbatim in the DuckDB oracles
-    (GREATEST(lo, LEAST(hi, CEIL(LOG2(COUNT(*)/target))))) — both
-    engines compute the identical IEEE double chain, so bucket math
-    stays bit-equal at every corpus size."""
-    import math
+    (5.6 s → 207 s for 10× vectors) before this fix.
 
-    return max(lo, min(hi, math.ceil(math.log2(max(n, 1) / target_bucket))))
+    INTEGER-EXACT cross-engine agreement (r8 ADVICE): the count is
+    the smallest p in [lo, hi] with target_bucket · 2^p ≥ n —
+    equivalent to max(lo, min(hi, ⌈log₂(n/target)⌉)) but computed in
+    pure integer comparisons, never through libm log2 (whose rounding
+    is not IEEE-specified, so a one-ulp disagreement near an integer
+    boundary could flip CEIL and change every LSH bucket). The DuckDB
+    oracles run the same integer scan:
+    COALESCE((SELECT MIN(p) FROM range(lo, hi+1) WHERE
+    target * (1 << p) >= n), hi)."""
+    n = max(int(n), 1)
+    p = lo
+    while p < hi and target_bucket * (1 << p) < n:
+        p += 1
+    return p
 
 
 def _portable_sign_weights(band: int, plane: int, dim: int) -> list[int]:

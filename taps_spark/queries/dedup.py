@@ -473,6 +473,17 @@ def _condensed_prelude(
 _PRELUDE_CACHE: dict = {}
 
 
+def _evict_stale_prelude(app_id: str) -> None:
+    """Drop cache entries from any OTHER applicationId on insert: a
+    stopped SparkContext's frames are dead weight (their checkpoint
+    blocks are gone with the context), and without eviction the memo
+    grows without bound across sessions in one process (r8 ADVICE).
+    Live entries for the CURRENT app stay — they pin localCheckpoint
+    blocks on purpose; that is the memo."""
+    for k in [k for k in _PRELUDE_CACHE if k[1] != app_id]:
+        del _PRELUDE_CACHE[k]
+
+
 def _condensed_prelude_cached(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -493,6 +504,7 @@ def _condensed_prelude_cached(
     )
     hit = _PRELUDE_CACHE.get(key)
     if hit is None:
+        _evict_stale_prelude(spark.sparkContext.applicationId)
         docs = parallelize_cpu(
             load_tables(spark, sf_dir, ("documents",))["documents"]
         )
@@ -528,6 +540,7 @@ def _verified_scores_cached(
     )
     hit = _PRELUDE_CACHE.get(key)
     if hit is None:
+        _evict_stale_prelude(spark.sparkContext.applicationId)
         from taps_spark.operators.dedup import jaccard_hashed
 
         grp, cand, ta, tb = _condensed_prelude_cached(spark, sf_dir)
@@ -827,8 +840,10 @@ w AS (
          CASE WHEN ('0x' || SUBSTR(MD5(b.band || '_' || p.plane || '_' || i.pos), 1, 15))::BIGINT % 2 = 1
               THEN 1 ELSE -1 END AS wgt
   FROM (SELECT unnest(range(4)) AS band) b
-  CROSS JOIN (SELECT unnest(range(CAST(GREATEST(4, LEAST(16,
-       CEIL(LOG2((SELECT COUNT(*) FROM embeddings) / 125.0)))) AS BIGINT)))
+  CROSS JOIN (SELECT unnest(range(COALESCE(
+       (SELECT MIN(pp) FROM (SELECT unnest(range(4, 17)) AS pp)
+        WHERE 125 * (CAST(1 AS BIGINT) << pp)
+              >= (SELECT COUNT(*) FROM embeddings)), 16)))
        AS plane) p
   CROSS JOIN (SELECT unnest(range(64)) AS pos) i
 ),
@@ -909,8 +924,10 @@ w AS (
          CASE WHEN ('0x' || SUBSTR(MD5(b.band || '_' || p.plane || '_' || i.pos), 1, 15))::BIGINT % 2 = 1
               THEN 1 ELSE -1 END AS wgt
   FROM (SELECT unnest(range(4)) AS band) b
-  CROSS JOIN (SELECT unnest(range(CAST(GREATEST(4, LEAST(16,
-       CEIL(LOG2((SELECT COUNT(*) FROM embeddings) / 125.0)))) AS BIGINT)))
+  CROSS JOIN (SELECT unnest(range(COALESCE(
+       (SELECT MIN(pp) FROM (SELECT unnest(range(4, 17)) AS pp)
+        WHERE 125 * (CAST(1 AS BIGINT) << pp)
+              >= (SELECT COUNT(*) FROM embeddings)), 16)))
        AS plane) p
   CROSS JOIN (SELECT unnest(range(64)) AS pos) i
 ),

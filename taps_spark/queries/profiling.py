@@ -1635,7 +1635,10 @@ def stats_quantile_sketch_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(
             "priority",
             "mth",
-            F.expr("((rnk - 1) * 64) div nd").alias("bucket"),
+            # BIGINT interior: int32 (rnk-1)*64 ANSI-overflows past
+            # ~33.5M rows per (priority, month); DuckDB ROW_NUMBER is
+            # already BIGINT.
+            F.expr("((cast(rnk as bigint) - 1) * 64) div nd").alias("bucket"),
         )
         .agg(F.count("*").alias("w"), F.sum("cents").alias("s"))
     )

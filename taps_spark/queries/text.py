@@ -4038,7 +4038,14 @@ def pipeline_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_tok") > 0)
     scored = s.select(
         "n_tok",
-        F.expr("(n_alpha * 600000 + n_long * 400000) div n_tok").alias("score_ppm"),
+        # BIGINT interior: int32 n_alpha * 600000 ANSI-overflows past
+        # 3,579 alphabetic tokens per doc — fine on the 100-token
+        # fixture, wrong at corpus scale (matches the oracle's BIGINT
+        # LEN() semantics).
+        F.expr(
+            "(cast(n_alpha as bigint) * 600000"
+            " + cast(n_long as bigint) * 400000) div n_tok"
+        ).alias("score_ppm"),
     )
     ks = F.explode(
         F.array(*[F.lit(v) for v in (200000, 400000, 600000, 800000)])

@@ -130,6 +130,22 @@ TTL_DAYS = 2
 
 _TWIN_SRC_DIRS: dict[tuple[str, str], str] = {}
 
+#: Every mkdtemp split dir ever created, removed at interpreter exit —
+#: the memo itself only deletes dirs it evicts (stale applicationId).
+_TWIN_DIR_CLEANUP: set[str] = set()
+
+
+def _cleanup_twin_dirs() -> None:
+    import shutil
+
+    for d in _TWIN_DIR_CLEANUP:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_twin_dirs)
+
 
 def _ttl_twin_update(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -218,11 +234,20 @@ def stream_state_ttl_twin(
 
     from taps_spark.io.tables import load_table
 
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    import os
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if cache_key not in _TWIN_SRC_DIRS:
+        import shutil
         import tempfile
 
+        # Evict (and delete on disk) split dirs from any OTHER
+        # applicationId: a stopped context never reads them again, and
+        # un-evicted mkdtemp dirs leak per session (r8 ADVICE).
+        for k in [k for k in _TWIN_SRC_DIRS if k[0] != cache_key[0]]:
+            shutil.rmtree(_TWIN_SRC_DIRS.pop(k), ignore_errors=True)
         d = tempfile.mkdtemp(prefix="taps_ttl_twin_")
+        _TWIN_DIR_CLEANUP.add(d)
         ev = load_table(spark, sf_dir, "events").select(
             "user_id",
             F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
