@@ -80,6 +80,52 @@ def _norm(rows):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def changed_query_names(ref: str) -> set[str]:
+    """Registry names whose source plausibly changed since `ref`: the
+    query's DEFINING module changed, or any changed taps_spark module's
+    basename is imported by the defining module (errs toward inclusion
+    — an operators/ edit re-gates every query that imports it). This is
+    the cheap registration gate from the r8 verdict: a query batch must
+    never ship without a sweep of at least the changed slice."""
+    import inspect
+    import subprocess
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    changed = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "*.py"],
+        capture_output=True,
+        text=True,
+        cwd=repo_root,
+        check=True,
+    ).stdout.split()
+    changed_paths = {os.path.normpath(p) for p in changed}
+    changed_basenames = {
+        os.path.splitext(os.path.basename(p))[0]
+        for p in changed_paths
+        if p.startswith("taps_spark")
+    }
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    names: set[str] = set()
+    src_cache: dict[str, str] = {}
+    for name, rq in REGISTRY.items():
+        f = inspect.getsourcefile(rq.fn)
+        rel = os.path.relpath(f, repo_root) if f else ""
+        if os.path.normpath(rel) in changed_paths:
+            names.add(name)
+            continue
+        if f not in src_cache:
+            with open(f) as fh:
+                src_cache[f] = fh.read()
+        if any(
+            f"import {b}" in src_cache[f] or f".{b} import" in src_cache[f]
+            for b in changed_basenames
+        ):
+            names.add(name)
+    return names
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     only: set[str] | None = None
@@ -87,6 +133,12 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+    if "--changed-since" in argv:
+        i = argv.index("--changed-since")
+        changed = changed_query_names(argv[i + 1])
+        del argv[i : i + 2]
+        only = changed if only is None else (only & changed)
+        print(json.dumps({"changed_slice": sorted(only)}))
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     out_path = argv[1] if len(argv) > 1 else "CORRECTNESS_LOCAL.json"
 
