@@ -147,7 +147,50 @@ def main() -> int:
         .parquet(os.path.join(out, "lineitem.parquet"))
     )
 
-    for t in ("documents", "embeddings", "lineitem"):
+    # events: offset event_id and user_id per replica — N disjoint user
+    # populations over the SAME time range, i.e. 10x traffic density
+    # (the realistic shape for a 10x deployment: sessionization, drift
+    # and per-user windows get 10x groups, not 10x-longer history).
+    # ts / event_type / value / props ride along unchanged so type
+    # mixes and value distributions stay honest per replica.
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    eks = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("rep").cast("long") * (eks[0] + 1)).alias(
+                "event_id"
+            ),
+            (F.col("user_id") + F.col("rep").cast("long") * (eks[1] + 1)).alias(
+                "user_id"
+            ),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+
+    # orders: offset both keys per replica — N disjoint customer books.
+    od = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    oks = od.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
+    (
+        od.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("o_orderkey") + F.col("rep").cast("long") * (oks[0] + 1)).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("rep").cast("long") * (oks[1] + 1)).alias(
+                "o_custkey"
+            ),
+            *[c for c in od.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "orders.parquet"))
+    )
+
+    for t in ("documents", "embeddings", "lineitem", "events", "orders"):
         c = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         print(f"{t}: {c} rows")
     return 0
