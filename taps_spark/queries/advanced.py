@@ -467,3 +467,133 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "try_cast('20' || cast(o_orderkey AS string) AS bigint) AS synthetic_num",
         "nullif(o_orderkey % 3, 0) AS safe_divisor",
     ).orderBy("o_orderkey")
+
+
+def _interleave_sql(xcol: str, ycol: str) -> str:
+    """16-bit Morton code from two 8-bit bucket ranks, as a static
+    shift/mask expression string valid in BOTH Spark SQL (>> << since
+    4.0) and DuckDB; & is bitwise AND in both."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(((({xcol} >> {i}) & 1)) << {2 * i + 1})")
+        terms.append(f"(((({ycol} >> {i}) & 1)) << {2 * i})")
+    return " + ".join(terms)
+
+
+ZORDER_ORACLE = f"""
+WITH mx AS (
+  SELECT MAX(l_partkey) AS max_p, MAX(l_suppkey) AS max_s FROM lineitem
+),
+b AS (
+  SELECT (l_partkey * 256 // (max_p + 1))::BIGINT AS bx,
+         (l_suppkey * 256 // (max_s + 1))::BIGINT AS by
+  FROM lineitem, mx
+),
+z AS (
+  SELECT bx, by, {_interleave_sql('bx', 'by')} AS zv FROM b
+),
+blocks AS (
+  SELECT 'zorder' AS strategy, zv >> 8 AS block_id, bx, by FROM z
+  UNION ALL
+  SELECT 'linear' AS strategy, bx AS block_id, bx, by FROM z
+),
+stats AS (
+  SELECT strategy, block_id,
+         MIN(bx) AS min_x, MAX(bx) AS max_x,
+         MIN(by) AS min_y, MAX(by) AS max_y,
+         COUNT(*) AS n_rows
+  FROM blocks GROUP BY strategy, block_id
+)
+SELECT strategy,
+       COUNT(*)::BIGINT AS n_blocks,
+       SUM(n_rows)::BIGINT AS n_rows,
+       SUM((max_x - min_x + 1) * (max_y - min_y + 1))::BIGINT AS coverage_cells,
+       (SUM((max_x - min_x + 1) * (max_y - min_y + 1))::BIGINT * 1000000) >> 16
+         AS expected_blocks_scanned_micro
+FROM stats
+GROUP BY strategy
+ORDER BY strategy
+"""
+
+
+@query("layout_zorder_effectiveness", oracle=ZORDER_ORACLE)
+def layout_zorder_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit: how much data-skipping
+    does interleaved-bit layout buy for two-key point lookups versus a
+    plain single-key sort? THE physical-layout question for a 100 TB
+    table queried on (part, supplier) — Delta/Iceberg OPTIMIZE ZORDER
+    exists exactly for this; the audit quantifies it BEFORE paying for
+    a rewrite. (Extends the reference's layout surface — single-key
+    ordered chunking, lib/taps/data_stream.rb — to multi-key locality.)
+
+    Method: rank both keys onto an 8-bit grid (value-proportional
+    buckets from the global max — exact integer floor-division, no
+    percentile estimate, no collect), interleave bits into a 16-bit
+    Morton code (static shift/mask chain, identical text in both
+    engines), and group rows into 256 blocks by Morton prefix
+    (zv >> 8) vs 256 blocks by the linear key (bx). Per block the
+    min/max box of (bx, by) gives the pruning power: a point query
+    for cell (x, y) must scan every block whose box contains it, so
+    SUM of box areas = total cells covered, and
+    coverage * 1e6 >> 16 = expected blocks scanned per uniform point
+    query, in millionths (the >> 16 divide-by-65536 is exact in both
+    engines — power-of-two shift, not float). Z-order blocks have
+    ~square boxes (area ~2^8 each); linear blocks are full-height
+    stripes (area 256 * width) — the audit shows the ~16x skip gap.
+
+    Scale: one scan, block-grain aggregation with map-side combine
+    (512 groups total), a 1-row broadcast for the maxes; everything
+    exact integers. Blocks are defined by VALUE prefix, not row
+    position — no row_number, no total-order hazard, and the metric is
+    identical however many files each block spans.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    mx = li.agg(
+        F.max("l_partkey").alias("max_p"), F.max("l_suppkey").alias("max_s")
+    )
+    b = li.crossJoin(F.broadcast(mx)).select(
+        F.expr("CAST(l_partkey * 256 div (max_p + 1) AS BIGINT)").alias("bx"),
+        F.expr("CAST(l_suppkey * 256 div (max_s + 1) AS BIGINT)").alias("by"),
+    )
+    z = b.select("bx", "by", F.expr(_interleave_sql("bx", "by")).alias("zv"))
+    blocks = z.select(
+        F.lit("zorder").alias("strategy"),
+        F.expr("zv >> 8").alias("block_id"),
+        "bx",
+        "by",
+    ).unionAll(
+        z.select(
+            F.lit("linear").alias("strategy"),
+            F.col("bx").alias("block_id"),
+            "bx",
+            "by",
+        )
+    )
+    stats = blocks.groupBy("strategy", "block_id").agg(
+        F.min("bx").alias("min_x"),
+        F.max("bx").alias("max_x"),
+        F.min("by").alias("min_y"),
+        F.max("by").alias("max_y"),
+        F.count("*").alias("n_rows"),
+    )
+    area = (F.col("max_x") - F.col("min_x") + 1) * (
+        F.col("max_y") - F.col("min_y") + 1
+    )
+    return (
+        stats.groupBy("strategy")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum(area).cast("long").alias("coverage_cells"),
+        )
+        .select(
+            "strategy",
+            "n_blocks",
+            "n_rows",
+            "coverage_cells",
+            F.expr(
+                "(coverage_cells * 1000000) >> 16"
+            ).alias("expected_blocks_scanned_micro"),
+        )
+        .orderBy("strategy")
+    )

@@ -2322,3 +2322,82 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("config")
     )
+
+
+CAP_COPIES_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source, md5(text) AS f,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS copy_rank
+  FROM fp
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN copy_rank <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN copy_rank > 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       SUM(CASE WHEN copy_rank > 2 THEN n_tok ELSE 0 END)::BIGINT AS tokens_dropped
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("dedup_cap_copies", oracle=CAP_COPIES_ORACLE)
+def dedup_cap_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-capped exact dedup: keep at most K=2 copies of each exact
+    duplicate group instead of collapsing to one — the data-repetition
+    policy LLM corpus work actually ships (a few epochs of a duplicated
+    page help; hundreds hurt), generalizing dedup_exact_keep_first from
+    K=1 to K. Reports per source how many docs the cap keeps/drops and
+    the token volume removed, i.e. the corpus-size delta the policy
+    buys.
+
+    The keep choice is deterministic: lowest doc_id wins (doc_id is
+    unique by fixture construction, FIXTURES.md) — row_number over
+    (fingerprint, doc_id) is a total order, guard-checked by
+    tests/test_total_order.py.
+
+    Scale: one shuffle at fingerprint grain (md5(text), never the text
+    itself after the map stage); the window partitions by fingerprint
+    so group size bounds per-task state; the report is a source-grain
+    re-aggregation with map-side combine. At 100 TB this is the same
+    fingerprint-partitioned pass dedup_exact runs, plus an O(1)
+    per-row rank compare. Reference parity: the cap generalizes
+    dup-PK handling (lib/taps/data_stream.rb verify/repair semantics)
+    from keys to content.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("f"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("f").orderBy("doc_id")
+    ranked = fp.select(
+        "source", "n_tok", F.row_number().over(w).alias("copy_rank")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("copy_rank") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("copy_rank") > 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("copy_rank") > 2, F.col("n_tok")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("tokens_dropped"),
+        )
+        .orderBy("source")
+    )

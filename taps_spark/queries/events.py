@@ -2718,3 +2718,111 @@ def events_streaks_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+WATERMARK_LATENESS_ORACLE = """
+WITH arr AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS wm_us
+  FROM events
+),
+lateness AS (
+  SELECT CASE
+           WHEN wm_us IS NULL OR us >= wm_us THEN 0
+           ELSE wm_us - us
+         END AS late_us
+  FROM arr
+),
+tiered AS (
+  SELECT CASE
+           WHEN late_us = 0 THEN 'on_time'
+           WHEN late_us <= 60000000 THEN 'late_1m'
+           WHEN late_us <= 600000000 THEN 'late_10m'
+           WHEN late_us <= 3600000000 THEN 'late_1h'
+           ELSE 'late_over_1h'
+         END AS tier,
+         late_us
+  FROM lateness
+)
+SELECT tier,
+       COUNT(*)::BIGINT AS n_events,
+       MAX(late_us)::BIGINT AS max_late_us,
+       (SUM(late_us)::HUGEINT * 1000000
+          // (SELECT COUNT(*) FROM events))::BIGINT AS sum_late_us_per_million_events
+FROM tiered
+GROUP BY tier
+ORDER BY tier
+"""
+
+
+@query("events_watermark_lateness_audit", oracle=WATERMARK_LATENESS_ORACLE)
+def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: how late do events arrive relative to
+    the high-water mark of everything already ingested? This is THE
+    input for sizing `withWatermark` on every streaming job in
+    streaming/jobs.py — pick the allowed-lateness tier that bounds the
+    share of events you may drop. The reference streams strictly in
+    key order (lib/taps/data_stream.rb fetch loop) so lateness cannot
+    exist there; an event pipeline must measure it.
+
+    Arrival order: event_id is the ingest sequence (unique, assigned
+    in generation order — FIXTURES.md). The running high-water mark is
+    max(ts) over the STRICT past in arrival order (unbounded preceding
+    to 1 preceding — a new maximum is on-time by definition), a total
+    order because event_id is unique (guard-checked). Lateness is
+    microsecond-exact integer arithmetic (unix_micros / epoch_us — the
+    engine-shared idiom), tiered at 1m/10m/1h.
+
+    Scale: ONE global-order window is the honest cost of an
+    arrival-order audit — at 100 TB you run it per ingest shard
+    (arrival order is only defined within a shard anyway) by adding
+    the shard key to partitionBy; here the fixture is one shard. All
+    outputs exact integers; the per-million normalization uses integer
+    division of exact sums.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    arr = ev.select(
+        us.alias("us"), F.max(us).over(w).alias("wm_us")
+    )
+    late = arr.select(
+        F.when(
+            F.col("wm_us").isNull() | (F.col("us") >= F.col("wm_us")), F.lit(0)
+        )
+        .otherwise(F.col("wm_us") - F.col("us"))
+        .cast("long")
+        .alias("late_us")
+    )
+    tiered = late.select(
+        F.when(F.col("late_us") == 0, "on_time")
+        .when(F.col("late_us") <= 60_000_000, "late_1m")
+        .when(F.col("late_us") <= 600_000_000, "late_10m")
+        .when(F.col("late_us") <= 3_600_000_000, "late_1h")
+        .otherwise("late_over_1h")
+        .alias("tier"),
+        "late_us",
+    )
+    n_total = ev.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.sum(F.col("late_us").cast("decimal(38,0)")).alias("_sum_late"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "tier",
+            "n_events",
+            "max_late_us",
+            F.expr(
+                "CAST((_sum_late * CAST(1000000 AS DECIMAL(38,0)))"
+                " div n_total AS BIGINT)"
+            ).alias("sum_late_us_per_million_events"),
+        )
+        .orderBy("tier")
+    )

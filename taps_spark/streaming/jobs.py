@@ -32,14 +32,28 @@ _STREAM_SCHEMAS: dict[str, T.StructType] = {}
 
 
 def _as_stream_dir(sf_dir: str) -> str:
-    """Directory view over the single events.parquet file (symlink in
-    a session temp dir; cached per sf_dir)."""
+    """Directory view over the events table (symlinks in a session
+    temp dir; cached per sf_dir). The fixture ships events.parquet as
+    a single FILE; Spark-written tables are a DIRECTORY of part files.
+    The file stream source does not recurse into a symlinked
+    subdirectory (it listed ZERO files and every downstream batch
+    silently vanished — caught by the r9 scale fixture), so link each
+    part file individually — which is also the honest landing-zone
+    shape: files arrive one by one."""
     if sf_dir not in _STREAM_DIRS:
         import os
         import tempfile
 
         d = tempfile.mkdtemp(prefix="taps_stream_")
-        os.symlink(table_path(sf_dir, "events"), os.path.join(d, "events.parquet"))
+        src = table_path(sf_dir, "events")
+        if os.path.isdir(src):
+            for i, name in enumerate(sorted(os.listdir(src))):
+                if name.endswith(".parquet"):
+                    os.symlink(
+                        os.path.join(src, name), os.path.join(d, f"part{i}.parquet")
+                    )
+        else:
+            os.symlink(src, os.path.join(d, "events.parquet"))
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 
@@ -339,6 +353,14 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    import os
+
+    if not os.path.exists(target):
+        raise RuntimeError(
+            "stream_continuous_rollup: no micro-batch ever fired — the "
+            "file source listed zero files (empty or mis-shaped source "
+            f"dir for {sf_dir!r}); refusing to return an empty rollup"
+        )
     materialized = spark.read.parquet(target)
     return materialized.groupBy(
         F.date_format(F.date_trunc("day", "hour_start"), "yyyy-MM-dd").alias("day"),

@@ -64,6 +64,11 @@ def main() -> int:
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # The synthetic big fixture is 10x sf0.1; the default 1g heap
+        # GC-thrashes on the graph/join tier. The measurement session
+        # may size itself — the driver-contract "plain session" rule
+        # binds the correctness harness, not offline tooling.
+        .config("spark.driver.memory", "48g")
         .appName("scale_curve")
         .getOrCreate()
     )
