@@ -2401,3 +2401,104 @@ def dedup_cap_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+DEDUP_IMPACT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         MD5(text) AS ffp,
+         MD5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1 : 64], ' '))
+           AS pfp,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT n_tok,
+         ROW_NUMBER() OVER (PARTITION BY ffp ORDER BY doc_id) AS full_rank,
+         ROW_NUMBER() OVER (PARTITION BY pfp ORDER BY doc_id) AS prefix_rank
+  FROM fp
+),
+tot AS (SELECT COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens FROM fp),
+methods AS (
+  SELECT 'exact_keep_first' AS method,
+         SUM(CASE WHEN full_rank > 1 THEN 1 ELSE 0 END)::BIGINT AS docs_removed,
+         SUM(CASE WHEN full_rank > 1 THEN n_tok ELSE 0 END)::BIGINT AS tokens_removed
+  FROM ranked
+  UNION ALL
+  SELECT 'exact_cap_2',
+         SUM(CASE WHEN full_rank > 2 THEN 1 ELSE 0 END)::BIGINT,
+         SUM(CASE WHEN full_rank > 2 THEN n_tok ELSE 0 END)::BIGINT
+  FROM ranked
+  UNION ALL
+  SELECT 'prefix_64_keep_first',
+         SUM(CASE WHEN prefix_rank > 1 THEN 1 ELSE 0 END)::BIGINT,
+         SUM(CASE WHEN prefix_rank > 1 THEN n_tok ELSE 0 END)::BIGINT
+  FROM ranked
+)
+SELECT method, docs_removed, tokens_removed,
+       (tokens_removed::HUGEINT * 1000000 // (SELECT n_tokens FROM tot))::BIGINT
+         AS tokens_removed_ppm
+FROM methods
+ORDER BY method
+"""
+
+
+@query("pipeline_dedup_impact_report", oracle=DEDUP_IMPACT_ORACLE)
+def pipeline_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side corpus-size impact of three dedup policies — the
+    one-page answer to "what does each dedup pass actually buy us?"
+    that gates a 100 TB cleaning run before it is launched: exact
+    keep-first (dedup_exact_keep_first), exact capped at 2 copies
+    (dedup_cap_copies), and prefix-64 keep-first (dedup_exact_prefix,
+    which also collapses truncation families). Reported as docs and
+    tokens removed plus tokens_removed_ppm of the whole corpus
+    (integer-exact per-million via HUGEINT/DECIMAL division).
+
+    Scale: ONE scan computes both fingerprints and the token count;
+    the two rank windows shuffle at their fingerprint grains (the
+    same two passes the underlying dedup queries run); the report is
+    a 3-row fold. Keep choice is deterministic (lowest doc_id —
+    unique, FIXTURES.md; total-order guard green).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("ffp"),
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 64), " ")).alias("pfp"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    wf = Window.partitionBy("ffp").orderBy("doc_id")
+    wp = Window.partitionBy("pfp").orderBy("doc_id")
+    ranked = fp.select(
+        "n_tok",
+        F.row_number().over(wf).alias("full_rank"),
+        F.row_number().over(wp).alias("prefix_rank"),
+    )
+
+    def _method(name: str, cond) -> DataFrame:
+        return ranked.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("docs_removed"),
+            F.sum(F.when(cond, F.col("n_tok")).otherwise(F.lit(0).cast("long")))
+            .cast("long")
+            .alias("tokens_removed"),
+        ).select(F.lit(name).alias("method"), "docs_removed", "tokens_removed")
+
+    methods = (
+        _method("exact_keep_first", F.col("full_rank") > 1)
+        .unionAll(_method("exact_cap_2", F.col("full_rank") > 2))
+        .unionAll(_method("prefix_64_keep_first", F.col("prefix_rank") > 1))
+    )
+    tot = fp.agg(F.sum("n_tok").alias("n_tokens"))
+    return (
+        methods.crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            "docs_removed",
+            "tokens_removed",
+            F.expr(
+                "CAST((CAST(tokens_removed AS DECIMAL(38,0)) * 1000000)"
+                " div n_tokens AS BIGINT)"
+            ).alias("tokens_removed_ppm"),
+        )
+        .orderBy("method")
+    )

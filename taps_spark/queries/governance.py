@@ -886,3 +886,86 @@ def governance_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_ppm")
     )
+
+
+SURROGATE_VAULT_ORACLE = """
+WITH s AS (
+  SELECT c_nationkey,
+         c_name,
+         MD5('vault1:' || c_name) AS surrogate
+  FROM customer
+),
+per_name AS (
+  SELECT c_nationkey, c_name, COUNT(*) AS freq
+  FROM s GROUP BY c_nationkey, c_name
+)
+SELECT s.c_nationkey AS nationkey,
+       COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT s.c_name)::BIGINT AS n_distinct_names,
+       COUNT(DISTINCT s.surrogate)::BIGINT AS n_distinct_surrogates,
+       (COUNT(DISTINCT s.c_name) - COUNT(DISTINCT s.surrogate))::BIGINT
+         AS n_collisions,
+       (SELECT COUNT(*) FROM per_name p
+        WHERE p.c_nationkey = s.c_nationkey AND p.freq = 1)::BIGINT
+         AS n_singleton_names
+FROM s
+GROUP BY s.c_nationkey
+ORDER BY nationkey
+"""
+
+
+@query("governance_surrogate_vault", oracle=SURROGATE_VAULT_ORACLE)
+def governance_surrogate_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization-vault audit: replace the direct identifier
+    (customer name) with a keyed deterministic surrogate
+    (md5('vault1:' || name) — stable across runs so joins keep
+    working) and verify the two properties a privacy review asks for:
+    (a) cardinality preservation — distinct surrogates == distinct
+    names, i.e. ZERO collisions, because a collision silently merges
+    two people; (b) the residual re-identification surface —
+    singleton names (freq = 1 within their nation) remain linkable by
+    frequency analysis even after tokenization, so their count is the
+    k=1 risk mass the k-anonymity queries (governance_k_anonymity)
+    then treat. Complements PII redaction (pii_redact_digits) with
+    the reversible-by-vault flavor actually used for join keys.
+
+    Scale: one scan; the census is two grouped aggregations at
+    (nation, name) grain with map-side combine; exact counts only.
+    The surrogate is computed per row JVM-side (md5 codegen) — at
+    100 TB the vault write is the same map-only pass.
+    """
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    s = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_name").alias("name"),
+        F.md5(F.concat(F.lit("vault1:"), F.col("c_name"))).alias("surrogate"),
+    )
+    per_name = (
+        s.groupBy("nationkey", "name")
+        .agg(F.count("*").alias("freq"))
+        .groupBy("nationkey")
+        .agg(
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singleton_names")
+        )
+    )
+    census = s.groupBy("nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("name").alias("n_distinct_names"),
+        F.countDistinct("surrogate").alias("n_distinct_surrogates"),
+    )
+    return (
+        census.join(per_name, "nationkey")
+        .select(
+            "nationkey",
+            "n_rows",
+            "n_distinct_names",
+            "n_distinct_surrogates",
+            (F.col("n_distinct_names") - F.col("n_distinct_surrogates"))
+            .cast("long")
+            .alias("n_collisions"),
+            "n_singleton_names",
+        )
+        .orderBy("nationkey")
+    )

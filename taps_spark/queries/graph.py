@@ -294,3 +294,69 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+@query("graph_kcore", oracle=None)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition summary of the co-purchase graph: for
+    k ∈ {2, 3, 4}, the size of the maximal subgraph where every node
+    keeps degree ≥ k after iterative peeling — the standard
+    dense-community extractor (spam-farm cores, boilerplate template
+    rings in crawl graphs) one step up from triangle counting.
+
+    Rows-only by design: peeling is an iterative fixpoint, not
+    SQL-expressible; tests/test_operators.py replays the exact peel
+    in pure Python on the collected edge list and pins node/edge
+    counts, plus the nesting invariant core(4) ⊆ core(3) ⊆ core(2).
+
+    Scale: each round is one degree aggregation + one semi-join edge
+    filter — the same two shuffles per iteration as PageRank, with
+    localCheckpoint truncating lineage. Rounds are data-bounded
+    (each round removes ≥ 1 node or terminates); the loop exits on a
+    fixpoint test over a 1-row count, not a collected node list. At
+    100 TB the edge list is bucketed by u so the per-round join is
+    exchange-free; peeling k cores shares the thresholded edge base
+    every graph query here uses (support ≥ 2 keeps the graph sparse,
+    see graph_triangle_count).
+    """
+    edges0 = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    out = None
+    for k in (2, 3, 4):
+        edges = edges0
+        n_prev = -1
+        for _ in range(50):
+            deg = (
+                edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
+            n_now = keep.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+            edges = (
+                edges.join(
+                    keep.select(F.col("node").alias("u")), "u", "left_semi"
+                )
+                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+        stats = edges.agg(
+            F.count(F.lit(1)).alias("n_core_edges"),
+        ).crossJoin(
+            F.broadcast(
+                edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n_core_nodes"))
+            )
+        ).select(
+            F.lit(k).alias("k"),
+            "n_core_nodes",
+            "n_core_edges",
+        )
+        out = stats if out is None else out.unionAll(stats)
+    return out.orderBy("k")

@@ -2075,3 +2075,312 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tau_b_ppm"),
     ).orderBy("flag")
+
+
+THEIL_SEN_ORACLE = """
+WITH lvl AS (
+  SELECT l_returnflag AS flag, l_quantity AS q,
+         COUNT(*)::HUGEINT AS n,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::HUGEINT AS s
+  FROM lineitem
+  GROUP BY flag, q
+),
+pairs AS (
+  SELECT a.flag,
+         (b.s * a.n - a.s * b.n) AS num,
+         (a.n * b.n * CAST(b.q - a.q AS HUGEINT)) AS den
+  FROM lvl a JOIN lvl b ON a.flag = b.flag AND a.q < b.q
+),
+scaled AS (
+  SELECT flag,
+         (num * 1000000000 + 100000000000000000::HUGEINT * den) // den
+           - 100000000000000000::HUGEINT AS v
+  FROM pairs
+),
+vc AS (
+  SELECT flag, v, COUNT(*)::HUGEINT AS c FROM scaled GROUP BY flag, v
+),
+cum AS (
+  SELECT flag, v, c,
+         SUM(c) OVER (PARTITION BY flag ORDER BY v) AS cum_le
+  FROM vc
+),
+k AS (
+  SELECT flag, SUM(c) AS cnt,
+         (SUM(c) + 1) // 2 AS k1, (SUM(c) + 2) // 2 AS k2
+  FROM vc GROUP BY flag
+),
+med AS (
+  SELECT k.flag, k.cnt,
+         MIN(CASE WHEN cum.cum_le >= k.k1 THEN cum.v END) AS e1,
+         MIN(CASE WHEN cum.cum_le >= k.k2 THEN cum.v END) AS e2
+  FROM k JOIN cum ON k.flag = cum.flag
+  GROUP BY k.flag, k.cnt
+)
+SELECT flag,
+       CAST(cnt AS BIGINT) AS n_pairs,
+       CAST(e1 + e2 AS BIGINT) AS slope_nanocents_x2
+FROM med
+ORDER BY flag
+"""
+
+
+@query("stats_theil_sen", oracle=THEIL_SEN_ORACLE)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of extended price vs quantity
+    per return flag — the median-of-slopes line a profiler fits when
+    outliers make least squares (stats_regression_exact) lie. This is
+    the LEVEL-AGGREGATED estimator: slopes between per-quantity-level
+    mean prices, which is the scalable form (point-pair Theil–Sen is
+    O(n²) and nobody runs it at corpus scale; the level means are
+    sufficient statistics when x is a bounded discrete dimension —
+    l_quantity has 50 levels, FIXTURES.md).
+
+    Exactness end-to-end: level means are exact rationals
+    (sum_cents / n from ROUND(price*100) — the repo's lossless cent
+    grid); the slope between levels i<j is the exact rational
+    (s_j·n_i − s_i·n_j) / (n_i·n_j·(q_j − q_i)) with positive
+    denominator; each slope is floor-quantized to a 1e-9 cent grid
+    via the OFFSET trick (num·1e9 + OFF·den) // den − OFF with
+    OFF = 1e17 > any |slope|·1e9, so the integer division sees a
+    positive numerator and truncation == floor in BOTH engines
+    (Spark `div` truncates toward zero, DuckDB `//` floors — they
+    agree only for non-negative operands, so the offset is
+    correctness, not style). The median over the ≤1225 scaled slopes
+    per flag is selected by cumulative count over value-distinct
+    grain (no row_number — the spearman lesson): e_k = min v with
+    cum_le ≥ k; exporting e1+e2 handles even counts exactly without
+    halving (x2 units).
+
+    Scale: the only row-scale work is the level aggregation (one
+    shuffle at (flag, quantity) grain with map-side combine); pairs
+    live at 3·C(50,2) = 3675 rows — a broadcast self-join of a
+    150-row frame; everything after is counting. DECIMAL(38,0)
+    interiors (num·1e9 ≤ ~1e24 ≫ int64, the r8 ANSI-overflow lesson).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    lvl = (
+        li.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("q"))
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("s"),
+        )
+    )
+    a = lvl.select(
+        "flag", F.col("q").alias("qa"), F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = lvl.select(
+        "flag", F.col("q").alias("qb"), F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    pairs = a.join(F.broadcast(b), "flag").filter(F.col("qa") < F.col("qb"))
+    scaled = pairs.select(
+        "flag",
+        F.expr(
+            "CAST((CAST(({num}) * 1000000000 AS DECIMAL(38,0))"
+            " + CAST(100000000000000000 AS DECIMAL(38,0)) * ({den}))"
+            " div ({den}) - 100000000000000000 AS DECIMAL(38,0))".format(
+                num="sb * na - sa * nb",
+                den="CAST(na * nb * CAST(qb - qa AS DECIMAL(38,0)) AS DECIMAL(38,0))",
+            )
+        ).alias("v"),
+    )
+    vc = scaled.groupBy("flag", "v").agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select("flag", "v", "c", F.sum("c").over(wcum).alias("cum_le"))
+    k = vc.groupBy("flag").agg(
+        F.sum("c").alias("cnt"),
+    ).select(
+        "flag",
+        "cnt",
+        F.expr("(cnt + 1) div 2").alias("k1"),
+        F.expr("(cnt + 2) div 2").alias("k2"),
+    )
+    med = (
+        cum.join(F.broadcast(k), "flag")
+        .groupBy("flag", "cnt")
+        .agg(
+            F.min(F.when(F.col("cum_le") >= F.col("k1"), F.col("v"))).alias("e1"),
+            F.min(F.when(F.col("cum_le") >= F.col("k2"), F.col("v"))).alias("e2"),
+        )
+    )
+    return med.select(
+        "flag",
+        F.col("cnt").cast("long").alias("n_pairs"),
+        (F.col("e1") + F.col("e2")).cast("long").alias("slope_nanocents_x2"),
+    ).orderBy("flag")
+
+
+KRUSKAL_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cg AS (
+  SELECT grp, cents, COUNT(*)::BIGINT AS c FROM v GROUP BY grp, cents
+),
+tg AS (
+  SELECT cents, SUM(c)::BIGINT AS t FROM cg GROUP BY cents
+),
+cum AS (
+  SELECT cents, t, SUM(t) OVER (ORDER BY cents) AS cum_t FROM tg
+),
+pg AS (
+  SELECT cg.grp,
+         SUM(cg.c)::HUGEINT AS n_g,
+         SUM(cg.c::HUGEINT * ((cum.cum_t - cum.t + 1) + cum.cum_t)) AS two_r
+  FROM cg JOIN cum ON cg.cents = cum.cents
+  GROUP BY cg.grp
+),
+tot AS (
+  SELECT SUM(n_g) AS n, COUNT(*)::BIGINT AS k,
+         SUM((two_r * two_r * 1000000) // (4 * n_g)) AS sum_t_scaled
+  FROM pg
+),
+tie AS (SELECT SUM(t * t * t - t)::HUGEINT AS tie_term FROM tg),
+h AS (
+  SELECT tot.n, tot.k, tie.tie_term,
+         12.0 * (CAST(tot.sum_t_scaled AS DOUBLE) / 1000000)
+           / (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) + 1))
+           - 3 * (CAST(tot.n AS DOUBLE) + 1) AS h_raw
+  FROM tot, tie
+)
+SELECT pg.grp,
+       CAST(pg.n_g AS BIGINT) AS n_g,
+       CAST(pg.two_r AS VARCHAR) AS two_r,
+       CAST((pg.two_r * 1000) // (2 * pg.n_g) AS BIGINT) AS mean_rank_milli,
+       CAST(h.n AS BIGINT) AS n_total,
+       h.k AS k_groups,
+       CAST(FLOOR(
+         h.h_raw
+         / (1 - CAST(h.tie_term AS DOUBLE)
+                / (CAST(h.n AS DOUBLE) * CAST(h.n AS DOUBLE) * CAST(h.n AS DOUBLE)
+                   - CAST(h.n AS DOUBLE)))
+         * 1000000 + 0.5) AS BIGINT) AS h_tie_ppm
+FROM pg, h
+ORDER BY grp
+"""
+
+
+@query("stats_kruskal_wallis", oracle=KRUSKAL_ORACLE)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test: do the five order priorities draw their
+    order values from the same distribution? The k-sample extension of
+    stats_mann_whitney, sharing its exact machinery: pooled
+    distinct-value grid, average ranks as INTEGER half-units
+    (2R_g = Σ c·(lo+hi) over each value's rank span — invariant under
+    tie order), tie term Σ(t³−t) exact.
+
+    Determinism of H: Σ_g (2R_g)²/n_g is the one rational sum; each
+    term is floor-quantized to a 1e-6 grid with positive integer
+    division ((2R)²·1e6 // 4n_g — identical truncation both engines),
+    so the cross-group SUM is an exact integer and the final H and
+    tie-corrected H' are a fixed float parse tree over exactly-agreed
+    integers (the statistic is DEFINED on the micro-grid; the
+    quantization bias is < k·1e-6, far below any decision threshold).
+    (2R)² ≤ 4N⁴ bounds the DECIMAL(38,0) interior to N ≤ ~4e9 rows,
+    same envelope as stats_spearman_rank.
+
+    Scale: value-grid pre-aggregation, the distributed prefix-sum
+    primitive (operators/keys.prefix_sums — no single-partition
+    window), one (grp × value)-grain join back, then 5-row folds.
+    Exports per-group exact integers (two_r as digits string) so the
+    gate checks the interiors, not just the headline ppm.
+    """
+    from taps_spark.operators.keys import prefix_sums
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cg = v.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("c"))
+    tg = cg.groupBy("cents").agg(F.sum("c").alias("t"))
+    cum = prefix_sums(tg, "cents", ("t",))
+    dec = "decimal(38,0)"
+    pg = (
+        cg.join(cum.select("cents", "t", "cum_t"), "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast(dec).alias("n_g"),
+            F.sum(
+                (
+                    F.col("c").cast(dec)
+                    * ((F.col("cum_t") - F.col("t") + 1) + F.col("cum_t")).cast(dec)
+                ).cast(dec)
+            ).alias("two_r"),
+        )
+    )
+    tie = tg.agg(
+        F.sum(
+            F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
+        ).cast(dec).alias("tie_term")
+    )
+    tot = pg.agg(
+        F.sum("n_g").cast(dec).alias("n"),
+        F.count(F.lit(1)).alias("k_groups"),
+        # NOT `div`: Spark's div returns LONG and silently WRAPS when
+        # the quotient exceeds int64 (observed at sf0.1: true quotient
+        # 1.7e20 came back as 3.7e18). Exact floor division that stays
+        # in DECIMAL(38,0): subtract the remainder, then the decimal
+        # divide is an exact integer and rounding to the result scale
+        # is a no-op. Positive operands, so floor == truncate, matching
+        # DuckDB's HUGEINT //.
+        F.sum(
+            F.expr(
+                "CAST(((two_r * two_r * 1000000)"
+                " - ((two_r * two_r * 1000000) % (4 * n_g)))"
+                " / (4 * n_g) AS DECIMAL(38,0))"
+            )
+        ).cast(dec).alias("sum_t_scaled"),
+    )
+    nd = F.col("n").cast("double")
+    h_raw = (
+        F.lit(12.0)
+        * (F.col("sum_t_scaled").cast("double") / 1000000)
+        / (nd * (nd + 1))
+        - 3 * (nd + 1)
+    )
+    h = (
+        tot.crossJoin(F.broadcast(tie))
+        .select(
+            "n",
+            "k_groups",
+            (
+                F.floor(
+                    h_raw
+                    / (
+                        1
+                        - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("h_tie_ppm"),
+        )
+    )
+    return (
+        pg.crossJoin(F.broadcast(h))
+        .select(
+            "grp",
+            F.col("n_g").cast("long").alias("n_g"),
+            F.col("two_r").cast("string").alias("two_r"),
+            F.expr("CAST((two_r * 1000) div (2 * n_g) AS BIGINT)").alias(
+                "mean_rank_milli"
+            ),
+            F.col("n").cast("long").alias("n_total"),
+            F.col("k_groups").cast("long").alias("k_groups"),
+            "h_tie_ppm",
+        )
+        .orderBy("grp")
+    )

@@ -1428,3 +1428,112 @@ def similarity_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("true_label")
     )
+
+
+@query("similarity_ivf_recall_sweep", oracle=None)
+def similarity_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe sweep: recall@5 of the IVF index (16 centroids) at
+    nprobe ∈ {1, 2, 4, 16} against the brute-force cosine top-5 for
+    32 query vectors — the cost/recall curve an operator reads before
+    picking the probe budget for a 100 TB serving index (nprobe/nlist
+    is the fraction of the corpus each search touches; nprobe=nlist
+    IS brute force, so its recall row must be 1.0 — pinned in
+    tests/test_operators.py along with monotonicity in nprobe).
+
+    Rows-only by design: centroid training is an iterative Lloyd
+    refinement, not SQL-expressible (same declaration as
+    similarity_ann_ivf); the compensating property tests pin the
+    exact-recall invariants instead.
+
+    Scale: ONE brute-force ground-truth pass (broadcast 32 queries ×
+    corpus with partial top-k) + one centroid training shared across
+    the sweep (trained once, reused per nprobe — the assignment and
+    probe stages are the cheap parts); each sweep point joins
+    candidates by centroid_id, never cross-joining the corpus.
+    """
+    from taps_spark.operators.similarity import (
+        _topk_reduce,
+        as_double,
+        assign_nearest_centroid,
+        cosine,
+        dot,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    scored = (
+        emb.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("_score"),
+        )
+    )
+    exact = _topk_reduce(scored, "q_id", "vec_id", 5).select(
+        "q_id", "neighbor_id"
+    )
+
+    nlist = 16
+    cents = train_ivf_centroids(emb, nlist=nlist, iters=1).persist()
+    corpus = assign_nearest_centroid(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumnRenamed(
+            "vec_id", "_id"
+        ),
+        cents,
+    ).select(F.col("_id").alias("vec_id"), "v", "centroid_id")
+    qv = queries.select("q_id", as_double(F.col("q_vec")).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(F.col("_d"), F.col("centroid_id"))
+    probe_ranked = (
+        qv.join(F.broadcast(cents))
+        .select("q_id", "qv", "centroid_id", d2.alias("_d"))
+        .withColumn("_pr", F.row_number().over(wprobe))
+    ).persist()
+
+    out = None
+    for nprobe in (1, 2, 4, 16):
+        probes = probe_ranked.filter(F.col("_pr") <= nprobe).select(
+            "q_id", "qv", "centroid_id"
+        )
+        approx = _topk_reduce(
+            corpus.join(F.broadcast(probes), "centroid_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                (
+                    dot(F.col("qv"), F.col("v"))
+                    / F.sqrt(dot(F.col("qv"), F.col("qv")) * dot(F.col("v"), F.col("v")))
+                ).alias("_score"),
+            ),
+            "q_id",
+            "vec_id",
+            5,
+        ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
+        point = (
+            exact.join(approx, ["q_id", "neighbor_id"], "left")
+            .agg(
+                F.count("*").alias("n_truth"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_recovered"),
+            )
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                "n_truth",
+                "n_recovered",
+                F.expr(
+                    "CAST(n_recovered * 1000000 div n_truth AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = point if out is None else out.unionAll(point)
+    return out.orderBy("nprobe")

@@ -1735,3 +1735,60 @@ def test_pca_components_match_numpy_deflation_replay(spark, any_sf_dir):
             # machine precision; the engine values are rounded to 6
             # decimals, so their dot carries ~64·5e-7 of rounding.
             assert abs(dot) < 1e-9 and abs(gdot) < 1e-4, (a, b, dot, gdot)
+
+
+def test_ivf_recall_sweep_invariants(spark, sf_dir):
+    """Compensating pins for the rows-only similarity_ivf_recall_sweep:
+    (a) nprobe = nlist = 16 probes EVERY inverted list, so the sweep's
+    last row must be exact brute force — recall_ppm == 1_000_000;
+    (b) recall is monotone non-decreasing in nprobe (candidate sets
+    are nested by construction);
+    (c) n_truth is constant across sweep points (the ground-truth pass
+    is shared, not recomputed)."""
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    rows = {
+        r["nprobe"]: r
+        for r in (
+            REGISTRY["similarity_ivf_recall_sweep"]
+            .fn(spark, sf_dir)
+            .collect()
+        )
+    }
+    assert sorted(rows) == [1, 2, 4, 16]
+    assert rows[16]["recall_ppm"] == 1_000_000, rows[16]
+    recalls = [rows[p]["recall_ppm"] for p in (1, 2, 4, 16)]
+    assert recalls == sorted(recalls), recalls
+    truths = {rows[p]["n_truth"] for p in (1, 2, 4, 16)}
+    assert len(truths) == 1 and truths.pop() > 0
+
+
+def test_kcore_matches_pure_python_peel(spark, sf_dir):
+    """Replay pin for the rows-only graph_kcore: exact node/edge
+    counts vs a pure-Python peel of the same thresholded edge list,
+    plus the nesting invariant core(4) <= core(3) <= core(2)."""
+    from taps_spark.queries import REGISTRY, _load
+    from taps_spark.queries.graph import _copurchase_edges
+
+    _load()
+    got = {
+        r["k"]: (r["n_core_nodes"], r["n_core_edges"])
+        for r in REGISTRY["graph_kcore"].fn(spark, sf_dir).collect()
+    }
+    edges = [(r["u"], r["v"]) for r in _copurchase_edges(spark, sf_dir).collect()]
+    for k in (2, 3, 4):
+        es = set(edges)
+        while True:
+            deg: dict = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                break
+            es = {(u, v) for u, v in es if u not in bad and v not in bad}
+        nodes = {n for e in es for n in e}
+        assert got[k] == (len(nodes), len(es)), (k, got[k], len(nodes), len(es))
+    assert got[4][0] <= got[3][0] <= got[2][0]
+    assert got[4][1] <= got[3][1] <= got[2][1]
