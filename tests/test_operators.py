@@ -1737,7 +1737,8 @@ def test_pca_components_match_numpy_deflation_replay(spark, any_sf_dir):
             assert abs(dot) < 1e-9 and abs(gdot) < 1e-4, (a, b, dot, gdot)
 
 
-def test_ivf_recall_sweep_invariants(spark, sf_dir):
+def test_ivf_recall_sweep_invariants(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (rows-only convention)
     """Compensating pins for the rows-only similarity_ivf_recall_sweep:
     (a) nprobe = nlist = 16 probes EVERY inverted list, so the sweep's
     last row must be exact brute force — recall_ppm == 1_000_000;
@@ -1764,7 +1765,8 @@ def test_ivf_recall_sweep_invariants(spark, sf_dir):
     assert len(truths) == 1 and truths.pop() > 0
 
 
-def test_kcore_matches_pure_python_peel(spark, sf_dir):
+def test_kcore_matches_pure_python_peel(spark, any_sf_dir):
+    sf_dir = any_sf_dir  # second-seed re-gate (rows-only convention)
     """Replay pin for the rows-only graph_kcore: exact node/edge
     counts vs a pure-Python peel of the same thresholded edge list,
     plus the nesting invariant core(4) <= core(3) <= core(2)."""
