@@ -73,6 +73,9 @@ HEADLINE = [
     # Round-7 additions (appended — prior keys stay stable).
     "dedup_chunk_overlap_share",
     "text_gopher_dup_ngrams",
+    # Round-9 additions (appended — prior keys stay stable).
+    "stats_kendall_tau",
+    "layout_zorder_effectiveness",
 ]
 
 
