@@ -1243,6 +1243,16 @@ def _pca_power_rounds(full, prior=(), n_iter: int = 8):
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("xv")).alias("yv"))
         )
+        # Deflation re-reads y TWICE per prior (the dp scalar and the
+        # update), and dp's plan EMBEDS y's whole plan — without a
+        # barrier the per-round plan multiplies ~(1 + 2·|prior|)× and
+        # three un-checkpointed rounds at k=3 put the optimizer into
+        # the minutes (measured 120 s at sf0.1, with enough driver
+        # heap pressure to take down the context for the next query).
+        # The frames are dim-sized (64 rows), so a per-round barrier
+        # costs ~ms and bounds every plan at one round's depth.
+        if prior:
+            y = y.localCheckpoint(eager=True)
         for v in prior:
             vb = F.broadcast(
                 v.select(F.col("j").alias("i"), F.col("xv").alias("pv"))
@@ -1266,7 +1276,7 @@ def _pca_power_rounds(full, prior=(), n_iter: int = 8):
             y.crossJoin(F.broadcast(nrm))
             .select(F.col("i").alias("j"), (F.col("yv") / F.col("nrm")).alias("xv"))
         )
-        if it % 3 == 2 or it == n_iter - 1:
+        if it % 3 == 2 or it == n_iter - 1 or prior:
             x = x.localCheckpoint(eager=True)
         lam = nrm.select(F.col("nrm").alias("lam"))
     return x, lam
