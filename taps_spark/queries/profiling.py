@@ -1976,16 +1976,18 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cr = cells.join(F.broadcast(qd), ["flag", "q"])
 
+    # Per-level counts at (flag, p) grain via CONDITIONAL SUMS (plain
+    # codegen aggregates), not collect_list→map→50 probes — the map
+    # build alone measured 7.2 s of the query's 21 s at sf0.1.
+    zero = F.lit(0).cast("long")
     pg = cr.groupBy("flag", "p").agg(
-        F.map_from_entries(F.collect_list(F.struct("qr", "c"))).alias("m"),
+        *[
+            F.sum(F.when(F.col("qr") == i, F.col("c")).otherwise(zero)).alias(
+                f"_a{i}"
+            )
+            for i in range(1, R + 1)
+        ]
     )
-    arr = F.transform(
-        F.sequence(F.lit(1), F.lit(R)),
-        lambda r: F.coalesce(
-            F.element_at(F.col("m"), r.cast("int")), F.lit(0).cast("long")
-        ),
-    )
-    pg = pg.select("flag", "p", arr.alias("arr"))
 
     wp = (
         Window.partitionBy("flag")
@@ -1993,16 +1995,20 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cums = [
-        F.coalesce(F.sum(F.col("arr")[i]).over(wp), F.lit(0).cast("long")).alias(
-            f"_c{i}"
-        )
-        for i in range(R)
+        F.coalesce(F.sum(F.col(f"_a{i}")).over(wp), zero).alias(f"_c{i}")
+        for i in range(1, R + 1)
     ]
-    pg2 = pg.select("flag", "p", "arr", *cums).select(
+    # NOT an unrolled O(R²) column-prefix: evaluating all R prefixes
+    # per (flag, p) row measured 10.2 s alone at sf0.1 — each cell
+    # only needs ONE prefix (its own level), so the O(qr) fold below
+    # does strictly less arithmetic (Σ qr ≈ R/2 per row).
+    pg2 = pg.select(
+        "flag", "p", *[F.col(f"_a{i}") for i in range(1, R + 1)], *cums
+    ).select(
         "flag",
         "p",
-        "arr",
-        F.array(*[F.col(f"_c{i}") for i in range(R)]).alias("cumarr"),
+        F.array(*[F.col(f"_a{i}") for i in range(1, R + 1)]).alias("arr"),
+        F.array(*[F.col(f"_c{i}") for i in range(1, R + 1)]).alias("cumarr"),
     )
 
     qm = cr.groupBy("flag", "qr").agg(F.sum("c").alias("tq"))
@@ -2014,13 +2020,22 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     qm = qm.select(
         "flag",
         "qr",
-        F.coalesce(F.sum("tq").over(wqm), F.lit(0).cast("long")).alias("ltq"),
+        F.coalesce(F.sum("tq").over(wqm), zero).alias("ltq"),
     )
 
     j = cr.join(pg2, ["flag", "p"]).join(F.broadcast(qm), ["flag", "qr"])
-    zero = F.lit(0).cast("long")
-    lt_qp = F.aggregate(F.expr("slice(cumarr, 1, qr - 1)"), zero, lambda a, x: a + x)
-    eqp_ltq = F.aggregate(F.expr("slice(arr, 1, qr - 1)"), zero, lambda a, x: a + x)
+    # Guarded fold: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # returning empty, so qr = 1 must short-circuit before the lambda.
+    lt_qp = F.expr(
+        "CASE WHEN qr = 1 THEN CAST(0 AS BIGINT)"
+        " ELSE aggregate(sequence(1, qr - 1), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + cumarr[i - 1]) END"
+    )
+    eqp_ltq = F.expr(
+        "CASE WHEN qr = 1 THEN CAST(0 AS BIGINT)"
+        " ELSE aggregate(sequence(1, qr - 1), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + arr[i - 1]) END"
+    )
     j = j.select(
         "flag", "c", lt_qp.alias("lt_qp"), eqp_ltq.alias("eqp_ltq"), "ltq"
     )
