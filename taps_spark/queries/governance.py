@@ -969,3 +969,105 @@ def governance_surrogate_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+RETENTION_SWEEP_ORACLE = """
+WITH pol AS (
+  SELECT * FROM (VALUES
+    ('click',    90),
+    ('view',    180),
+    ('purchase', 3650),
+    ('signup',  3650),
+    ('error',    30)
+  ) AS t(event_type, keep_days)
+),
+horizon AS (SELECT MAX(ts) AS now_ts FROM events),
+tagged AS (
+  SELECT e.event_type,
+         COALESCE(p.keep_days, 365) AS keep_days,
+         CASE WHEN e.ts < h.now_ts - COALESCE(p.keep_days, 365) * INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS expired,
+         LENGTH(e.props) AS props_bytes
+  FROM events e
+  LEFT JOIN pol p ON p.event_type = e.event_type
+  CROSS JOIN horizon h
+)
+SELECT event_type,
+       CAST(MAX(keep_days) AS INT) AS keep_days,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(expired)::BIGINT AS n_expired,
+       SUM(CASE WHEN expired = 1 THEN props_bytes ELSE 0 END)::BIGINT
+         AS expired_props_bytes,
+       (SUM(expired)::HUGEINT * 1000000 // COUNT(*))::BIGINT AS expired_ppm
+FROM tagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("governance_retention_sweep", oracle=RETENTION_SWEEP_ORACLE)
+def governance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy deletion plan: given per-event-type retention
+    windows (errors 30 d, clickstream 90/180 d, transactional records
+    10 y, default 365 d), how many rows and how much payload does the
+    next compliance sweep delete per type? This is the sizing pass a
+    GDPR/CCPA retention job runs BEFORE rewriting partitions — the
+    deletion-side counterpart of the vault/redaction/k-anonymity
+    queries, and the generalization of the reference's whole-table
+    truncate-and-reload lifecycle to policy-driven row TTLs.
+
+    The horizon is the corpus max(ts), not wall-clock — deterministic
+    and fixture-independent (the same choice the freshness and SCD
+    queries made). Day arithmetic is timestamp-native in both engines
+    (keep_days * INTERVAL 1 DAY); counts and byte sums are exact
+    integers; expired_ppm is exact integer division.
+
+    Scale: one scan, the policy is a 5-row broadcast, the horizon a
+    1-row broadcast; per-type aggregation with map-side combine. At
+    100 TB the same predicate becomes the partition-pruning filter of
+    the actual DELETE (ts-partitioned layout ⇒ expired partitions
+    drop without a rewrite).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    pol = spark.createDataFrame(
+        [("click", 90), ("view", 180), ("purchase", 3650),
+         ("signup", 3650), ("error", 30)],
+        ["event_type", "keep_days"],
+    )
+    horizon = ev.agg(F.max("ts").alias("now_ts"))
+    tagged = (
+        ev.join(F.broadcast(pol), "event_type", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "event_type",
+            F.coalesce("keep_days", F.lit(365)).alias("keep_days"),
+            F.when(
+                F.col("ts")
+                < F.col("now_ts")
+                - F.coalesce("keep_days", F.lit(365))
+                * F.expr("INTERVAL 1 DAY"),
+                1,
+            )
+            .otherwise(0)
+            .alias("expired"),
+            F.length("props").alias("props_bytes"),
+        )
+    )
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.max("keep_days").cast("int").alias("keep_days"),
+            F.count("*").alias("n_rows"),
+            F.sum("expired").cast("long").alias("n_expired"),
+            F.sum(
+                F.when(F.col("expired") == 1, F.col("props_bytes")).otherwise(0)
+            )
+            .cast("long")
+            .alias("expired_props_bytes"),
+            F.expr(
+                "CAST(CAST(SUM(expired) AS DECIMAL(38,0)) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("expired_ppm"),
+        )
+        .orderBy("event_type")
+    )

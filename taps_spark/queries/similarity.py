@@ -1547,3 +1547,216 @@ def similarity_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = point if out is None else out.unionAll(point)
     return out.orderBy("nprobe")
+
+
+MMR_ORACLE = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+sc AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS cand,
+         list_dot_product(a.e, b.e)
+           / SQRT(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS sim
+  FROM v a JOIN v b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 16
+),
+short AS MATERIALIZED (
+  SELECT q_id, cand, sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, cand) AS r
+        FROM sc)
+  WHERE r <= 12
+),
+pairs AS MATERIALIZED (
+  SELECT s1.q_id, s1.cand AS cand_a, s2.cand AS cand_b,
+         list_dot_product(va.e, vb.e)
+           / SQRT(list_dot_product(va.e, va.e) * list_dot_product(vb.e, vb.e))
+           AS psim
+  FROM short s1
+  JOIN short s2 ON s1.q_id = s2.q_id AND s1.cand <> s2.cand
+  JOIN v va ON va.vec_id = s1.cand
+  JOIN v vb ON vb.vec_id = s2.cand
+),
+p1 AS MATERIALIZED (
+  SELECT q_id, cand, 0.7 * sim AS mmr
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, cand) AS r FROM short)
+  WHERE r = 1
+),
+r2 AS (
+  SELECT s.q_id, s.cand, s.sim, MAX(p.psim) AS pen
+  FROM short s
+  JOIN p1 ON p1.q_id = s.q_id AND p1.cand <> s.cand
+  JOIN pairs p ON p.q_id = s.q_id AND p.cand_a = s.cand AND p.cand_b = p1.cand
+  GROUP BY s.q_id, s.cand, s.sim
+),
+p2 AS MATERIALIZED (
+  SELECT q_id, cand, mmr
+  FROM (SELECT q_id, cand, 0.7 * sim - 0.3 * pen AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY 0.7 * sim - 0.3 * pen DESC, cand) AS r
+        FROM r2)
+  WHERE r = 1
+),
+r3 AS (
+  SELECT s.q_id, s.cand, s.sim, MAX(p.psim) AS pen
+  FROM short s
+  JOIN pairs p ON p.q_id = s.q_id AND p.cand_a = s.cand
+  WHERE p.cand_b IN (SELECT cand FROM p1 WHERE p1.q_id = s.q_id
+                     UNION ALL
+                     SELECT cand FROM p2 WHERE p2.q_id = s.q_id)
+    AND s.cand NOT IN (SELECT cand FROM p1 WHERE p1.q_id = s.q_id
+                       UNION ALL
+                       SELECT cand FROM p2 WHERE p2.q_id = s.q_id)
+  GROUP BY s.q_id, s.cand, s.sim
+),
+p3 AS MATERIALIZED (
+  SELECT q_id, cand, mmr
+  FROM (SELECT q_id, cand, 0.7 * sim - 0.3 * pen AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY 0.7 * sim - 0.3 * pen DESC, cand) AS r
+        FROM r3)
+  WHERE r = 1
+),
+picked3 AS (
+  SELECT q_id, cand FROM p1
+  UNION ALL SELECT q_id, cand FROM p2
+  UNION ALL SELECT q_id, cand FROM p3
+),
+r4 AS (
+  SELECT s.q_id, s.cand, s.sim, MAX(p.psim) AS pen
+  FROM short s
+  JOIN pairs p ON p.q_id = s.q_id AND p.cand_a = s.cand
+  WHERE p.cand_b IN (SELECT cand FROM picked3 k WHERE k.q_id = s.q_id)
+    AND s.cand NOT IN (SELECT cand FROM picked3 k WHERE k.q_id = s.q_id)
+  GROUP BY s.q_id, s.cand, s.sim
+),
+p4 AS (
+  SELECT q_id, cand, mmr
+  FROM (SELECT q_id, cand, 0.7 * sim - 0.3 * pen AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY 0.7 * sim - 0.3 * pen DESC, cand) AS r
+        FROM r4)
+  WHERE r = 1
+),
+allp AS (
+  SELECT q_id, 1 AS pick_rank, cand, mmr FROM p1
+  UNION ALL SELECT q_id, 2, cand, mmr FROM p2
+  UNION ALL SELECT q_id, 3, cand, mmr FROM p3
+  UNION ALL SELECT q_id, 4, cand, mmr FROM p4
+)
+SELECT q_id, pick_rank, cand AS cand_id,
+       CAST(FLOOR(mmr * 1000000000 + 0.5) AS BIGINT) AS mmr_nano
+FROM allp
+ORDER BY q_id, pick_rank
+"""
+
+
+@query("similarity_mmr_rerank", oracle=MMR_ORACLE)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: diversity-aware top-4
+    selection from each query's top-12 cosine shortlist — the
+    standard result-diversification pass for RAG retrieval and
+    few-shot example pickers (a plain top-k returns near-duplicates;
+    MMR greedily trades relevance against similarity-to-already-
+    picked: score = 0.7·sim(q,d) − 0.3·max_{p∈picked} sim(d,p)).
+
+    Fully oracle-gated despite the greedy loop: the selection is
+    UNROLLED to its k=4 rounds in the DuckDB oracle (p1..p4 CTE
+    layers), and every float is a fixed parse tree both engines
+    evaluate bit-identically — left-fold dot products (the proven
+    emb-cosine chain), 0.7/0.3 literals, MAX over doubles
+    (order-free), row_number over (mmr DESC, cand) with the unique
+    cand tiebreak (a total order; guard-checked). Exported as nano
+    integers via the standard floor(x·1e9 + 0.5) fold.
+
+    Scale: the corpus appears ONLY in the shortlist pass (broadcast
+    queries × one scan, WindowGroupLimit partial top-k — the
+    topk_bruteforce plan). Everything after is B=12 rows per query:
+    the pairwise-similarity frame is B² per query and the k greedy
+    rounds are joins over frames whose size is queries×B, never
+    corpus-scaled. The loop is k=4 DataFrame rounds with checkpointed
+    picked/remaining state — the plan-depth discipline the PCA
+    deflation fix established.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.operators.similarity import cosine
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand"),
+            cosine(F.col("q_vec"), F.col("embedding")).alias("sim"),
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cand"))
+    short = (
+        scored.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= 12)
+        .select("q_id", "cand", "sim")
+        .localCheckpoint(eager=True)
+    )
+    cv = emb.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("cv"))
+    sv = short.join(F.broadcast(cv), "cand").select("q_id", "cand", "cv")
+    a = sv.select("q_id", F.col("cand").alias("cand_a"), F.col("cv").alias("va"))
+    b = sv.select("q_id", F.col("cand").alias("cand_b"), F.col("cv").alias("vb"))
+    pairs = (
+        a.join(b, "q_id")
+        .filter(F.col("cand_a") != F.col("cand_b"))
+        .select(
+            "q_id",
+            "cand_a",
+            "cand_b",
+            cosine(F.col("va"), F.col("vb")).alias("psim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    wpick = Window.partitionBy("q_id").orderBy(F.col("mmr").desc(), F.col("cand"))
+    p1 = (
+        short.withColumn("mmr", F.lit(0.7) * F.col("sim"))
+        .withColumn("r", F.row_number().over(wpick))
+        .filter(F.col("r") == 1)
+        .select("q_id", "cand", "mmr", F.lit(1).alias("pick_rank"))
+        .localCheckpoint(eager=True)
+    )
+    picked = p1
+    for k in (2, 3, 4):
+        pk = picked.select("q_id", F.col("cand").alias("pcand"))
+        remaining = short.join(
+            pk.select("q_id", F.col("pcand").alias("cand")), ["q_id", "cand"], "left_anti"
+        )
+        pen = (
+            remaining.join(
+                pairs.join(
+                    pk.select("q_id", F.col("pcand").alias("cand_b")),
+                    ["q_id", "cand_b"],
+                    "left_semi",
+                ).select("q_id", F.col("cand_a").alias("cand"), "psim"),
+                ["q_id", "cand"],
+            )
+            .groupBy("q_id", "cand", "sim")
+            .agg(F.max("psim").alias("pen"))
+        )
+        pick_k = (
+            pen.withColumn(
+                "mmr", F.lit(0.7) * F.col("sim") - F.lit(0.3) * F.col("pen")
+            )
+            .withColumn("r", F.row_number().over(wpick))
+            .filter(F.col("r") == 1)
+            .select("q_id", "cand", "mmr", F.lit(k).alias("pick_rank"))
+        )
+        picked = picked.unionByName(pick_k).localCheckpoint(eager=True)
+    return picked.select(
+        "q_id",
+        "pick_rank",
+        F.col("cand").alias("cand_id"),
+        F.floor(F.col("mmr") * 1000000000 + F.lit(0.5)).cast("long").alias("mmr_nano"),
+    ).orderBy("q_id", "pick_rank")
