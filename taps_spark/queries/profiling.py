@@ -1924,35 +1924,42 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_total_order.py). The concordant/discordant counts are a
     2D dominance count over the (quantity, price) contingency cells,
     exploiting that l_quantity is a BOUNDED small dimension (50
-    distinct values): per (flag, price) cell row we materialize one
-    running-sum column PER QUANTITY LEVEL — all R levels share a single
-    window spec, so Spark computes the whole 2D cumulative table in ONE
-    window pass over the (flag, p)-grain frame (no pair explosion; the
-    DuckDB oracle deliberately uses a DIFFERENT exact decomposition —
-    a per-level union exploded via range()/UNNEST — so the two engines
-    cross-check independent algorithms). The level count R is collected
-    at plan time (one tiny job over the distinct-q dim) and the
-    operator refuses past 200 levels rather than degrade; for a
-    high-cardinality pair you'd bucket one side first.
+    distinct values), via a PER-LEVEL UNION: each cell fans out to the
+    levels at or below its own rank (mean fan-out ≈ R/2), tagged lower
+    (i = qr) or upper (i < qr); a single running-sum window over
+    (flag, level) partitions then yields, at each price, the
+    lower-level mass strictly below (lt) and in total (tot), so
+    C = Σ cu·lt and D = Σ cu·(tot − lt − cl) directly. The strict-past
+    ROWS frame puts p-ties across levels in the tie terms, not C/D.
+    The level count R is collected at plan time (one tiny job over the
+    distinct-q dim) and the operator refuses past 200 levels rather
+    than degrade; for a high-cardinality pair bucket one side first.
 
-    Concordant pairs C = sum_cells c * |{points q'<q, p'<p}|; the 2D
-    prefix |.| = sum over levels i<qr of cumarr[i], a strict-past
-    ROWS frame so p-ties across levels land in the tie terms, not C/D.
-    Discordant D per cell = c * (lt_q - lt_qp - eqp_ltq). tau-b =
-    (C - D) / sqrt((n0 - n1)(n0 - n2)) with n0 = n(n-1)/2, n1/n2 the
-    q-/p-tie pair counts (t(t-1)/2 is integer-exact). All pair counts
-    fold in DECIMAL(38,0) (C, D <= n^2/2 < 1e38 for n <= 4.4e18) and
-    export as digit strings; the float chain for tau_b_ppm is a fixed
+    Memory note — this is the THIRD design, chosen by measurement:
+    a per-(flag, p) running-sum column per level (one window pass, no
+    fan-out) carries 2R longs per row through a sort with only
+    |flags| = 3 partitions — ~475 MB of wide rows in 3 tasks, which
+    OOMed a 1 GiB-heap session under accumulated debris (the spill
+    path itself failed allocating its read-ahead buffer). The union
+    spreads the SAME total bytes over flag×R = 150 skinny-row window
+    partitions (~3 MB/task), trading a bounded explode for a peak
+    profile that survives small executors. An unrolled all-levels
+    column-prefix variant was worse still (O(R²) adds/row, 10.2 s).
+
+    tau-b = (C − D) / sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2,
+    n1/n2 the q-/p-tie pair counts (t(t−1)/2 integer-exact). All pair
+    counts fold in DECIMAL(38,0) (C, D ≤ n²/2 < 1e38 for n ≤ 4.4e18)
+    and export as digit strings; tau_b_ppm's float chain is a fixed
     parse tree over exactly-agreed integers (cast-to-double, IEEE
-    sqrt/div, floor(x*1e6+0.5)) — the same recipe the Spearman and
-    corr-matrix rows proved deterministic cross-engine.
+    sqrt/div, floor(x·1e6+0.5)) — the proven Spearman recipe. The
+    independent check is the O(n²) NumPy brute force pinned at
+    sf0.001 (exact C, D, and ppm match), since the DuckDB oracle
+    shares this decomposition.
 
-    Scale: shuffles at cell grain (distinct (flag,q,p)), then one
-    window pass at (flag, p) grain with R=50 running sums, then a
-    broadcast join of the 150-row q-marginal — linear in rows, constant
-    in the bounded dimension; no driver-side data beyond the scalar R.
-    Verified against an O(n^2) NumPy brute force on all three flags at
-    sf0.001 (exact C, D, and ppm match).
+    Scale: cell-grain shuffle, a ≤R-way map-side fan-out, one
+    (flag, level, p)-grain shuffle + window — linear in rows with the
+    small dimension as the constant; no driver-side data beyond the
+    scalar R.
     """
     from pyspark.sql import Window
 
@@ -1976,80 +1983,54 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cr = cells.join(F.broadcast(qd), ["flag", "q"])
 
-    # Per-level counts at (flag, p) grain via CONDITIONAL SUMS (plain
-    # codegen aggregates), not collect_list→map→50 probes — the map
-    # build alone measured 7.2 s of the query's 21 s at sf0.1.
+    # PER-LEVEL UNION decomposition (the third design measured — see
+    # the docstring's memory note): each cell appears once per level
+    # i ≤ its own rank, tagged as the L(ower) side at i = qr and the
+    # U(pper) side at i < qr. Grouped to (flag, i, p) grain, ONE
+    # window spec (150 partitions at R=50) yields both the strict-past
+    # L-mass (lt) and the partition total — C = Σ cu·lt and
+    # D = Σ cu·(tot − lt − cl) fall out directly, no q-marginal join,
+    # no per-cell fold, no wide rows.
     zero = F.lit(0).cast("long")
-    pg = cr.groupBy("flag", "p").agg(
-        *[
-            F.sum(F.when(F.col("qr") == i, F.col("c")).otherwise(zero)).alias(
-                f"_a{i}"
-            )
-            for i in range(1, R + 1)
-        ]
-    )
-
-    wp = (
-        Window.partitionBy("flag")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cums = [
-        F.coalesce(F.sum(F.col(f"_a{i}")).over(wp), zero).alias(f"_c{i}")
-        for i in range(1, R + 1)
-    ]
-    # NOT an unrolled O(R²) column-prefix: evaluating all R prefixes
-    # per (flag, p) row measured 10.2 s alone at sf0.1 — each cell
-    # only needs ONE prefix (its own level), so the O(qr) fold below
-    # does strictly less arithmetic (Σ qr ≈ R/2 per row).
-    pg2 = pg.select(
-        "flag", "p", *[F.col(f"_a{i}") for i in range(1, R + 1)], *cums
-    ).select(
+    ex = cr.select(
         "flag",
         "p",
-        F.array(*[F.col(f"_a{i}") for i in range(1, R + 1)]).alias("arr"),
-        F.array(*[F.col(f"_c{i}") for i in range(1, R + 1)]).alias("cumarr"),
-    )
-
-    qm = cr.groupBy("flag", "qr").agg(F.sum("c").alias("tq"))
-    wqm = (
-        Window.partitionBy("flag")
-        .orderBy("qr")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    qm = qm.select(
-        "flag",
+        "c",
         "qr",
-        F.coalesce(F.sum("tq").over(wqm), zero).alias("ltq"),
+        F.explode(F.sequence(F.lit(1), F.col("qr"))).alias("i"),
+    ).select(
+        "flag",
+        "i",
+        "p",
+        F.when(F.col("i") == F.col("qr"), F.col("c")).otherwise(zero).alias("cl"),
+        F.when(F.col("i") < F.col("qr"), F.col("c")).otherwise(zero).alias("cu"),
     )
-
-    j = cr.join(pg2, ["flag", "p"]).join(F.broadcast(qm), ["flag", "qr"])
-    # Guarded fold: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
-    # returning empty, so qr = 1 must short-circuit before the lambda.
-    lt_qp = F.expr(
-        "CASE WHEN qr = 1 THEN CAST(0 AS BIGINT)"
-        " ELSE aggregate(sequence(1, qr - 1), CAST(0 AS BIGINT),"
-        " (acc, i) -> acc + cumarr[i - 1]) END"
+    g2 = ex.groupBy("flag", "i", "p").agg(
+        F.sum("cl").alias("cl"), F.sum("cu").alias("cu")
     )
-    eqp_ltq = F.expr(
-        "CASE WHEN qr = 1 THEN CAST(0 AS BIGINT)"
-        " ELSE aggregate(sequence(1, qr - 1), CAST(0 AS BIGINT),"
-        " (acc, i) -> acc + arr[i - 1]) END"
+    wli = Window.partitionBy("flag", "i").orderBy("p")
+    run = g2.select(
+        "flag",
+        "cu",
+        "cl",
+        F.coalesce(
+            F.sum("cl").over(wli.rowsBetween(Window.unboundedPreceding, -1)), zero
+        ).alias("lt"),
+        F.sum("cl")
+        .over(
+            wli.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("tot"),
     )
-    j = j.select(
-        "flag", "c", lt_qp.alias("lt_qp"), eqp_ltq.alias("eqp_ltq"), "ltq"
-    )
-    cd = F.col("c").cast("decimal(19,0)")
-    s = j.groupBy("flag").agg(
-        F.sum((cd * F.col("lt_qp").cast("decimal(19,0)")).cast("decimal(38,0)")).alias(
+    cud = F.col("cu").cast("decimal(19,0)")
+    s = run.groupBy("flag").agg(
+        F.sum((cud * F.col("lt").cast("decimal(19,0)")).cast("decimal(38,0)")).alias(
             "nc"
         ),
         F.sum(
             (
-                cd
-                * (F.col("ltq") - F.col("lt_qp") - F.col("eqp_ltq")).cast(
-                    "decimal(19,0)"
-                )
+                cud
+                * (F.col("tot") - F.col("lt") - F.col("cl")).cast("decimal(19,0)")
             ).cast("decimal(38,0)")
         ).alias("nd"),
     )

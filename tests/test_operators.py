@@ -1794,3 +1794,41 @@ def test_kcore_matches_pure_python_peel(spark, any_sf_dir):
         assert got[k] == (len(nodes), len(es)), (k, got[k], len(nodes), len(es))
     assert got[4][0] <= got[3][0] <= got[2][0]
     assert got[4][1] <= got[3][1] <= got[2][1]
+
+
+def test_kendall_tau_matches_numpy_brute_force(spark, sf_dir):
+    """Independent check for stats_kendall_tau: both engines now share
+    the per-level-union decomposition (chosen for its memory profile),
+    so the cross-engine gate alone can't catch a shared algorithmic
+    mistake — this O(n^2) sign-count brute force can."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from taps_spark.io.tables import load_table
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    got = {
+        r["flag"]: (r["n"], int(r["n_concordant"]), int(r["n_discordant"]),
+                    r["tau_b_ppm"])
+        for r in REGISTRY["stats_kendall_tau"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for flag, g in li.groupby("l_returnflag"):
+        q = g["l_quantity"].to_numpy(dtype=float)
+        p = g["l_extendedprice"].to_numpy(dtype=float)
+        n = len(q)
+        prod = np.sign(q[:, None] - q[None, :]) * np.sign(p[:, None] - p[None, :])
+        C = int((prod > 0).sum() // 2)
+        D = int((prod < 0).sum() // 2)
+        n0 = n * (n - 1) // 2
+        n1 = sum(t * (t - 1) // 2 for t in collections.Counter(q).values())
+        n2 = sum(t * (t - 1) // 2 for t in collections.Counter(p).values())
+        tau_ppm = math.floor(
+            (C - D) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2)) * 1e6 + 0.5
+        )
+        assert got[flag] == (n, C, D, tau_ppm), (flag, got[flag], (n, C, D, tau_ppm))
