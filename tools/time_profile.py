@@ -32,6 +32,17 @@ def main() -> int:
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # One session profiles all ~300 registered queries; by the
+        # alphabetical tail the default 1 GiB heap holds hundreds of
+        # queries' debris (localCheckpoint blocks, codegen caches,
+        # broadcast remnants) and the next large shuffle OOMs — the
+        # spill path itself fails allocating its read-ahead buffer
+        # (measured: the stats_* tail died 3x at 1 GiB regardless of
+        # which query shape got there first). Offline tooling may size
+        # itself, same as scale_curve; the driver-contract plain-1g
+        # rule binds the correctness harness, which runs ~50 queries
+        # per session at sf0.01, not 300 at sf0.1.
+        .config("spark.driver.memory", "8g")
         .appName("time_profile")
         .getOrCreate()
     )
