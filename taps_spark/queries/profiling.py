@@ -2380,3 +2380,396 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+ANOVA_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         SUM(CAST(cents * cents AS DECIMAL(38,0))) AS q
+  FROM v GROUP BY grp
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN grp = 'A' THEN n END) AS n_a,
+    MAX(CASE WHEN grp = 'N' THEN n END) AS n_n,
+    MAX(CASE WHEN grp = 'R' THEN n END) AS n_r,
+    MAX(CASE WHEN grp = 'A' THEN CAST(n AS DOUBLE) END) AS nad,
+    MAX(CASE WHEN grp = 'N' THEN CAST(n AS DOUBLE) END) AS nnd,
+    MAX(CASE WHEN grp = 'R' THEN CAST(n AS DOUBLE) END) AS nrd,
+    MAX(CASE WHEN grp = 'A' THEN CAST(s AS DOUBLE) END) AS sa,
+    MAX(CASE WHEN grp = 'N' THEN CAST(s AS DOUBLE) END) AS sn,
+    MAX(CASE WHEN grp = 'R' THEN CAST(s AS DOUBLE) END) AS sr,
+    MAX(CASE WHEN grp = 'A' THEN CAST(q AS DOUBLE) END) AS qa,
+    MAX(CASE WHEN grp = 'N' THEN CAST(q AS DOUBLE) END) AS qn,
+    MAX(CASE WHEN grp = 'R' THEN CAST(q AS DOUBLE) END) AS qr
+  FROM g
+),
+t AS (
+  SELECT n_a, n_n, n_r, nad, nnd, nrd, sa, sn, sr,
+         nad + nnd + nrd AS nt,
+         sa + sn + sr AS st,
+         sa * sa / nad + sn * sn / nnd + sr * sr / nrd AS br,
+         qa + qn + qr AS qt
+  FROM w
+)
+SELECT n_a, n_n, n_r,
+       ROUND(sa / nad / 100.0, 4) AS mean_a,
+       ROUND(sn / nnd / 100.0, 4) AS mean_n,
+       ROUND(sr / nrd / 100.0, 4) AS mean_r,
+       ROUND(((br - st * st / nt) / 2.0)
+             / ((qt - br) / (nt - 3.0)), 4) AS f_stat,
+       CAST(FLOOR((br - st * st / nt) / (qt - st * st / nt) * 1000000 + 0.5)
+            AS BIGINT) AS eta_sq_ppm
+FROM t
+"""
+
+
+@query("stats_anova_oneway", oracle=ANOVA_ORACLE)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test across the three return-flag populations
+    on extended price — the k-group generalization of
+    stats_welch_ttest (equal-variance form), with effect size
+    (eta-squared, ppm) so a profiler consumer can distinguish
+    statistical from practical significance.
+
+    EXACT cross-engine: per-group n / Σx (BIGINT) / Σx²
+    (DECIMAL(38,0) — cents² overflows int64 past ~sf0.05) accumulate
+    on the integer cents grid; the k=3 groups then PIVOT to one row
+    (MAX-CASE, the stats_welch_ttest shape) so every floating step is
+    a FIXED expression tree — no unordered double sum anywhere — and
+    the statistic matches bit-for-bit before display rounding.
+
+    Scale: one map-side-combined 3-group aggregate over the scan,
+    then a 3-row pivot. No window, no join, no shuffle beyond three
+    partial rows per task. Reference analog: none (taps has MAX only,
+    lib/taps/operation.rb has no statistics surface).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("q"),
+    )
+    pick = lambda flag, col: F.max(F.when(F.col("grp") == flag, F.col(col)))  # noqa: E731
+    w = g.agg(
+        pick("A", "n").alias("n_a"),
+        pick("N", "n").alias("n_n"),
+        pick("R", "n").alias("n_r"),
+        pick("A", "n").cast("double").alias("nad"),
+        pick("N", "n").cast("double").alias("nnd"),
+        pick("R", "n").cast("double").alias("nrd"),
+        pick("A", "s").cast("double").alias("sa"),
+        pick("N", "s").cast("double").alias("sn"),
+        pick("R", "s").cast("double").alias("sr"),
+        pick("A", "q").cast("double").alias("qa"),
+        pick("N", "q").cast("double").alias("qn"),
+        pick("R", "q").cast("double").alias("qr"),
+    )
+    t = w.select(
+        "n_a", "n_n", "n_r", "nad", "nnd", "nrd", "sa", "sn", "sr",
+        (F.col("nad") + F.col("nnd") + F.col("nrd")).alias("nt"),
+        (F.col("sa") + F.col("sn") + F.col("sr")).alias("st"),
+        (
+            F.col("sa") * F.col("sa") / F.col("nad")
+            + F.col("sn") * F.col("sn") / F.col("nnd")
+            + F.col("sr") * F.col("sr") / F.col("nrd")
+        ).alias("br"),
+        (F.col("qa") + F.col("qn") + F.col("qr")).alias("qt"),
+    )
+    ssb = F.col("br") - F.col("st") * F.col("st") / F.col("nt")
+    sst = F.col("qt") - F.col("st") * F.col("st") / F.col("nt")
+    return t.select(
+        "n_a", "n_n", "n_r",
+        F.round(F.col("sa") / F.col("nad") / 100.0, 4).alias("mean_a"),
+        F.round(F.col("sn") / F.col("nnd") / 100.0, 4).alias("mean_n"),
+        F.round(F.col("sr") / F.col("nrd") / 100.0, 4).alias("mean_r"),
+        F.round(
+            (ssb / F.lit(2.0))
+            / ((F.col("qt") - F.col("br")) / (F.col("nt") - F.lit(3.0))),
+            4,
+        ).alias("f_stat"),
+        F.floor(ssb / sst * 1000000 + F.lit(0.5)).cast("long").alias("eta_sq_ppm"),
+    )
+
+
+LEVENE_BF_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+vc AS (
+  SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY grp, cents
+),
+cum AS (
+  SELECT grp, cents, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY cents) AS cumc
+  FROM vc
+),
+nn AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY grp),
+med AS (
+  SELECT cum.grp, MIN(cum.cents) AS med
+  FROM cum JOIN nn ON cum.grp = nn.grp
+  WHERE cum.cumc >= (nn.n + 1) // 2
+  GROUP BY cum.grp
+),
+z AS (
+  SELECT v.grp, ABS(v.cents - m.med) AS z
+  FROM v JOIN med m ON v.grp = m.grp
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(z) AS BIGINT) AS s,
+         SUM(CAST(z * z AS DECIMAL(38,0))) AS q
+  FROM z GROUP BY grp
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN g.grp = 'A' THEN g.n END) AS n_a,
+    MAX(CASE WHEN g.grp = 'N' THEN g.n END) AS n_n,
+    MAX(CASE WHEN g.grp = 'R' THEN g.n END) AS n_r,
+    MAX(CASE WHEN m.grp = 'A' THEN m.med END) AS med_a_cents,
+    MAX(CASE WHEN m.grp = 'N' THEN m.med END) AS med_n_cents,
+    MAX(CASE WHEN m.grp = 'R' THEN m.med END) AS med_r_cents,
+    MAX(CASE WHEN g.grp = 'A' THEN CAST(g.n AS DOUBLE) END) AS nad,
+    MAX(CASE WHEN g.grp = 'N' THEN CAST(g.n AS DOUBLE) END) AS nnd,
+    MAX(CASE WHEN g.grp = 'R' THEN CAST(g.n AS DOUBLE) END) AS nrd,
+    MAX(CASE WHEN g.grp = 'A' THEN CAST(g.s AS DOUBLE) END) AS sa,
+    MAX(CASE WHEN g.grp = 'N' THEN CAST(g.s AS DOUBLE) END) AS sn,
+    MAX(CASE WHEN g.grp = 'R' THEN CAST(g.s AS DOUBLE) END) AS sr,
+    MAX(CASE WHEN g.grp = 'A' THEN CAST(g.q AS DOUBLE) END) AS qa,
+    MAX(CASE WHEN g.grp = 'N' THEN CAST(g.q AS DOUBLE) END) AS qn,
+    MAX(CASE WHEN g.grp = 'R' THEN CAST(g.q AS DOUBLE) END) AS qr
+  FROM g JOIN med m ON g.grp = m.grp
+),
+t AS (
+  SELECT n_a, n_n, n_r, med_a_cents, med_n_cents, med_r_cents,
+         nad + nnd + nrd AS nt,
+         sa + sn + sr AS st,
+         sa * sa / nad + sn * sn / nnd + sr * sr / nrd AS br,
+         qa + qn + qr AS qt
+  FROM w
+)
+SELECT n_a, n_n, n_r,
+       CAST(med_a_cents AS BIGINT) AS med_a_cents,
+       CAST(med_n_cents AS BIGINT) AS med_n_cents,
+       CAST(med_r_cents AS BIGINT) AS med_r_cents,
+       ROUND(((br - st * st / nt) / 2.0)
+             / ((qt - br) / (nt - 3.0)), 4) AS w_stat
+FROM t
+"""
+
+
+@query("stats_levene_bf", oracle=LEVENE_BF_ORACLE)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test for equality of
+    variances across the return-flag populations on extended price —
+    the homoscedasticity gate a profiler runs BEFORE trusting
+    stats_anova_oneway's equal-variance assumption.
+
+    EXACT cross-engine: the per-group lower median is selected by
+    AGGREGATION (smallest cents whose cumulative count reaches
+    ⌈n/2⌉), not row_number — no physical-order dependence (the
+    FIXTURES.md non-unique-PK trap cannot bite); |x − median| stays
+    on the integer cents grid, so n / Σz (BIGINT) / Σz²
+    (DECIMAL(38,0)) are exact; the k=3 groups pivot to one row and
+    the F-form statistic is a fixed IEEE expression tree.
+
+    Scale: the median frame aggregates to (grp, distinct-cents)
+    grain first (bounded by price-grid cardinality, not row count);
+    the RANGE-framed cumulative sum runs per 3-partition key; the
+    z-pass re-scans with a 3-row broadcast join. Two scans total,
+    no order-sensitive window (cents are distinct after the
+    group-by).
+    """
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    vc = v.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wspec = Window.partitionBy("grp").orderBy("cents")
+    cum = vc.select("grp", "cents", "c", F.sum("c").over(wspec).alias("cumc"))
+    nn = vc.groupBy("grp").agg(F.sum("c").alias("n"))
+    med = (
+        cum.join(F.broadcast(nn), "grp")
+        .filter(F.col("cumc") >= F.expr("(n + 1) div 2"))
+        .groupBy("grp")
+        .agg(F.min("cents").alias("med"))
+    )
+    z = v.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("s"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)")).alias("q"),
+    )
+    gm = g.join(F.broadcast(med), "grp")
+    pick = lambda flag, col: F.max(F.when(F.col("grp") == flag, F.col(col)))  # noqa: E731
+    w = gm.agg(
+        pick("A", "n").alias("n_a"),
+        pick("N", "n").alias("n_n"),
+        pick("R", "n").alias("n_r"),
+        pick("A", "med").alias("med_a_cents"),
+        pick("N", "med").alias("med_n_cents"),
+        pick("R", "med").alias("med_r_cents"),
+        pick("A", "n").cast("double").alias("nad"),
+        pick("N", "n").cast("double").alias("nnd"),
+        pick("R", "n").cast("double").alias("nrd"),
+        pick("A", "s").cast("double").alias("sa"),
+        pick("N", "s").cast("double").alias("sn"),
+        pick("R", "s").cast("double").alias("sr"),
+        pick("A", "q").cast("double").alias("qa"),
+        pick("N", "q").cast("double").alias("qn"),
+        pick("R", "q").cast("double").alias("qr"),
+    )
+    t = w.select(
+        "n_a", "n_n", "n_r", "med_a_cents", "med_n_cents", "med_r_cents",
+        (F.col("nad") + F.col("nnd") + F.col("nrd")).alias("nt"),
+        (F.col("sa") + F.col("sn") + F.col("sr")).alias("st"),
+        (
+            F.col("sa") * F.col("sa") / F.col("nad")
+            + F.col("sn") * F.col("sn") / F.col("nnd")
+            + F.col("sr") * F.col("sr") / F.col("nrd")
+        ).alias("br"),
+        (F.col("qa") + F.col("qn") + F.col("qr")).alias("qt"),
+    )
+    return t.select(
+        "n_a", "n_n", "n_r",
+        F.col("med_a_cents").cast("long").alias("med_a_cents"),
+        F.col("med_n_cents").cast("long").alias("med_n_cents"),
+        F.col("med_r_cents").cast("long").alias("med_r_cents"),
+        F.round(
+            ((F.col("br") - F.col("st") * F.col("st") / F.col("nt")) / F.lit(2.0))
+            / ((F.col("qt") - F.col("br")) / (F.col("nt") - F.lit(3.0))),
+            4,
+        ).alias("w_stat"),
+    )
+
+
+JARQUE_BERA_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS grp, CAST(ROUND(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qty) AS BIGINT) AS s1,
+         CAST(SUM(qty * qty) AS BIGINT) AS s2,
+         CAST(SUM(qty * qty * qty) AS BIGINT) AS s3,
+         CAST(SUM(qty * qty * qty * qty) AS BIGINT) AS s4
+  FROM v GROUP BY grp
+),
+t AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+         CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+  FROM g
+),
+m AS (
+  SELECT grp, n, nd, d1 / nd AS mu,
+         d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+         d3 / nd - 3 * (d1 / nd) * (d2 / nd)
+           + 2 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+         d4 / nd - 4 * (d1 / nd) * (d3 / nd)
+           + 6 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+           - 3 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+  FROM t
+),
+k AS (
+  SELECT grp, n, nd, mu,
+         m3 / (m2 * SQRT(m2)) AS skew,
+         m4 / (m2 * m2) AS kurt
+  FROM m
+)
+SELECT grp AS returnflag, n AS n_rows,
+       ROUND(mu, 4) AS mean_qty,
+       ROUND(skew, 6) AS skewness,
+       ROUND(kurt, 6) AS kurtosis,
+       ROUND(nd / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4.0), 4)
+         AS jb_stat
+FROM k
+ORDER BY returnflag
+"""
+
+
+@query("stats_jarque_bera", oracle=JARQUE_BERA_ORACLE)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per return-flag population on
+    order quantity: sample skewness + excess-kurtosis folded into the
+    JB statistic — the moment-based normality screen a column
+    profiler reports next to mean/stddev (here it should soundly
+    REJECT: quantity is uniform on the 1..50 lattice, kurtosis ≈ 1.8).
+
+    EXACT cross-engine: raw power sums Σx..Σx⁴ stay in BIGINT at ANY
+    scale (qty ≤ 50 ⇒ x⁴ ≤ 6.25e6; 6e9 rows — sf1000 — still < 4e16,
+    headroom 2.4e2×); central moments / skew / kurtosis are a fixed
+    per-row IEEE chain (SQRT, never POWER — libm-hazard rule,
+    operators/dedup.py adaptive_planes precedent) computed on each
+    group's OWN row, so no cross-group double sum exists at all.
+
+    Scale: one map-side-combined 3-group aggregate over the scan —
+    the only shuffle is three partial rows per task.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    q = F.col("qty")
+    g = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    t = g.select(
+        "grp", "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("d1"),
+        F.col("s2").cast("double").alias("d2"),
+        F.col("s3").cast("double").alias("d3"),
+        F.col("s4").cast("double").alias("d4"),
+    )
+    mu = F.col("d1") / F.col("nd")
+    m = t.select(
+        "grp", "n", "nd", mu.alias("mu"),
+        (F.col("d2") / F.col("nd") - mu * mu).alias("m2"),
+        (F.col("d3") / F.col("nd") - F.lit(3) * mu * (F.col("d2") / F.col("nd"))
+         + F.lit(2) * mu * mu * mu).alias("m3"),
+        (F.col("d4") / F.col("nd") - F.lit(4) * mu * (F.col("d3") / F.col("nd"))
+         + F.lit(6) * mu * mu * (F.col("d2") / F.col("nd"))
+         - F.lit(3) * mu * mu * mu * mu).alias("m4"),
+    )
+    k = m.select(
+        "grp", "n", "nd", "mu",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skew"),
+        (F.col("m4") / (F.col("m2") * F.col("m2"))).alias("kurt"),
+    )
+    return k.select(
+        F.col("grp").alias("returnflag"),
+        F.col("n").alias("n_rows"),
+        F.round(F.col("mu"), 4).alias("mean_qty"),
+        F.round(F.col("skew"), 6).alias("skewness"),
+        F.round(F.col("kurt"), 6).alias("kurtosis"),
+        F.round(
+            F.col("nd") / F.lit(6.0)
+            * (
+                F.col("skew") * F.col("skew")
+                + (F.col("kurt") - F.lit(3)) * (F.col("kurt") - F.lit(3)) / F.lit(4.0)
+            ),
+            4,
+        ).alias("jb_stat"),
+    ).orderBy("returnflag")
