@@ -2773,3 +2773,294 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("jb_stat"),
     ).orderBy("returnflag")
+
+
+# (table, column) inventory for the entropy census; dtypes are all
+# low-cardinality categoricals so the count frame stays tiny.
+_ENTROPY_COLS = (
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("part", "p_brand"),
+    ("customer", "c_mktsegment"),
+)
+
+_ENTROPY_BRANCH = """
+SELECT '{tbl}' AS tbl, '{col}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       SUM(CAST(FLOOR(CAST(c AS DOUBLE)
+                      * (LOG10(CAST(c AS DOUBLE)) / LOG10(2))
+                      * 1000000000 + 0.5) AS DECIMAL(38,0))) AS s
+FROM (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {tbl} GROUP BY {col})
+"""
+
+COLUMN_ENTROPY_ORACLE = (
+    "WITH b AS ("
+    + "\nUNION ALL\n".join(
+        _ENTROPY_BRANCH.format(tbl=t, col=c) for t, c in _ENTROPY_COLS
+    )
+    + """)
+SELECT tbl, col_name, n_distinct, n_rows,
+       CAST(FLOOR((LOG10(CAST(n_rows AS DOUBLE)) / LOG10(2)
+                   - (CAST(s AS DOUBLE) / 1000000000) / CAST(n_rows AS DOUBLE))
+                  * 1000 + 0.5) AS BIGINT) AS entropy_milli_bits
+FROM b
+ORDER BY tbl, col_name
+"""
+)
+
+
+@query("profile_column_entropy", oracle=COLUMN_ENTROPY_ORACLE)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (milli-bits) of every low-cardinality
+    categorical column across orders + lineitem — the information
+    census a column profiler reports next to n_distinct: near-zero
+    entropy flags constant-ish columns a pipeline can dictionary-
+    encode or drop; entropy ≈ log2(n_distinct) flags uniform codes.
+
+    H = log2(N) − (Σ_v c·log2 c)/N: each per-VALUE term c·log2(c) is
+    an identical IEEE chain on both engines (integer-count doubles,
+    LOG10 ratio — the text_source_js_divergence law), nano-quantized
+    and summed EXACTLY in DECIMAL(38,0); one milli fold at the end.
+    No unordered double sum anywhere.
+
+    Scale: one map-side-combined count per (column, value) — six
+    scans collapse to value-grain frames bounded by column
+    cardinality (≤ dozens of rows each), then a 6-row union. The
+    scans stay independent so Catalyst prunes each to its ONE column
+    (ReadSchema is single-column per branch).
+    """
+    tabs = load_tables(spark, sf_dir, ("orders", "lineitem", "part", "customer"))
+    branches = []
+    for tbl, col in _ENTROPY_COLS:
+        vc = tabs[tbl].groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        cd = F.col("c").cast("double")
+        term = cd * (F.log10(cd) / F.log10(F.lit(2.0)))
+        branches.append(
+            vc.agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum("c").alias("n_rows"),
+                F.sum(
+                    F.floor(term * 1000000000 + F.lit(0.5)).cast("decimal(38,0)")
+                ).alias("s"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col_name"),
+                "n_distinct",
+                "n_rows",
+                "s",
+            )
+        )
+    b = branches[0]
+    for extra in branches[1:]:
+        b = b.unionByName(extra)
+    nd = F.col("n_rows").cast("double")
+    h = F.log10(nd) / F.log10(F.lit(2.0)) - (
+        F.col("s").cast("double") / 1000000000
+    ) / nd
+    return b.select(
+        "tbl", "col_name", "n_distinct", "n_rows",
+        F.floor(h * 1000 + F.lit(0.5)).cast("long").alias("entropy_milli_bits"),
+    ).orderBy("tbl", "col_name")
+
+
+_MI_PAIRS = (
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+)
+
+_MI_BRANCH = """
+SELECT '{tbl}' AS tbl, '{x}' AS col_x, '{y}' AS col_y,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       SUM(CAST(FLOOR((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (LOG10((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE))
+                               / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                         / LOG10(2))
+                      * 1000000000 + 0.5) AS DECIMAL(38,0))) AS s
+FROM (
+  SELECT xy.cxy, mx.cx, my.cy, t.n
+  FROM (SELECT {x} AS x, {y} AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM {tbl} GROUP BY {x}, {y}) xy
+  JOIN (SELECT {x} AS x, CAST(COUNT(*) AS BIGINT) AS cx
+        FROM {tbl} GROUP BY {x}) mx ON xy.x = mx.x
+  JOIN (SELECT {y} AS y, CAST(COUNT(*) AS BIGINT) AS cy
+        FROM {tbl} GROUP BY {y}) my ON xy.y = my.y
+  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {tbl}) t
+)
+"""
+
+MUTUAL_INFO_ORACLE = (
+    "WITH b AS ("
+    + "\nUNION ALL\n".join(
+        _MI_BRANCH.format(tbl=t, x=x, y=y) for t, x, y in _MI_PAIRS
+    )
+    + """)
+SELECT tbl, col_x, col_y, n_rows, n_cells,
+       CAST(FLOOR((CAST(s AS DOUBLE) / 1000000000) * 1000 + 0.5) AS BIGINT)
+         AS mi_milli_bits
+FROM b
+ORDER BY tbl, col_x
+"""
+)
+
+
+@query("profile_mutual_info", oracle=MUTUAL_INFO_ORACLE)
+def profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (milli-bits) between categorical column
+    pairs — the dependence census a profiler runs to find redundant
+    columns (MI ≈ min entropy ⇒ one column determines the other) and
+    surprising couplings worth a data-quality look; the pointwise-MI
+    contingency frame is also the feature-selection primitive.
+
+    MI = Σ_cells (c_xy/N)·log2(c_xy·N / (c_x·c_y)): per-CELL terms
+    are identical IEEE chains (every operand an integer-valued
+    double; counts enter as DOUBLE before multiplying so c_xy·N can
+    NEVER hit int64 ANSI overflow — the r8-ADVICE bug class),
+    nano-quantized and summed exactly in DECIMAL(38,0), one milli
+    fold at the end. Negative pointwise terms round identically
+    (FLOOR(x+0.5) is round-half-up on both engines for either sign).
+
+    Scale: three aggregations per pair, each map-side-combined to
+    (value…) grain; the joint↔marginal joins run on frames bounded
+    by column cardinality (≤ a few hundred cells), broadcast-sized
+    at any corpus scale.
+    """
+    tabs = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    branches = []
+    for tbl, x, y in _MI_PAIRS:
+        df = tabs[tbl]
+        xy = df.groupBy(F.col(x).alias("x"), F.col(y).alias("y")).agg(
+            F.count(F.lit(1)).alias("cxy")
+        )
+        mx = df.groupBy(F.col(x).alias("x")).agg(F.count(F.lit(1)).alias("cx"))
+        my = df.groupBy(F.col(y).alias("y")).agg(F.count(F.lit(1)).alias("cy"))
+        tot = df.agg(F.count(F.lit(1)).alias("n"))
+        j = (
+            xy.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        cxy, cx, cy, n = (
+            F.col("cxy").cast("double"),
+            F.col("cx").cast("double"),
+            F.col("cy").cast("double"),
+            F.col("n").cast("double"),
+        )
+        term = (cxy / n) * (F.log10((cxy * n) / (cx * cy)) / F.log10(F.lit(2.0)))
+        branches.append(
+            j.agg(
+                F.max("n").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_cells"),
+                F.sum(
+                    F.floor(term * 1000000000 + F.lit(0.5)).cast("decimal(38,0)")
+                ).alias("s"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                "n_rows",
+                "n_cells",
+                "s",
+            )
+        )
+    b = branches[0]
+    for extra in branches[1:]:
+        b = b.unionByName(extra)
+    return b.select(
+        "tbl", "col_x", "col_y", "n_rows", "n_cells",
+        F.floor((F.col("s").cast("double") / 1000000000) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("mi_milli_bits"),
+    ).orderBy("tbl", "col_x")
+
+
+_FD_CANDIDATES = (
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_partkey", "p_brand"),
+)
+
+_FD_BRANCH = """
+SELECT '{tbl}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(c) - SUM(mx) AS BIGINT) AS violations,
+       CAST(((SUM(c) - SUM(mx)) * 1000000) // SUM(c) AS BIGINT) AS g3_ppm,
+       (SUM(c) - SUM(mx)) = 0 AS holds
+FROM (
+  SELECT lv, SUM(cnt) AS c, MAX(cnt) AS mx
+  FROM (SELECT {lhs} AS lv, {rhs} AS rv, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {tbl} GROUP BY {lhs}, {rhs})
+  GROUP BY lv
+)
+"""
+
+FD_AUDIT_ORACLE = (
+    "\nUNION ALL\n".join(
+        _FD_BRANCH.format(tbl=t, lhs=l, rhs=r) for t, l, r in _FD_CANDIDATES
+    )
+    + "\nORDER BY tbl, lhs, rhs"
+)
+
+
+@query("profile_fd_audit", oracle=FD_AUDIT_ORACLE)
+def profile_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit: for each candidate
+    FD X→Y, the g3 error (minimum row fraction to delete so the FD
+    holds exactly, in ppm) — the schema-discovery primitive behind
+    key detection, normalization advice, and data-quality rules
+    (a PK candidate shows holds=true; a 'should-hold' business rule
+    with g3 > 0 localizes dirty rows).
+
+    g3 = Σ_x (|x's rows| − max_y |x,y rows|) / N, computed purely by
+    aggregation: count at (X,Y) grain, fold to X grain with SUM+MAX,
+    fold once more. All integers end-to-end — the ppm is exact
+    integer floor-division (violations·10⁶ ≤ 6e15 at sf100, no
+    overflow; quotient < 10⁶ so Spark's long `div` wrap hazard
+    cannot trigger).
+
+    Scale: per candidate, one map-side-combined (X,Y) count then an
+    X-grain fold — the same two-shuffle shape at any corpus size;
+    candidates are independent branches a scheduler runs in
+    parallel. Generalizes the reference's schema dump (no FD surface
+    exists there: lib/taps/schema.rb stops at column types).
+    """
+    tabs = load_tables(spark, sf_dir, ("orders", "lineitem", "customer", "part"))
+    branches = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        xy = tabs[tbl].groupBy(
+            F.col(lhs).alias("lv"), F.col(rhs).alias("rv")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        gx = xy.groupBy("lv").agg(
+            F.sum("cnt").alias("c"), F.max("cnt").alias("mx")
+        )
+        branches.append(
+            gx.agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_groups"),
+                (F.sum("c") - F.sum("mx")).alias("violations"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_rows",
+                "n_groups",
+                "violations",
+                F.expr("(violations * 1000000) div n_rows").alias("g3_ppm"),
+                (F.col("violations") == 0).alias("holds"),
+            )
+        )
+    b = branches[0]
+    for extra in branches[1:]:
+        b = b.unionByName(extra)
+    return b.orderBy("tbl", "lhs", "rhs")
