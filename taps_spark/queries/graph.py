@@ -360,3 +360,247 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionAll(stats)
     return out.orderBy("k")
+
+
+BFS_HOPS_ORACLE = "\nWITH " + COPURCHASE_EDGES_CTE + """,
+-- MATERIALIZED: the h1..h4 level CTEs reference sym (and transitively
+-- the co-purchase self-join) many times; without the hint DuckDB
+-- re-inlines the expensive edge build per reference (~20x slower at
+-- sf0.1).
+sym AS MATERIALIZED (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+allnodes AS (SELECT DISTINCT a AS node FROM sym),
+seeds AS (SELECT node FROM allnodes ORDER BY node LIMIT 5),
+h0 AS (SELECT node FROM seeds),
+h1 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN h0 ON s.a = h0.node
+  WHERE s.b NOT IN (SELECT node FROM h0)
+),
+h2 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN h1 ON s.a = h1.node
+  WHERE s.b NOT IN (SELECT node FROM h0)
+    AND s.b NOT IN (SELECT node FROM h1)
+),
+h3 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN h2 ON s.a = h2.node
+  WHERE s.b NOT IN (SELECT node FROM h0)
+    AND s.b NOT IN (SELECT node FROM h1)
+    AND s.b NOT IN (SELECT node FROM h2)
+),
+h4 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN h3 ON s.a = h3.node
+  WHERE s.b NOT IN (SELECT node FROM h0)
+    AND s.b NOT IN (SELECT node FROM h1)
+    AND s.b NOT IN (SELECT node FROM h2)
+    AND s.b NOT IN (SELECT node FROM h3)
+),
+d AS (
+  SELECT 0 AS hop, node FROM h0
+  UNION ALL SELECT 1, node FROM h1
+  UNION ALL SELECT 2, node FROM h2
+  UNION ALL SELECT 3, node FROM h3
+  UNION ALL SELECT 4, node FROM h4
+)
+SELECT CAST(hop AS INT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node, CAST(MAX(node) AS BIGINT) AS max_node
+FROM d GROUP BY hop
+ORDER BY hop
+"""
+
+
+@query("graph_bfs_hops", oracle=BFS_HOPS_ORACLE)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reach census from a deterministic seed set (the
+    5 smallest node ids) over the co-purchase graph: node count at
+    each minimum hop distance 0..4 — the neighborhood-expansion
+    primitive behind blast-radius analysis ('how much of the catalog
+    is within k association hops of these recalled parts'), crawl
+    frontier sizing, and feature propagation depth picks.
+
+    Algorithm: frontier BFS as a DataFrame loop — visited and
+    frontier frames, one equi-join (frontier ⋈ edges) + one anti-join
+    (drop visited) per hop, localCheckpoint per round so the plan
+    stays flat (the operators/graph.py pagerank law). Min-hop
+    semantics are order-free: a node joins the level set the FIRST
+    round it is reachable, so no tiebreak exists to get wrong.
+
+    Scale: per hop, one shuffle on node id bounded by frontier ×
+    mean-degree; the visited anti-join is a hash join on node id.
+    Four rounds = fixed plan depth at any graph size; the oracle
+    unrolls the same four rounds as CTEs.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint()
+    seeds = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+        .select("node")
+    )
+    visited = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    frontier = visited.select("node")
+    levels = [visited]
+    for hop in range(1, 5):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hop"))
+            .localCheckpoint()
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .select(
+            F.col("hop").cast("int").alias("hop"),
+            "n_nodes",
+            F.col("min_node").cast("long").alias("min_node"),
+            F.col("max_node").cast("long").alias("max_node"),
+        )
+        .orderBy("hop")
+    )
+
+
+LOCAL_CLUSTERING_ORACLE = "\nWITH " + COPURCHASE_EDGES_CTE + """,
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+-- MATERIALIZED: oriented feeds the wedge self-join twice plus the
+-- closure probe; inlining re-runs the degree join per reference.
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT w.pvt, w.x, w.y
+  FROM (SELECT a.lo AS pvt, a.hi AS x, b.hi AS y
+        FROM oriented a JOIN oriented b ON a.lo = b.lo AND a.hi < b.hi) w
+  JOIN oriented o
+    ON (o.lo = LEAST(w.x, w.y) AND o.hi = GREATEST(w.x, w.y))
+     OR (o.hi = LEAST(w.x, w.y) AND o.lo = GREATEST(w.x, w.y))
+),
+pernode AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT pvt AS node FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY node
+),
+scored AS (
+  SELECT d.node, CAST(d.d AS BIGINT) AS degree, COALESCE(p.t, 0) AS n_triangles,
+         ROUND(CAST(2.0 * COALESCE(p.t, 0) AS DOUBLE) / (d.d * (d.d - 1)), 6)
+           AS local_clustering
+  FROM deg d LEFT JOIN pernode p ON p.node = d.node
+  WHERE d.d >= 2
+)
+SELECT node, degree, n_triangles, local_clustering, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY local_clustering DESC, n_triangles DESC, node) AS rank
+  FROM scored
+)
+WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+@query("graph_local_clustering", oracle=LOCAL_CLUSTERING_ORACLE)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (2·t / d(d−1)) on the
+    co-purchase graph, top-20 — the node-grain companion to
+    graph_triangle_count's single global number: high-coefficient
+    nodes sit inside tight co-occurrence cliques (bundle/spam-farm
+    candidates), low-coefficient high-degree nodes are hubs bridging
+    communities.
+
+    Algorithm: the SAME oriented wedge→closure join as the global
+    count (each triangle materializes exactly once as (pivot,x,y)),
+    then the triangle list explodes to its three corners and counts
+    per node — one extra groupBy over the global version, nothing
+    re-enumerated. Ranking key (coef, triangles, node) ends in the
+    unique node id — a total order (tests/test_total_order.py gate).
+
+    Scale: identical wedge volume bound as graph_triangle_count
+    (orientation caps fan-out at O(√|E|)); the per-node fold and the
+    degree left-join shuffle on node id. Top-20 compiles to
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    a = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
+    bb = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
+    wedges = (
+        a.join(bb, "pivot")
+        .filter(F.col("x") < F.col("y"))
+        .select("pivot", "x", "y", F.least("x", "y").alias("cx"),
+                F.greatest("x", "y").alias("cy"))
+    )
+    close = oriented.select(
+        F.least("lo", "hi").alias("cx"), F.greatest("lo", "hi").alias("cy")
+    )
+    tri = wedges.join(close, ["cx", "cy"]).select("pivot", "x", "y")
+    pernode = (
+        tri.select(F.col("pivot").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    scored = (
+        deg.filter(F.col("d") >= 2)
+        .join(pernode, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("local_clustering"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("local_clustering"), F.desc("n_triangles"), "node")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
