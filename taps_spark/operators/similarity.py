@@ -540,3 +540,35 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def topk_metadata_filtered(
+    emb: DataFrame,
+    queries: DataFrame,
+    on: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "q_id",
+    qvec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k restricted by a metadata predicate (`on`,
+    evaluated as the broadcast-join condition, e.g. candidate label ==
+    query label).
+
+    The predicate joins BEFORE any distance math, so at scale the
+    filter prunes the candidate stream inside the broadcast hash join
+    probe — distances are only computed for rows that survive, which
+    is the point of filtered ANN (in production the corpus is also
+    partition-pruned by the same metadata column).
+    """
+    scored = (
+        emb.join(F.broadcast(queries), on)
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            cosine(F.col(qvec_col), F.col(vec_col)).alias("_score"),
+        )
+    )
+    return _topk_reduce(scored, qid_col, id_col, k)

@@ -1760,3 +1760,165 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand").alias("cand_id"),
         F.floor(F.col("mmr") * 1000000000 + F.lit(0.5)).cast("long").alias("mmr_nano"),
     ).orderBy("q_id", "pick_rank")
+
+
+KMEANS_ASSIGN_ORACLE = """
+WITH c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+  FROM embeddings WHERE vec_id < 8
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT e.vec_id, c.c_id,
+         list_dot_product(e.v, c.c_vec)
+           / SQRT(list_dot_product(e.v, e.v)
+                  * list_dot_product(c.c_vec, c.c_vec)) AS cos
+  FROM e CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, c_id,
+         CAST(FLOOR(cos * 1000000000 + 0.5) AS DECIMAL(38,0)) AS qcos
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+    FROM s
+  ) WHERE rn = 1
+)
+SELECT c_id AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(FLOOR((CAST(SUM(qcos) AS DOUBLE) / 1000000000
+                   / CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS mean_cos_micro,
+       CAST(FLOOR((CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * 1000000000
+                        - SUM(qcos) AS DOUBLE) / 1000000000)
+                  * 1000 + 0.5) AS BIGINT) AS inertia_milli
+FROM best
+GROUP BY c_id
+ORDER BY c_id
+"""
+
+
+@query("similarity_kmeans_assign", oracle=KMEANS_ASSIGN_ORACLE)
+def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic k-means assignment step (the E-step of
+    Lloyd's algorithm): every vector assigned to its nearest of k=8
+    fixed centroids (the vec_id<8 members — the same deterministic
+    init similarity_ann_ivf trains from), reporting cluster sizes,
+    mean within-cluster cosine, and cosine inertia Σ(1−cos) — the
+    clustering-quality scoreboard a corpus-curation run reads per
+    iteration (and the per-iteration convergence metric for SemDeDup-
+    style semantic clustering).
+
+    Determinism: the assignment winner is picked by row_number over
+    (cos DESC, c_id) — the centroid id closes the total order (the
+    tests/test_total_order.py gate); cosines are identical IEEE
+    chains (TOPK_ORACLE precedent), winners' cosines nano-quantize
+    and sum EXACTLY in DECIMAL(38,0); inertia derives from the same
+    decimal sum (n·10⁹ − Σqcos stays in DECIMAL, so no n·10⁹ double
+    precision loss at any corpus size).
+
+    Scale: broadcast(8 centroids) × one corpus scan; the argmin is
+    WindowGroupLimit-reducible (k=1 top-k per vector, map-side);
+    the final fold is an 8-group aggregate. Corpus-linear, no
+    shuffle wider than the 8-row result.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    from pyspark.sql import Window
+
+    from taps_spark.operators.similarity import cosine
+
+    s = emb.join(F.broadcast(cent)).select(
+        "vec_id", "c_id", cosine(F.col("embedding"), F.col("c_vec")).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "c_id")
+    best = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "c_id",
+            F.floor(F.col("cos") * 1000000000 + F.lit(0.5))
+            .cast("decimal(38,0)")
+            .alias("qcos"),
+        )
+    )
+    g = best.groupBy("c_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qcos").alias("sq")
+    )
+    return g.select(
+        F.col("c_id").alias("centroid_id"),
+        F.col("n").alias("n_assigned"),
+        F.floor(
+            (F.col("sq").cast("double") / 1000000000)
+            / F.col("n").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_cos_micro"),
+        F.floor(
+            (
+                (
+                    F.col("n").cast("decimal(38,0)") * 1000000000 - F.col("sq")
+                ).cast("double")
+                / 1000000000
+            )
+            * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("inertia_milli"),
+    ).orderBy("centroid_id")
+
+
+FILTERED_ANN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.q_id, c.vec_id,
+         list_dot_product(q.q_vec, c.v)
+           / SQRT(list_dot_product(q.q_vec, q.q_vec)
+                  * list_dot_product(c.v, c.v)) AS _score
+  FROM q JOIN c ON c.label = q.q_label AND c.vec_id <> q.q_id
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(_score, 4) AS score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY _score DESC, vec_id) AS rank
+  FROM s
+)
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+@query("similarity_filtered_ann", oracle=FILTERED_ANN_ORACLE)
+def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact top-5: each query only searches
+    candidates sharing its label — the filtered-search mode every
+    production vector store needs (tenant isolation, language
+    routing, 'same-category only' retrieval), where the predicate
+    must prune BEFORE distance math, not after top-k (post-filtering
+    k results returns < k survivors).
+
+    Scale: the label predicate rides the broadcast hash-join
+    condition, so non-matching candidates never reach the cosine
+    fold; in production the corpus is additionally partitioned by
+    the filter column so the scan itself prunes. Same
+    WindowGroupLimit map-side top-k as similarity_topk_bruteforce.
+    """
+    from taps_spark.operators.similarity import topk_metadata_filtered
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    return topk_metadata_filtered(
+        emb, queries, on=F.col("label") == F.col("q_label"), k=5
+    ).orderBy("q_id", "rank")
