@@ -2826,3 +2826,274 @@ def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("tier")
     )
+
+
+KAPLAN_MEIER_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+  GROUP BY e.user_id
+),
+lastobs AS (
+  SELECT e.user_id, MAX(epoch_us(e.ts)) AS l_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  GROUP BY e.user_id
+),
+times AS (
+  SELECT s.user_id,
+         CASE WHEN p.p_us IS NOT NULL
+              THEN (p.p_us - s.s_us) // 86400000000
+              ELSE (lastobs.l_us - s.s_us) // 86400000000 END AS day,
+         CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM s
+  JOIN lastobs ON lastobs.user_id = s.user_id
+  LEFT JOIN p ON p.user_id = s.user_id
+),
+lt AS (
+  SELECT day, CAST(SUM(is_event) AS BIGINT) AS d,
+         CAST(SUM(1 - is_event) AS BIGINT) AS c
+  FROM times GROUP BY day
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM times),
+risk AS (
+  SELECT lt.day, lt.d, lt.c,
+         tot.n - SUM(lt.d + lt.c) OVER (ORDER BY lt.day) + (lt.d + lt.c)
+           AS n_risk
+  FROM lt, tot
+),
+terms AS (
+  SELECT day, d, c, n_risk,
+         CASE WHEN n_risk > d THEN
+           CAST(FLOOR(-(LOG10(CAST(n_risk - d AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE)))
+                      * 1000000000 + 0.5) AS DECIMAL(38,0))
+         END AS q
+  FROM risk WHERE d > 0
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events, c AS n_censored,
+       CASE WHEN n_risk = d THEN NULL ELSE
+         CAST(FLOOR((CAST(SUM(q) OVER (ORDER BY day) AS DOUBLE) / 1000000000)
+                    * 1000000 + 0.5) AS BIGINT)
+       END AS neg_log10_survival_micro
+FROM terms
+ORDER BY day
+"""
+
+
+@query("events_kaplan_meier", oracle=KAPLAN_MEIER_ORACLE)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival life table for signup→purchase
+    conversion with RIGHT-CENSORING: users who never purchase are
+    censored at their last observed event instead of silently
+    dropped — the estimator events_time_to_convert cannot give you,
+    and the standard churn/retention curve (S(t) = Π(1 − dᵢ/nᵢ)).
+
+    The curve is emitted in exact log space
+    (−log10 S(t) as integer micros): per-day terms −log10((n−d)/n)
+    are identical IEEE chains on integer-count doubles,
+    nano-quantized, and the CUMULATIVE sum runs over the day-grain
+    total order in DECIMAL(38,0) — no 10^x (libm pow) on either
+    engine, so no one-ulp boundary flips. Survival in [0,1] is
+    10^(−x/10⁶) for a consumer that wants it.
+
+    Scale: three user-grain aggregations sharing one user_id
+    exchange, then everything collapses to DAY grain — the life
+    table is bounded by the observation window (hundreds of rows),
+    so the unpartitioned cumulative windows run on a
+    calendar-bounded frame, never corpus-grain (the hypertable
+    rollup law).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    p = (
+        ev.join(s, "user_id")
+        .filter((F.col("event_type") == "purchase") & (us >= F.col("s_us")))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("p_us"))
+    )
+    lastobs = ev.join(s.select("user_id"), "user_id").groupBy("user_id").agg(
+        F.max(us).alias("l_us")
+    )
+    times = (
+        s.join(lastobs, "user_id")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("p_us").isNotNull(),
+                F.expr("(p_us - s_us) div 86400000000"),
+            )
+            .otherwise(F.expr("(l_us - s_us) div 86400000000"))
+            .alias("day"),
+            F.col("p_us").isNotNull().cast("int").alias("is_event"),
+        )
+    )
+    lt = times.groupBy("day").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(F.lit(1) - F.col("is_event")).alias("c"),
+    )
+    tot = times.agg(F.count(F.lit(1)).alias("n"))
+    wday = Window.orderBy("day")
+    risk = lt.crossJoin(F.broadcast(tot)).select(
+        "day", "d", "c",
+        (
+            F.col("n")
+            - F.sum(F.col("d") + F.col("c")).over(wday)
+            + (F.col("d") + F.col("c"))
+        ).alias("n_risk"),
+    )
+    # A day where the whole remaining risk set exits as events drives
+    # S(t) to exactly 0 — that is -inf in log space, so the terminal
+    # row (necessarily the LAST day) carries NULL instead of a term.
+    terms = risk.filter(F.col("d") > 0).select(
+        "day", "d", "c", "n_risk",
+        F.when(
+            F.col("n_risk") > F.col("d"),
+            F.floor(
+                -(
+                    F.log10(
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    )
+                )
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("decimal(38,0)"),
+        ).alias("q"),
+    )
+    return terms.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(
+            F.col("n_risk") == F.col("d"), F.lit(None).cast("long")
+        ).otherwise(
+            F.floor(
+                (F.sum("q").over(wday).cast("double") / 1000000000) * 1000000
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("neg_log10_survival_micro"),
+    ).orderBy("day")
+
+
+PEAK_CONCURRENCY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, session_id,
+         MIN(epoch_us(ts)) // 60000000 AS m0,
+         MAX(epoch_us(ts)) // 60000000 AS m1
+  FROM sid GROUP BY 1, 2
+),
+bounds AS (
+  SELECT m0 AS minute, 1 AS starts, 0 AS ends FROM sess
+  UNION ALL
+  SELECT m1, 0, 1 FROM sess
+),
+mg AS (
+  SELECT minute, CAST(SUM(starts) AS BIGINT) AS s, CAST(SUM(ends) AS BIGINT) AS e
+  FROM bounds GROUP BY minute
+),
+conc AS (
+  SELECT minute,
+         SUM(s) OVER (ORDER BY minute) - SUM(e) OVER (ORDER BY minute) + MAX(e) OVER (ORDER BY minute RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+           AS live
+  FROM mg
+),
+hourly AS (
+  SELECT CAST((minute // 60) % 24 AS INT) AS hour_utc,
+         CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+         CAST(COUNT(*) AS BIGINT) AS n_active_minutes
+  FROM conc GROUP BY 1
+)
+SELECT hour_utc, peak_concurrency, n_active_minutes FROM hourly
+UNION ALL
+SELECT -1, (SELECT MAX(peak_concurrency) FROM hourly),
+       (SELECT CAST(SUM(n_active_minutes) AS BIGINT) FROM hourly)
+ORDER BY hour_utc
+"""
+
+
+@query("events_peak_concurrency", oracle=PEAK_CONCURRENCY_ORACLE)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour-of-day (plus the global
+    peak as the hour=-1 row) at minute resolution — the capacity-
+    planning number behind autoscaling targets and concurrency
+    billing, computed with the boundary-sweep (+1 at session start
+    minute, −1 after its last minute; a session is live from its
+    first through its last minute INCLUSIVE).
+
+    Algorithm: sessions fold to (minute, starts, ends) grain, then
+    live(m) = Σstarts(≤m) − Σends(≤m) + ends(m) — RANGE-framed
+    cumulative sums over the distinct-minute total order (the +ends
+    term keeps the closing minute counted, i.e. ends subtract only
+    AFTER their minute). All integers end-to-end.
+
+    Scale: sessionization shuffles on user_id (one exchange); the
+    sweep frame is MINUTE-grain — bounded by the observation
+    calendar (~43k rows/month) regardless of corpus size, so the
+    unpartitioned windows never see corpus-grain data (same law as
+    events_hypertable_rollup / events_kaplan_meier).
+    """
+    from taps_spark.operators.events import session_stats
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sess = session_stats(ev, gap_minutes=30).select(
+        F.expr("unix_micros(cast(session_start as timestamp)) div 60000000").alias("m0"),
+        F.expr("unix_micros(cast(session_end as timestamp)) div 60000000").alias("m1"),
+    )
+    bounds = sess.select(
+        F.col("m0").alias("minute"), F.lit(1).alias("starts"), F.lit(0).alias("ends")
+    ).unionByName(
+        sess.select(
+            F.col("m1").alias("minute"), F.lit(0).alias("starts"), F.lit(1).alias("ends")
+        )
+    )
+    mg = bounds.groupBy("minute").agg(
+        F.sum("starts").alias("s"), F.sum("ends").alias("e")
+    )
+    wmin = Window.orderBy("minute")
+    conc = mg.select(
+        "minute",
+        (
+            F.sum("s").over(wmin) - F.sum("e").over(wmin) + F.col("e")
+        ).alias("live"),
+    )
+    hourly = conc.groupBy(
+        F.expr("cast((minute div 60) % 24 as int)").alias("hour_utc")
+    ).agg(
+        F.max("live").cast("long").alias("peak_concurrency"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+    )
+    glob = hourly.agg(
+        F.max("peak_concurrency").alias("peak_concurrency"),
+        F.sum("n_active_minutes").alias("n_active_minutes"),
+    ).select(
+        F.lit(-1).cast("int").alias("hour_utc"),
+        "peak_concurrency",
+        F.col("n_active_minutes").cast("long").alias("n_active_minutes"),
+    )
+    return hourly.unionByName(glob).orderBy("hour_utc")
