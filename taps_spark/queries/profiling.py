@@ -3064,3 +3064,209 @@ def profile_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in branches[1:]:
         b = b.unionByName(extra)
     return b.orderBy("tbl", "lhs", "rhs")
+
+
+_CRAMERS_BRANCH = """
+SELECT '{tbl}' AS tbl, '{x}' AS col_x, '{y}' AS col_y,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(r) AS BIGINT) AS r_levels,
+       CAST(MAX(cc) AS BIGINT) AS c_levels,
+       SUM(CAST(FLOOR(((CAST(cxy AS DOUBLE)
+                        - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * (CAST(cxy AS DOUBLE)
+                          - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                            / CAST(n AS DOUBLE)))
+                      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * 1000000000 + 0.5) AS DECIMAL(38,0))) AS s
+FROM (
+  SELECT xy.cxy, mx.cx, my.cy, t.n, t2.r, t3.cc
+  FROM (SELECT {x} AS x, {y} AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM {tbl} GROUP BY {x}, {y}) xy
+  JOIN (SELECT {x} AS x, CAST(COUNT(*) AS BIGINT) AS cx
+        FROM {tbl} GROUP BY {x}) mx ON xy.x = mx.x
+  JOIN (SELECT {y} AS y, CAST(COUNT(*) AS BIGINT) AS cy
+        FROM {tbl} GROUP BY {y}) my ON xy.y = my.y
+  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {tbl}) t
+  CROSS JOIN (SELECT CAST(COUNT(DISTINCT {x}) AS BIGINT) AS r FROM {tbl}) t2
+  CROSS JOIN (SELECT CAST(COUNT(DISTINCT {y}) AS BIGINT) AS cc FROM {tbl}) t3
+)
+"""
+
+CRAMERS_V_ORACLE = (
+    "WITH b AS ("
+    + "\nUNION ALL\n".join(
+        _CRAMERS_BRANCH.format(tbl=t, x=x, y=y) for t, x, y in _MI_PAIRS
+    )
+    + """)
+SELECT tbl, col_x, col_y, n_rows, r_levels, c_levels,
+       ROUND(CAST(s AS DOUBLE) / 1000000000, 4) AS chi2,
+       ROUND(SQRT((CAST(s AS DOUBLE) / 1000000000)
+                  / (CAST(n_rows AS DOUBLE)
+                     * LEAST(r_levels - 1, c_levels - 1))), 6) AS cramers_v
+FROM b
+ORDER BY tbl, col_x
+"""
+)
+
+
+@query("stats_cramers_v", oracle=CRAMERS_V_ORACLE)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for the same categorical
+    pairs profile_mutual_info scores — the [0,1]-normalized
+    chi-square effect size, comparable ACROSS pairs with different
+    level counts (MI is in bits and grows with cardinality; V is the
+    scale-free 'how close to a deterministic mapping' number).
+
+    χ² accumulates as per-CELL (o−e)²/e terms — identical IEEE
+    chains on integer-count doubles, nano-quantized, summed exactly
+    in DECIMAL(38,0) — then V = √(χ²/(N·min(r−1,c−1))) is one fixed
+    chain per output row (SQRT, never POWER).
+
+    Scale: same shape as profile_mutual_info — value-grain
+    contingency frames, broadcast-sized marginals, one scan per
+    pair plus two distinct-counts that collapse map-side.
+    """
+    tabs = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    branches = []
+    for tbl, x, y in _MI_PAIRS:
+        df = tabs[tbl]
+        xy = df.groupBy(F.col(x).alias("x"), F.col(y).alias("y")).agg(
+            F.count(F.lit(1)).alias("cxy")
+        )
+        mx = df.groupBy(F.col(x).alias("x")).agg(F.count(F.lit(1)).alias("cx"))
+        my = df.groupBy(F.col(y).alias("y")).agg(F.count(F.lit(1)).alias("cy"))
+        tot = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(x).alias("r"),
+            F.countDistinct(y).alias("cc"),
+        )
+        j = (
+            xy.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        o, cx, cy, n = (
+            F.col("cxy").cast("double"),
+            F.col("cx").cast("double"),
+            F.col("cy").cast("double"),
+            F.col("n").cast("double"),
+        )
+        e = cx * cy / n
+        term = (o - e) * (o - e) / e
+        branches.append(
+            j.agg(
+                F.max("n").alias("n_rows"),
+                F.max("r").alias("r_levels"),
+                F.max("cc").alias("c_levels"),
+                F.sum(
+                    F.floor(term * 1000000000 + F.lit(0.5)).cast("decimal(38,0)")
+                ).alias("s"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                "n_rows",
+                "r_levels",
+                "c_levels",
+                "s",
+            )
+        )
+    b = branches[0]
+    for extra in branches[1:]:
+        b = b.unionByName(extra)
+    chi2 = F.col("s").cast("double") / 1000000000
+    return b.select(
+        "tbl", "col_x", "col_y", "n_rows", "r_levels", "c_levels",
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n_rows").cast("double")
+                    * F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    ).orderBy("tbl", "col_x")
+
+
+# Candidate keys: every column set a warehouse modeler would probe on
+# this schema, including the KNOWN-non-unique lineitem pair recorded
+# in FIXTURES.md (the r8 spearman trap) — the audit must SHOW it.
+_KEY_CANDIDATES = (
+    ("orders", ("o_orderkey",)),
+    ("orders", ("o_custkey",)),
+    ("orders", ("o_custkey", "o_orderdate")),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("lineitem", ("l_orderkey", "l_partkey", "l_suppkey")),
+    ("customer", ("c_custkey",)),
+    ("part", ("p_partkey",)),
+)
+
+_KEY_BRANCH = """
+SELECT '{tbl}' AS tbl, '{label}' AS key_cols,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT ({cols})) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT ({cols})) AS BIGINT) AS dup_rows,
+       CAST((COUNT(DISTINCT ({cols})) * 1000000) // COUNT(*) AS BIGINT)
+         AS uniqueness_ppm,
+       COUNT(*) = COUNT(DISTINCT ({cols})) AS is_key
+FROM {tbl}
+"""
+
+CANDIDATE_KEYS_ORACLE = (
+    "\nUNION ALL\n".join(
+        _KEY_BRANCH.format(
+            tbl=t, label=",".join(cols), cols=", ".join(cols)
+        )
+        for t, cols in _KEY_CANDIDATES
+    )
+    + "\nORDER BY tbl, key_cols"
+)
+
+
+@query("profile_candidate_keys", oracle=CANDIDATE_KEYS_ORACLE)
+def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key census: uniqueness ratio (exact integer ppm)
+    for the column sets a modeler would consider as keys — the
+    profiler output that drives PK selection, dedup-grain choices,
+    and join-cardinality expectations. On THIS fixture it documents
+    the FIXTURES.md trap in data: (l_orderkey, l_linenumber) shows
+    is_key=false (the non-total-order that broke r8's spearman),
+    while the 3-column grain is unique.
+
+    Scale: one COUNT + COUNT(DISTINCT struct) pair per candidate —
+    a two-stage partial/final aggregate over the scan (Spark plans
+    distinct-count as an expand + two-level HashAggregate, all
+    map-side combined). All-integer output; the ppm is exact floor
+    division. Columns probed are non-null by construction, so
+    Spark's null-dropping countDistinct and DuckDB's struct DISTINCT
+    agree.
+    """
+    tabs = load_tables(spark, sf_dir, ("orders", "lineitem", "customer", "part"))
+    branches = []
+    for tbl, cols in _KEY_CANDIDATES:
+        nd = F.countDistinct(*[F.col(c) for c in cols])
+        branches.append(
+            tabs[tbl].agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                nd.alias("n_distinct"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(",".join(cols)).alias("key_cols"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") - F.col("n_distinct")).alias("dup_rows"),
+                F.expr("(n_distinct * 1000000) div n_rows").alias(
+                    "uniqueness_ppm"
+                ),
+                (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+            )
+        )
+    b = branches[0]
+    for extra in branches[1:]:
+        b = b.unionByName(extra)
+    return b.orderBy("tbl", "key_cols")

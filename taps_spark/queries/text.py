@@ -4148,3 +4148,203 @@ def pipeline_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source", "shard_id")
     )
+
+
+TERM_BURSTINESS_ORACLE = """
+WITH dtc AS (
+  SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, source, tok
+),
+top AS (
+  SELECT tok FROM (
+    SELECT tok, SUM(c) AS tot,
+           ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, tok) AS rn
+    FROM dtc GROUP BY tok
+  ) WHERE rn <= 20
+),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY source),
+g AS (
+  SELECT dtc.source, dtc.tok,
+         CAST(SUM(dtc.c) AS BIGINT) AS s1,
+         CAST(SUM(dtc.c * dtc.c) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM dtc JOIN top ON top.tok = dtc.tok
+  GROUP BY dtc.source, dtc.tok
+)
+SELECT g.tok AS token, g.source AS source, nd.n_docs, g.df AS doc_freq,
+       g.s1 AS total_count,
+       ROUND((CAST(g.s2 AS DOUBLE) / nd.n_docs
+              - (CAST(g.s1 AS DOUBLE) / nd.n_docs)
+                * (CAST(g.s1 AS DOUBLE) / nd.n_docs))
+             / (CAST(g.s1 AS DOUBLE) / nd.n_docs), 6) AS vmr
+FROM g JOIN nd ON nd.source = g.source
+ORDER BY token, g.source
+"""
+
+
+@query("text_term_burstiness", oracle=TERM_BURSTINESS_ORACLE)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (variance-to-mean ratio of per-document
+    counts, zeros included) for the 20 highest-frequency tokens,
+    split by source — the corpus-linguistics dispersion probe: VMR ≈
+    1 means Poisson scatter (function-word-like), VMR ≫ 1 means the
+    term CLUMPS in few documents (topical/spammy), the signal
+    quality filters and stopword lists are actually built on.
+
+    Exact: per-(doc,token) counts and Σc/Σc² stay integer (BIGINT —
+    c ≤ tokens-per-doc so c² is bounded by doc length², far from
+    overflow at any corpus size); the VMR is a fixed per-row IEEE
+    chain from those integers (zeros enter via dividing by the FULL
+    per-source doc count, not doc_freq). Top-20 selection ranks the
+    vocabulary-grain count frame with the token as tiebreak (total
+    order).
+
+    Scale: corpus collapses to (doc,token) then (source,token)
+    grain map-side; the ranking window runs on vocabulary-grain
+    rows; the final frame is 20×|sources|. No corpus-grain window
+    or join anywhere.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dtc = (
+        docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        dtc.groupBy("tok")
+        .agg(F.sum("c").alias("tot"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("tot"), "tok"))
+        )
+        .filter(F.col("rn") <= 20)
+        .select("tok")
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    g = (
+        dtc.join(F.broadcast(top), "tok")
+        .groupBy("source", "tok")
+        .agg(
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.count(F.lit(1)).alias("df"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n_docs")
+    return (
+        g.join(F.broadcast(nd), "source")
+        .select(
+            F.col("tok").alias("token"),
+            "source",
+            "n_docs",
+            F.col("df").alias("doc_freq"),
+            F.col("s1").alias("total_count"),
+            F.round(
+                (F.col("s2").cast("double") / F.col("n_docs") - mean * mean)
+                / mean,
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy("token", "source")
+    )
+
+
+HEAPS_LAW_ORACLE = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+ft AS (
+  SELECT tok, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+dt AS (
+  SELECT doc_id, CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+ks AS (SELECT unnest(range(1, 11)) AS k),
+cut AS (
+  SELECT ks.k, (n.n_docs * ks.k) // 10 AS n_prefix_docs FROM ks, n
+),
+curve AS (
+  SELECT cut.k, cut.n_prefix_docs,
+         (SELECT CAST(SUM(dt.n_tok) AS BIGINT) FROM dt
+          WHERE dt.doc_id < cut.n_prefix_docs) AS total_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ft
+          WHERE ft.first_doc < cut.n_prefix_docs) AS vocab
+  FROM cut
+)
+SELECT CAST(k AS INT) AS decile, n_prefix_docs, total_tokens, vocab,
+       CAST(FLOOR(CAST(vocab AS DOUBLE) / total_tokens * 1000000 + 0.5)
+            AS BIGINT) AS type_token_ppm
+FROM curve
+ORDER BY decile
+"""
+
+
+@query("text_heaps_law", oracle=HEAPS_LAW_ORACLE)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct vocabulary size
+    after each 10% prefix of the corpus (doc_id order) with the
+    type/token ratio — the companion diagnostic to text_zipf_check
+    (Zipf describes the frequency SPECTRUM, Heaps the vocabulary
+    GROWTH; a corpus whose curve flattens early is repetitive or
+    template-heavy, one that grows linearly is noisy/OCR-damaged).
+
+    Computed without any ordered accumulation over the corpus: each
+    token's FIRST-occurrence doc is one MIN aggregate, so V(prefix)
+    is a vocabulary-grain count per cutoff — 10 cutoffs broadcast
+    against the first-occurrence frame. Everything is exact
+    integers; the ratio is one fixed-chain ppm per output row.
+
+    Scale: two map-side-combined aggregations (token→min doc,
+    doc→token count) + a 10-row broadcast join; the corpus is
+    scanned twice, the vocabulary once per cutoff via one grouped
+    conditional-count pass. No window at all.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ft = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    dt = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    cut = ks.crossJoin(F.broadcast(n)).select(
+        "k", F.expr("(n_docs * k) div 10").alias("n_prefix_docs")
+    )
+    tok_tot = (
+        cut.join(dt, dt.doc_id < cut.n_prefix_docs)
+        .groupBy("k", "n_prefix_docs")
+        .agg(F.sum("n_tok").alias("total_tokens"))
+    )
+    voc = (
+        cut.join(ft, ft.first_doc < cut.n_prefix_docs)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    return (
+        tok_tot.join(voc, "k")
+        .select(
+            F.col("k").cast("int").alias("decile"),
+            "n_prefix_docs",
+            "total_tokens",
+            "vocab",
+            F.floor(
+                F.col("vocab").cast("double") / F.col("total_tokens") * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("type_token_ppm"),
+        )
+        .orderBy("decile")
+    )
