@@ -1071,3 +1071,85 @@ def governance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+DP_COUNT_RELEASE_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM orders GROUP BY o_orderpriority
+),
+u AS (
+  SELECT priority, n_true,
+         CAST(('0x' || SUBSTRING(MD5(priority || '|dp-seed-9'), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS unif
+  FROM g
+),
+z AS (
+  SELECT priority, n_true, unif,
+         CASE WHEN unif < 0.5 THEN 1.0 ELSE -1.0 END
+           * LN(1.0 - 2.0 * ABS(unif - 0.5)) AS lap
+  FROM u
+)
+SELECT priority, n_true,
+       CAST(FLOOR(lap * 1000 + 0.5) AS BIGINT) AS noise_milli,
+       CAST(FLOOR((CAST(n_true AS DOUBLE) + lap) * 1000 + 0.5) AS BIGINT)
+         AS released_milli,
+       1000000 AS epsilon_micro
+FROM z
+ORDER BY priority
+"""
+
+
+@query("governance_dp_count_release", oracle=DP_COUNT_RELEASE_ORACLE)
+def governance_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style count release: per-group counts
+    with Laplace(1/ε) noise at ε=1 (sensitivity 1 for a count) — the
+    mechanism shape behind private aggregate publishing, wired
+    end-to-end: group, draw, perturb, release.
+
+    The noise draw here is SEEDED AND DETERMINISTIC (inverse-CDF on
+    a uniform derived from MD5(group||seed) — MD5 because both
+    engines share it bit-for-bit; xxhash64 has no DuckDB twin) so
+    the release is oracle-checkable and replayable in tests. That
+    deterministic draw is exactly what production DP must NOT do —
+    a real deployment swaps in calibrated true randomness and drops
+    n_true from the output; the query documents the mechanism and
+    its plan shape, not a privacy guarantee.
+
+    Determinism: the uniform is a 60-bit integer over 2⁶⁰ (exact in
+    double); sign/LN/scale is one fixed IEEE chain per group row;
+    milli-quantization at the end.
+
+    Scale: one map-side-combined count per group + per-row scalar
+    math — no second shuffle, no window.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("priority"), F.lit("|dp-seed-9"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    z = g.select(
+        "priority", "n_true", unif.alias("unif")
+    ).select(
+        "priority", "n_true",
+        (
+            F.when(F.col("unif") < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("unif") - 0.5))
+        ).alias("lap"),
+    )
+    return z.select(
+        "priority",
+        "n_true",
+        F.floor(F.col("lap") * 1000 + F.lit(0.5)).cast("long").alias("noise_milli"),
+        F.floor((F.col("n_true").cast("double") + F.col("lap")) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("released_milli"),
+        F.lit(1000000).alias("epsilon_micro"),
+    ).orderBy("priority")

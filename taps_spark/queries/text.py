@@ -4348,3 +4348,90 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+SCENE_CUTS_ORACLE = """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         OCTET_LENGTH(ENCODE(text)) AS n,
+         MD5(text) AS base
+  FROM documents WHERE doc_id % 3 = 2
+),
+d AS (SELECT asset_id, base, 1000 + (n * 17) % 600000 AS dur FROM v),
+f AS (
+  SELECT asset_id, base,
+         unnest(range(LEAST(5, GREATEST(1, dur // 2000)))) AS frame_idx
+  FROM d
+),
+fr AS (
+  SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(frame_idx * 2000 AS BIGINT) AS ts_ms,
+         CAST(('0x' || SUBSTRING(
+             MD5(base || '-' || CAST(frame_idx AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 256 AS luma
+  FROM f
+),
+delta AS (
+  SELECT asset_id, frame_idx, ts_ms, luma,
+         ABS(luma - LAG(luma) OVER (PARTITION BY asset_id ORDER BY frame_idx))
+           AS dl
+  FROM fr
+)
+SELECT asset_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN dl >= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(MIN(CASE WHEN dl >= 64 THEN ts_ms END) AS BIGINT) AS first_cut_ms
+FROM delta
+GROUP BY asset_id
+HAVING COUNT(*) > 1
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_scene_cuts", oracle=SCENE_CUTS_ORACLE)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over sampled video frames: a cut is a
+    frame whose mean-luma proxy jumps ≥ 64 levels from its
+    predecessor — the shot-boundary primitive behind keyframe
+    selection and per-scene captioning in video training pipelines.
+
+    The frame DECODE is the deterministic stub (no codec in this
+    container — operators/multimodal.py:1-27): the luma proxy is the
+    leading 32 bits of the frame checksum mod 256, so the WHOLE
+    pipeline — mapInPandas frame expansion, per-asset lag window,
+    cut threshold, first-cut fold — is real Spark plumbing with an
+    exact oracle; swapping the stub for a real decoder changes only
+    the luma expression.
+
+    Scale: frame expansion is map-only (1 asset row → ≤5 frame
+    rows); the lag window partitions on asset_id over the unique
+    frame_idx (total order); the fold is asset-grain. No
+    corpus-grain window or join.
+    """
+    from taps_spark.operators.multimodal import sample_frames
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs).filter(F.col("modality") == "video")
+    frames = sample_frames(assets, every_ms=2000, max_frames=5)
+    from pyspark.sql import Window
+
+    luma = (
+        F.conv(F.substring("frame_checksum", 1, 8), 16, 10).cast("long") % 256
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    delta = frames.select(
+        "asset_id", "frame_idx", "ts_ms", luma.alias("luma")
+    ).select(
+        "asset_id", "frame_idx", "ts_ms", "luma",
+        F.abs(F.col("luma") - F.lag("luma").over(w)).alias("dl"),
+    )
+    return (
+        delta.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum((F.col("dl") >= 64).cast("int")).cast("long").alias("n_cuts"),
+            F.min(F.when(F.col("dl") >= 64, F.col("ts_ms"))).alias("first_cut_ms"),
+        )
+        .filter(F.col("n_frames") > 1)
+        .orderBy("asset_id")
+    )
