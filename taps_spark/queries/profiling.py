@@ -3270,3 +3270,167 @@ def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in branches[1:]:
         b = b.unionByName(extra)
     return b.orderBy("tbl", "key_cols")
+
+
+PSI_DRIFT_ORACLE = """
+WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderdate AS d
+  FROM orders
+),
+rng AS (
+  SELECT MIN(epoch_us(d)) AS u0, MAX(epoch_us(d)) AS u1 FROM o
+),
+tagged AS (
+  SELECT o.cents,
+         CASE WHEN epoch_us(o.d) <= (rng.u0 + rng.u1) // 2
+              THEN 0 ELSE 1 END AS half
+  FROM o, rng
+),
+basec AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM tagged
+  WHERE half = 0 GROUP BY cents
+),
+bn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM basec),
+cum AS (
+  SELECT cents, SUM(c) OVER (ORDER BY cents) AS cumc FROM basec
+),
+edges AS (
+  SELECT k, MIN(cents) AS edge
+  FROM cum, bn, (SELECT unnest(range(1, 10)) AS k) ks
+  WHERE cum.cumc >= (bn.n * ks.k + 9) // 10
+  GROUP BY k
+),
+binned AS (
+  SELECT t.half, t.cents,
+         (SELECT COUNT(*) FROM edges e WHERE t.cents > e.edge) AS bin
+  FROM tagged t
+),
+bc AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS nb, CAST(SUM(n_curr) AS BIGINT) AS nc
+  FROM bc
+),
+terms AS (
+  SELECT bc.bin, bc.n_base, bc.n_curr,
+         CAST(FLOOR(((CAST(bc.n_base + 1 AS DOUBLE) / (tot.nb + 10))
+                     - (CAST(bc.n_curr + 1 AS DOUBLE) / (tot.nc + 10)))
+                    * LN((CAST(bc.n_base + 1 AS DOUBLE) / (tot.nb + 10))
+                         / (CAST(bc.n_curr + 1 AS DOUBLE) / (tot.nc + 10)))
+                    * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM bc, tot
+)
+SELECT CAST(bin AS INT) AS bin, n_base, n_curr,
+       CAST(q AS BIGINT) AS psi_term_nano
+FROM terms
+UNION ALL
+SELECT -1, (SELECT CAST(SUM(n_base) AS BIGINT) FROM terms),
+       (SELECT CAST(SUM(n_curr) AS BIGINT) FROM terms),
+       (SELECT CAST(SUM(q) AS BIGINT) FROM terms)
+ORDER BY bin
+"""
+
+
+@query("profile_psi_drift", oracle=PSI_DRIFT_ORACLE)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half
+    of the order-date range on total price — THE industry drift
+    gauge for scores/features between a baseline and a current
+    window (rule of thumb: <0.1 stable, >0.25 investigate), with
+    per-bin contributions so a consumer sees WHERE the distribution
+    moved; the bin=-1 row carries the exact PSI total in nano units.
+
+    Bin edges are the BASELINE's exact deciles, selected by
+    aggregation on the integer cents grid (the stats_levene_bf
+    median law — no row_number, no physical-order dependence); both
+    halves then bin against those edges with add-one smoothing so
+    empty bins stay finite. Per-bin (p−q)·ln(p/q) terms are fixed
+    IEEE chains, nano-quantized, EXACT decimal total.
+
+    Scale: the baseline collapses to distinct-cents grain before
+    the edge scan (bounded by the price grid, not row count); bin
+    assignment is a 9-row broadcast comparison; the fold is a
+    10-row aggregate. One corpus scan per half, no corpus-grain
+    window.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    )
+    us = F.unix_micros(F.col("d").cast("timestamp"))
+    rng = o.agg(F.min(us).alias("u0"), F.max(us).alias("u1"))
+    tagged = o.crossJoin(F.broadcast(rng)).select(
+        "cents",
+        F.when(
+            F.unix_micros(F.col("d").cast("timestamp"))
+            <= F.expr("(u0 + u1) div 2"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    basec = (
+        tagged.filter(F.col("half") == 0)
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bn = basec.agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window
+
+    cum = basec.select(
+        "cents", F.sum("c").over(Window.orderBy("cents")).alias("cumc")
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    edges = (
+        cum.crossJoin(F.broadcast(bn))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("cumc") >= F.expr("(n * k + 9) div 10"))
+        .groupBy("k")
+        .agg(F.min("cents").alias("edge"))
+    )
+    e9 = edges.select("edge")
+    # Bin lookup at DISTINCT-cents grain (bounded by the price grid),
+    # then joined back — binning the raw rows against the 9-edge frame
+    # directly would duplicate every row 9x before re-aggregating.
+    cb = (
+        tagged.select("cents")
+        .distinct()
+        .join(F.broadcast(e9))
+        .groupBy("cents")
+        .agg(F.sum((F.col("cents") > F.col("edge")).cast("int")).alias("bin"))
+    )
+    bc = (
+        tagged.join(cb, "cents")
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("half") == 0).cast("int")).alias("n_base"),
+            F.sum((F.col("half") == 1).cast("int")).alias("n_curr"),
+        )
+    )
+    tot = bc.agg(F.sum("n_base").alias("nb"), F.sum("n_curr").alias("nc"))
+    p = (F.col("n_base") + 1).cast("double") / (F.col("nb") + 10)
+    q = (F.col("n_curr") + 1).cast("double") / (F.col("nc") + 10)
+    terms = bc.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_base", "n_curr",
+        F.floor((p - q) * F.log(p / q) * 1000000000 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("qv"),
+    )
+    rows = terms.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_base",
+        "n_curr",
+        F.col("qv").cast("long").alias("psi_term_nano"),
+    )
+    glob = terms.agg(
+        F.sum("n_base").alias("n_base"),
+        F.sum("n_curr").alias("n_curr"),
+        F.sum("qv").cast("long").alias("psi_term_nano"),
+    ).select(F.lit(-1).cast("int").alias("bin"), "n_base", "n_curr", "psi_term_nano")
+    return rows.unionByName(glob).orderBy("bin")

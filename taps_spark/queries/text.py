@@ -4263,24 +4263,36 @@ ft AS (
         FROM documents)
   GROUP BY tok
 ),
-dt AS (
-  SELECT doc_id, CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-           AS n_tok
-  FROM documents
+-- decile bucket of doc d: smallest k with d < (n_docs*k)//10, in
+-- closed form (10d + n + 9) // n  — pure integer arithmetic, so the
+-- Spark twin is bit-identical and NO theta join exists on either side
+vb AS (
+  SELECT (10 * ft.first_doc + n.n_docs + 9) // n.n_docs AS k,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM ft, n GROUP BY 1
+),
+tb AS (
+  SELECT (10 * doc_id + n.n_docs + 9) // n.n_docs AS k,
+         CAST(SUM(LEN(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS toks
+  FROM documents, n GROUP BY 1
 ),
 ks AS (SELECT unnest(range(1, 11)) AS k),
-cut AS (
-  SELECT ks.k, (n.n_docs * ks.k) // 10 AS n_prefix_docs FROM ks, n
-),
 curve AS (
-  SELECT cut.k, cut.n_prefix_docs,
-         (SELECT CAST(SUM(dt.n_tok) AS BIGINT) FROM dt
-          WHERE dt.doc_id < cut.n_prefix_docs) AS total_tokens,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM ft
-          WHERE ft.first_doc < cut.n_prefix_docs) AS vocab
-  FROM cut
+  SELECT ks.k,
+         (n.n_docs * ks.k) // 10 AS n_prefix_docs,
+         SUM(COALESCE(tb.toks, 0))
+           OVER (ORDER BY ks.k) AS total_tokens,
+         SUM(COALESCE(vb.v, 0))
+           OVER (ORDER BY ks.k) AS vocab
+  FROM ks
+  CROSS JOIN n
+  LEFT JOIN tb ON tb.k = ks.k
+  LEFT JOIN vb ON vb.k = ks.k
 )
-SELECT CAST(k AS INT) AS decile, n_prefix_docs, total_tokens, vocab,
+SELECT CAST(k AS INT) AS decile, n_prefix_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
        CAST(FLOOR(CAST(vocab AS DOUBLE) / total_tokens * 1000000 + 0.5)
             AS BIGINT) AS type_token_ppm
 FROM curve
@@ -4297,16 +4309,18 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROWTH; a corpus whose curve flattens early is repetitive or
     template-heavy, one that grows linearly is noisy/OCR-damaged).
 
-    Computed without any ordered accumulation over the corpus: each
-    token's FIRST-occurrence doc is one MIN aggregate, so V(prefix)
-    is a vocabulary-grain count per cutoff — 10 cutoffs broadcast
-    against the first-occurrence frame. Everything is exact
-    integers; the ratio is one fixed-chain ppm per output row.
+    Computed without any ordered accumulation over the corpus OR
+    any theta join: each token's FIRST-occurrence doc is one MIN
+    aggregate, each doc/token lands in its decile bucket by closed-
+    form integer arithmetic ((10·d + n + 9) div n — identical on
+    both engines), and the curve is a 10-row cumulative sum. The
+    first cut of this query used cutoff < doc_id theta joins; the
+    measured 10× curve came back α=1.165 (every row fanned out per
+    matching cutoff), and this bucket rewrite removes that term.
 
     Scale: two map-side-combined aggregations (token→min doc,
-    doc→token count) + a 10-row broadcast join; the corpus is
-    scanned twice, the vocabulary once per cutoff via one grouped
-    conditional-count pass. No window at all.
+    doc→token count), a 10-row bucket fold each, and a 10-row
+    window. No corpus-grain join or window at all.
     """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -4315,39 +4329,44 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.min("doc_id").alias("first_doc"))
     )
-    dt = docs.select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    vb = (
+        ft.crossJoin(F.broadcast(n))
+        .groupBy(F.expr("(10 * first_doc + n_docs + 9) div n_docs").alias("k"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    tb = (
+        docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tok"))
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.expr("(10 * doc_id + n_docs + 9) div n_docs").alias("k"))
+        .agg(F.sum("n_tok").alias("toks"))
     )
     ks = spark.range(1, 11).select(F.col("id").alias("k"))
-    cut = ks.crossJoin(F.broadcast(n)).select(
-        "k", F.expr("(n_docs * k) div 10").alias("n_prefix_docs")
-    )
-    tok_tot = (
-        cut.join(dt, dt.doc_id < cut.n_prefix_docs)
-        .groupBy("k", "n_prefix_docs")
-        .agg(F.sum("n_tok").alias("total_tokens"))
-    )
-    voc = (
-        cut.join(ft, ft.first_doc < cut.n_prefix_docs)
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("vocab"))
-    )
-    return (
-        tok_tot.join(voc, "k")
+    from pyspark.sql import Window
+
+    wk = Window.orderBy("k")
+    curve = (
+        ks.crossJoin(F.broadcast(n))
+        .join(F.broadcast(tb), "k", "left")
+        .join(F.broadcast(vb), "k", "left")
         .select(
-            F.col("k").cast("int").alias("decile"),
-            "n_prefix_docs",
-            "total_tokens",
-            "vocab",
-            F.floor(
-                F.col("vocab").cast("double") / F.col("total_tokens") * 1000000
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("type_token_ppm"),
+            "k",
+            F.expr("(n_docs * k) div 10").alias("n_prefix_docs"),
+            F.sum(F.coalesce(F.col("toks"), F.lit(0))).over(wk).alias("total_tokens"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0))).over(wk).alias("vocab"),
         )
-        .orderBy("decile")
     )
+    return curve.select(
+        F.col("k").cast("int").alias("decile"),
+        "n_prefix_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.floor(
+            F.col("vocab").cast("double") / F.col("total_tokens") * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("type_token_ppm"),
+    ).orderBy("decile")
 
 
 SCENE_CUTS_ORACLE = """
@@ -4434,4 +4453,104 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_frames") > 1)
         .orderBy("asset_id")
+    )
+
+
+COLLOCATIONS_PMI_ORACLE = """
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM big),
+u1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+u2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY w2),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.c12,
+         ROUND(LOG10((CAST(bc.c12 AS DOUBLE) * CAST(n.nb AS DOUBLE))
+                     / (CAST(u1.c1 AS DOUBLE) * CAST(u2.c2 AS DOUBLE)))
+               / LOG10(2), 6) AS pmi_bits
+  FROM bc
+  JOIN u1 ON u1.w1 = bc.w1
+  JOIN u2 ON u2.w2 = bc.w2
+  CROSS JOIN n
+  WHERE bc.c12 >= 5
+)
+SELECT w1, w2, c12 AS n_cooccur, pmi_bits, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_bits DESC, w1, w2) AS rank
+  FROM scored
+)
+WHERE rank <= 30
+ORDER BY rank
+"""
+
+
+@query("text_collocations_pmi", oracle=COLLOCATIONS_PMI_ORACLE)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 adjacent-token bigrams by pointwise
+    mutual information (min support 5) — the phrase-discovery
+    primitive behind tokenizer merge seeding, multi-word entity
+    lists, and boilerplate detection (very-high-PMI pairs are frozen
+    phrases/templates, near-zero pairs are chance adjacency).
+
+    PMI = log2(c12·N/(c1·c2)): every factor enters the ratio as an
+    integer-valued DOUBLE (the profile_mutual_info overflow rule —
+    c12·N would pass int64 at web scale), one fixed IEEE chain per
+    bigram row, display-rounded. Ranking key ends in (w1, w2) — the
+    bigram identity — so the top-30 window is a total order.
+
+    Scale: the corpus collapses to bigram-grain counts map-side
+    (posexplode + self-join-free lead-pairing in Spark); marginals
+    join back at vocabulary grain; the support filter prunes the
+    long tail BEFORE the ranking window, which then runs on the
+    surviving collocation candidates only.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tk = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    wnext = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tk.select(
+            F.col("tok").alias("w1"), F.lead("tok").over(wnext).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nb = big.agg(F.count(F.lit(1)).alias("nb"))
+    u1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    u2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bc.filter(F.col("c12") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "c12",
+            F.round(
+                F.log10(
+                    (F.col("c12").cast("double") * F.col("nb").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                )
+                / F.log10(F.lit(2.0)),
+                6,
+            ).alias("pmi_bits"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_bits"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+        .select(
+            "w1", "w2", F.col("c12").alias("n_cooccur"), "pmi_bits",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
     )
