@@ -3097,3 +3097,78 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_active_minutes").cast("long").alias("n_active_minutes"),
     )
     return hourly.unionByName(glob).orderBy("hour_utc")
+
+
+VELOCITY_ALERT_ORACLE = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us FROM events
+),
+vel AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY t_us
+                        RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+           AS w_cnt
+  FROM t
+),
+peak AS (
+  SELECT user_id,
+         CAST(MAX(w_cnt) AS BIGINT) AS peak_10min_events,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM vel GROUP BY user_id
+)
+SELECT user_id, peak_10min_events, n_events, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY peak_10min_events DESC, user_id) AS rank
+  FROM peak
+)
+WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+@query("events_velocity_alert", oracle=VELOCITY_ALERT_ORACLE)
+def events_velocity_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity alerting: each user's PEAK event count inside any
+    trailing 10-minute window, top-20 — the rate-anomaly primitive
+    behind fraud velocity rules, abuse throttling, and bot
+    detection ('more than N actions in M minutes'), computed exactly
+    rather than on bucket boundaries (a tumbling-bucket count misses
+    bursts straddling the edge; the sliding RANGE frame does not).
+
+    Determinism: the RANGE frame is VALUE-bounded (microsecond
+    interval), so frame membership is tie-safe by construction — no
+    physical-order dependence even when events share a timestamp;
+    the alert ranking closes its total order with user_id.
+
+    Scale: ONE window exchange on user_id (the sessionizer's
+    partition key), then a user-grain fold; the top-20 is
+    WindowGroupLimit-reducible. The frame holds at most
+    (peak rate × 10 min) rows per user — bounded by true burst
+    size, not history length.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    t = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-600000000, 0)
+    )
+    vel = t.select("user_id", F.count(F.lit(1)).over(wr).alias("w_cnt"))
+    peak = vel.groupBy("user_id").agg(
+        F.max("w_cnt").cast("long").alias("peak_10min_events"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wrank = Window.orderBy(F.desc("peak_10min_events"), "user_id")
+    return (
+        peak.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "user_id", "peak_10min_events", "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )

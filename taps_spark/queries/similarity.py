@@ -1922,3 +1922,150 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_metadata_filtered(
         emb, queries, on=F.col("label") == F.col("q_label"), k=5
     ).orderBy("q_id", "rank")
+
+
+KMEANS_UPDATE_ORACLE = """
+WITH c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+  FROM embeddings WHERE vec_id < 8
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT e.vec_id, c.c_id, e.v,
+         list_dot_product(e.v, c.c_vec)
+           / SQRT(list_dot_product(e.v, e.v)
+                  * list_dot_product(c.c_vec, c.c_vec)) AS cos
+  FROM e CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, c_id, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+-- member components on the exact integer micro grid
+comp AS (
+  SELECT c_id, dim,
+         CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT) AS vmic
+  FROM (SELECT b.c_id, unnest(b.v) AS val,
+               generate_subscripts(b.v, 1) AS dim
+        FROM best b)
+),
+newc AS (
+  SELECT c_id, dim,
+         CAST(SUM(vmic) AS BIGINT) AS smic,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp GROUP BY c_id, dim
+),
+oldc AS (
+  SELECT c_id, dim,
+         CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT) AS omic
+  FROM (SELECT c.c_id, unnest(c.c_vec) AS val,
+               generate_subscripts(c.c_vec, 1) AS dim
+        FROM c)
+),
+dterm AS (
+  SELECT n.c_id, n.n,
+         CAST(FLOOR(
+           ((CAST(o.omic AS DOUBLE) / 1000000
+             - CAST(n.smic AS DOUBLE) / (1000000.0 * n.n))
+            * (CAST(o.omic AS DOUBLE) / 1000000
+               - CAST(n.smic AS DOUBLE) / (1000000.0 * n.n)))
+           * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM newc n JOIN oldc o ON o.c_id = n.c_id AND o.dim = n.dim
+)
+SELECT c_id AS centroid_id, CAST(MAX(n) AS BIGINT) AS n_assigned,
+       CAST(FLOOR(SQRT(CAST(SUM(q) AS DOUBLE) / 1000000000) * 1000000 + 0.5)
+            AS BIGINT) AS shift_micro
+FROM dterm
+GROUP BY c_id
+ORDER BY c_id
+"""
+
+
+@query("similarity_kmeans_update", oracle=KMEANS_UPDATE_ORACLE)
+def similarity_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means M-step completing similarity_kmeans_assign's
+    E-step: recompute each centroid as the element-wise mean of its
+    assigned vectors and report how far it MOVED (L2 shift, micro
+    units) — the per-iteration convergence signal a clustering run
+    monitors (shift → 0 means Lloyd has converged; one assign+update
+    pair here is exactly one Lloyd iteration, oracle-checked).
+
+    Determinism: member components land on the exact integer MICRO
+    grid before any sum (a float-valued column summed in double is
+    order-dependent — the DSIR law applies to vector components
+    too), so per-dimension means are exact integers over n; the
+    64 per-dimension squared diffs nano-quantize and sum exactly in
+    DECIMAL(38,0); one SQRT chain per centroid at the end.
+
+    Scale: assignment is the E-step plan (broadcast(8) × scan,
+    map-side argmin); the update is a posexplode to (centroid, dim)
+    grain — 64·k cells regardless of corpus size — so the M-step
+    shuffles only k×64 partial sums per task. Corpus-linear,
+    result-bounded state.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.operators.similarity import cosine
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    s = emb.join(F.broadcast(cent)).select(
+        "vec_id", "c_id", "embedding",
+        cosine(F.col("embedding"), F.col("c_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "c_id")
+    best = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id", "embedding")
+    )
+    comp = best.select(
+        "c_id", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "c_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("vmic"),
+    )
+    newc = comp.groupBy("c_id", "dim").agg(
+        F.sum("vmic").alias("smic"), F.count(F.lit(1)).alias("n")
+    )
+    oldc = cent.select(
+        "c_id", F.posexplode("c_vec").alias("dim0", "val")
+    ).select(
+        "c_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("omic"),
+    )
+    diff = (
+        F.col("omic").cast("double") / 1000000
+        - F.col("smic").cast("double") / (F.lit(1000000.0) * F.col("n"))
+    )
+    dterm = newc.join(oldc, ["c_id", "dim"]).select(
+        "c_id", "n",
+        F.floor(diff * diff * 1000000000 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    return (
+        dterm.groupBy("c_id")
+        .agg(F.max("n").alias("n_assigned"), F.sum("q").alias("sq"))
+        .select(
+            F.col("c_id").alias("centroid_id"),
+            F.col("n_assigned").cast("long").alias("n_assigned"),
+            F.floor(
+                F.sqrt(F.col("sq").cast("double") / 1000000000) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("shift_micro"),
+        )
+        .orderBy("centroid_id")
+    )
