@@ -4554,3 +4554,200 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+AUDIO_VAD_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         OCTET_LENGTH(ENCODE(text)) AS n,
+         MD5(text) AS base
+  FROM documents WHERE doc_id % 3 = 1
+),
+d AS (SELECT asset_id, base, 1000 + (n * 13) % 60000 AS dur FROM a),
+w AS (
+  SELECT asset_id, base,
+         unnest(range(LEAST(8, GREATEST(1, dur // 1000)))) AS window_idx
+  FROM d
+),
+r AS (
+  SELECT asset_id, CAST(window_idx AS INT) AS window_idx,
+         CAST(('0x' || SUBSTR(MD5(base || '-w' || CAST(window_idx AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000 AS rms_tt
+  FROM w
+),
+act AS (SELECT * FROM r WHERE rms_tt >= 5000),
+brk AS (
+  SELECT asset_id, window_idx, rms_tt,
+         CASE WHEN LAG(window_idx) OVER w IS NULL
+                OR window_idx - LAG(window_idx) OVER w > 1
+              THEN 1 ELSE 0 END AS b
+  FROM act
+  WINDOW w AS (PARTITION BY asset_id ORDER BY window_idx)
+),
+seg AS (
+  SELECT asset_id, window_idx, rms_tt,
+         SUM(b) OVER (PARTITION BY asset_id ORDER BY window_idx) AS segment_id
+  FROM brk
+)
+SELECT asset_id, CAST(segment_id AS INT) AS segment_id,
+       CAST(MIN(window_idx) * 1000 AS BIGINT) AS start_ms,
+       CAST((MAX(window_idx) + 1) * 1000 AS BIGINT) AS end_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST((SUM(rms_tt) * 1000) // (COUNT(*) * 10000) AS BIGINT)
+         AS mean_rms_milli
+FROM seg
+GROUP BY asset_id, segment_id
+ORDER BY asset_id, segment_id
+"""
+
+
+@query("multimodal_audio_vad_segments", oracle=AUDIO_VAD_ORACLE)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation: merge consecutive high-energy
+    audio windows (RMS ≥ 0.5) into contiguous speech segments with
+    bounds and mean energy — the gaps-and-islands fold every
+    speech-data curation pipeline runs between 'window the audio'
+    and 'transcribe the active spans' (silence never reaches the
+    expensive model).
+
+    The window ENERGY comes from the deterministic stub
+    (operators/multimodal.sample_audio_windows; real WAV payloads
+    take the true PCM path) — the VAD logic itself (threshold, lag-
+    based island break, cumulative segment ids, per-segment fold) is
+    the production shape and is what the oracle pins. Energies are
+    exact ten-thousandths, so the segment mean is INTEGER floor
+    division — no float aggregation anywhere.
+
+    Scale: mapInPandas expansion is map-only; the island windows
+    partition on asset_id over the unique window_idx (total order);
+    segments fold at (asset, segment) grain. Nothing global.
+    """
+    from taps_spark.operators.multimodal import sample_audio_windows
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = synthesize_assets(docs).filter(F.col("modality") == "audio")
+    win = sample_audio_windows(assets, window_ms=1000, max_windows=8)
+    from pyspark.sql import Window
+
+    r = win.select(
+        "asset_id", "window_idx",
+        F.round(F.col("rms") * 10000).cast("long").alias("rms_tt"),
+    )
+    act = r.filter(F.col("rms_tt") >= 5000)
+    wspec = Window.partitionBy("asset_id").orderBy("window_idx")
+    brk = act.select(
+        "asset_id", "window_idx", "rms_tt",
+        F.when(
+            F.lag("window_idx").over(wspec).isNull()
+            | (F.col("window_idx") - F.lag("window_idx").over(wspec) > 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    seg = brk.select(
+        "asset_id", "window_idx", "rms_tt",
+        F.sum("b").over(wspec).alias("segment_id"),
+    )
+    return (
+        seg.groupBy("asset_id", "segment_id")
+        .agg(
+            (F.min("window_idx").cast("long") * 1000).alias("start_ms"),
+            ((F.max("window_idx") + 1).cast("long") * 1000).alias("end_ms"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.expr("(SUM(rms_tt) * 1000) div (COUNT(*) * 10000)").alias(
+                "mean_rms_milli"
+            ),
+        )
+        .select(
+            "asset_id",
+            F.col("segment_id").cast("int").alias("segment_id"),
+            "start_ms", "end_ms", "n_windows", "mean_rms_milli",
+        )
+        .orderBy("asset_id", "segment_id")
+    )
+
+
+RELEASE_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, source, MD5(text) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN MD5(UPPER(text)) ELSE MD5(text) END AS h
+  FROM documents
+),
+j AS (
+  SELECT COALESCE(v2.source, v1.source) AS source,
+         CASE
+           WHEN v1.doc_id IS NULL THEN 'added'
+           WHEN v2.doc_id IS NULL THEN 'removed'
+           WHEN v1.h <> v2.h THEN 'changed'
+           ELSE 'unchanged'
+         END AS st
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_release_diff", oracle=RELEASE_DIFF_ORACLE)
+def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus diff: added / removed / changed /
+    unchanged document counts per source between two dataset
+    versions, keyed by doc_id with content compared by hash — the
+    audit every dataset release ships next to its fingerprint
+    (pipeline_release_fingerprint says WHAT a release is;
+    this says what MOVED between two of them).
+
+    The two versions are derived deterministically from the one
+    fixture (v1 drops every 7th doc, v2 rewrites every 5th) so the
+    diff logic — full outer join on the stable key, hash compare,
+    4-way classification, source-grain fold — is oracle-pinned
+    end-to-end; against real releases only the two scan sources
+    change.
+
+    Scale: ONE full outer hash join on the stable doc key (both
+    sides shuffle-partitioned on it — at 100 TB both releases would
+    be stored bucketed by doc_id making the join exchange-free),
+    then a map-side-combined source-grain fold. Content never moves
+    — only (id, source, hash) triples.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id1"), F.col("source").alias("src1"),
+        F.md5("text").alias("h1"),
+    )
+    v2 = docs.select(
+        F.col("doc_id").alias("id2"), F.col("source").alias("src2"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.md5(F.upper(F.col("text")))
+        ).otherwise(F.md5("text")).alias("h2"),
+    )
+    j = v1.join(v2, F.col("id1") == F.col("id2"), "full_outer").select(
+        F.coalesce(F.col("src2"), F.col("src1")).alias("source"),
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("st"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum((F.col("st") == "added").cast("int")).cast("long").alias("n_added"),
+            F.sum((F.col("st") == "removed").cast("int")).cast("long").alias("n_removed"),
+            F.sum((F.col("st") == "changed").cast("int")).cast("long").alias("n_changed"),
+            F.sum((F.col("st") == "unchanged").cast("int")).cast("long").alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
