@@ -76,6 +76,10 @@ HEADLINE = [
     # Round-9 additions (appended — prior keys stay stable).
     "stats_kendall_tau",
     "layout_zorder_effectiveness",
+    # Round-9 continued-session additions (appended — prior keys stay
+    # stable): the two heaviest newcomers by sf0.1 wall time.
+    "graph_bfs_hops",
+    "text_collocations_pmi",
 ]
 
 

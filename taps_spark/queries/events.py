@@ -3172,3 +3172,108 @@ def events_velocity_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+FUNNEL_TIME_BOUNDED_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) >= s.s_us
+    AND epoch_us(e.ts) < s.s_us + 7 * 86400000000
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= c.c_us
+    AND epoch_us(e.ts) < c.c_us + 7 * 86400000000
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n3
+)
+SELECT 1 AS stage, 'signup' AS event_type, n1 AS n_users,
+       CAST(1000000 AS BIGINT) AS conv_from_prev_ppm FROM counts
+UNION ALL
+SELECT 2, 'click_7d', n2, CAST((n2 * 1000000) // n1 AS BIGINT) FROM counts
+UNION ALL
+SELECT 3, 'purchase_7d', n3, CAST((n3 * 1000000) // n2 AS BIGINT) FROM counts
+ORDER BY stage
+"""
+
+
+@query("events_funnel_time_bounded", oracle=FUNNEL_TIME_BOUNDED_ORACLE)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: signup → first click within
+    7 days → first purchase within 7 days OF THAT CLICK, with exact
+    per-stage conversion ppm — the funnel product analytics actually
+    ships (events_funnel's unbounded variant counts a purchase two
+    years later as converted; bounded windows measure the campaign).
+
+    Each stage is one user-grain MIN aggregate joined to the
+    previous stage's anchor time — the anchor CHAINS (the purchase
+    window opens at the click, not the signup), which is the part a
+    windowed-join formulation gets wrong. Conversions are exact
+    integer floor-division ppm.
+
+    Scale: three user-grain aggregations sharing ONE user_id
+    exchange shape + two user-grain joins; the result is 3 rows.
+    No window function, no corpus-grain frame.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day7 = 7 * 86400000000
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    c = (
+        ev.join(s, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (us >= F.col("s_us"))
+            & (us < F.col("s_us") + day7)
+        )
+        .groupBy("user_id")
+        .agg(F.min(us).alias("c_us"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (us >= F.col("c_us"))
+            & (us < F.col("c_us") + day7)
+        )
+        .groupBy("user_id")
+        .agg(F.min(us).alias("p_us"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n2"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n3"))))
+    )
+    stage = lambda num, name, n, prev: counts.select(  # noqa: E731
+        F.lit(num).alias("stage"),
+        F.lit(name).alias("event_type"),
+        F.col(n).alias("n_users"),
+        (
+            F.lit(1000000).cast("long")
+            if prev is None
+            else F.expr(f"({n} * 1000000) div {prev}")
+        ).alias("conv_from_prev_ppm"),
+    )
+    return (
+        stage(1, "signup", "n1", None)
+        .unionByName(stage(2, "click_7d", "n2", "n1"))
+        .unionByName(stage(3, "purchase_7d", "n3", "n2"))
+        .orderBy("stage")
+    )

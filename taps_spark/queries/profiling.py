@@ -3434,3 +3434,85 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qv").cast("long").alias("psi_term_nano"),
     ).select(F.lit(-1).cast("int").alias("bin"), "n_base", "n_curr", "psi_term_nano")
     return rows.unionByName(glob).orderBy("bin")
+
+
+WEIGHTED_DECILES_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+vc AS (
+  SELECT grp, cents, CAST(SUM(w) AS BIGINT) AS w FROM v GROUP BY grp, cents
+),
+cum AS (
+  SELECT grp, cents, SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS cumw
+  FROM vc
+),
+tw AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS total_w FROM vc GROUP BY grp),
+ks AS (SELECT unnest(range(1, 10)) AS k)
+SELECT cum.grp, CAST(ks.k AS INT) AS decile,
+       CAST(MIN(cum.cents) AS BIGINT) AS cutpoint_cents,
+       CAST(MAX(tw.total_w) AS BIGINT) AS total_weight
+FROM cum
+JOIN tw ON tw.grp = cum.grp
+CROSS JOIN ks
+WHERE cum.cumw >= (tw.total_w * ks.k + 9) // 10
+GROUP BY cum.grp, ks.k
+ORDER BY cum.grp, decile
+"""
+
+
+@query("stats_weighted_deciles", oracle=WEIGHTED_DECILES_ORACLE)
+def stats_weighted_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted price deciles per return flag: the k/10
+    cutpoint is the smallest price whose cumulative UNIT WEIGHT
+    reaches ⌈W·k/10⌉ — what 'median price' actually means when each
+    line ships a different number of units (the unweighted
+    stats_exact_deciles answers a different question: the median
+    LINE). The construction is the general weighted-quantile
+    primitive (sample weights, token counts, byte sizes).
+
+    Determinism: weights and the price grid are exact integers; the
+    selection threshold is integer ceiling division; the cumulative
+    window is RANGE-framed over DISTINCT cents per group — no
+    row_number, no physical-order dependence anywhere.
+
+    Scale: the corpus collapses to (group, distinct-price) grain
+    FIRST (bounded by the price grid, not row count); the cumsum
+    runs per 3-partition group over that bounded frame; the 9
+    thresholds arrive by broadcast. Same shape at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    vc = v.groupBy("grp", "cents").agg(F.sum("w").alias("w"))
+    cum = vc.select(
+        "grp", "cents",
+        F.sum("w").over(Window.partitionBy("grp").orderBy("cents")).alias("cumw"),
+    )
+    tw = vc.groupBy("grp").agg(F.sum("w").alias("total_w"))
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    return (
+        cum.join(F.broadcast(tw), "grp")
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("cumw") >= F.expr("(total_w * k + 9) div 10"))
+        .groupBy("grp", "k")
+        .agg(
+            F.min("cents").alias("cutpoint_cents"),
+            F.max("total_w").alias("total_weight"),
+        )
+        .select(
+            "grp",
+            F.col("k").cast("int").alias("decile"),
+            "cutpoint_cents",
+            "total_weight",
+        )
+        .orderBy("grp", "decile")
+    )
