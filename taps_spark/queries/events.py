@@ -3277,3 +3277,60 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "purchase_7d", "n3", "n2"))
         .orderBy("stage")
     )
+
+
+OUTAGE_WINDOWS_ORACLE = """
+WITH m AS (
+  SELECT DISTINCT epoch_us(ts) // 60000000 AS minute FROM events
+),
+g AS (
+  SELECT minute,
+         LAG(minute) OVER (ORDER BY minute) AS prev_minute
+  FROM m
+)
+SELECT CAST(prev_minute + 1 AS BIGINT) AS gap_start_minute,
+       CAST(minute - 1 AS BIGINT) AS gap_end_minute,
+       CAST(minute - prev_minute - 1 AS BIGINT) AS gap_minutes
+FROM g
+WHERE prev_minute IS NOT NULL AND minute - prev_minute - 1 >= 30
+ORDER BY gap_start_minute
+"""
+
+
+@query("events_outage_windows", oracle=OUTAGE_WINDOWS_ORACLE)
+def events_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage detection: intervals of ≥ 30 consecutive minutes with
+    ZERO events anywhere in the stream — the ops-side mirror of the
+    sessionizer (a gap in everyone's activity at once is a pipeline/
+    ingestion incident, not user behavior), and the data-quality
+    gate a freshness SLA monitors between batch loads.
+
+    Scale: the corpus collapses to DISTINCT active minutes first —
+    a calendar-bounded frame (≤ 43k rows/month regardless of event
+    volume; the hypertable law) — so the single lag window runs on
+    bounded data; the gap filter emits only the incident intervals.
+    One map-side distinct + one tiny window.
+
+    Determinism: minutes are exact integer epoch-quotients and
+    DISTINCT makes the lag key unique — a total order by
+    construction.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 60000000").alias("minute")
+    ).distinct()
+    g = m.select(
+        "minute", F.lag("minute").over(Window.orderBy("minute")).alias("prev_minute")
+    )
+    return (
+        g.filter(
+            F.col("prev_minute").isNotNull()
+            & (F.col("minute") - F.col("prev_minute") - 1 >= 30)
+        )
+        .select(
+            (F.col("prev_minute") + 1).alias("gap_start_minute"),
+            (F.col("minute") - 1).alias("gap_end_minute"),
+            (F.col("minute") - F.col("prev_minute") - 1).alias("gap_minutes"),
+        )
+        .orderBy("gap_start_minute")
+    )
