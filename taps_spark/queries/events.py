@@ -3334,3 +3334,109 @@ def events_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start_minute")
     )
+
+
+LIFECYCLE_ORACLE = """
+WITH um AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS m
+  FROM events
+),
+fm AS (SELECT user_id, MIN(m) AS first_m FROM um GROUP BY user_id),
+mx AS (SELECT MAX(m) AS max_m FROM um),
+cls AS (
+  SELECT um.user_id, um.m,
+         CASE
+           WHEN um.m = fm.first_m THEN 'new'
+           WHEN LAG(um.m) OVER (PARTITION BY um.user_id ORDER BY um.m)
+                = um.m - 1 THEN 'retained'
+           ELSE 'resurrected'
+         END AS st
+  FROM um JOIN fm ON fm.user_id = um.user_id
+),
+churn AS (
+  SELECT a.user_id, a.m + 1 AS m
+  FROM um a, mx
+  WHERE a.m + 1 <= mx.max_m
+    AND NOT EXISTS (
+      SELECT 1 FROM um b WHERE b.user_id = a.user_id AND b.m = a.m + 1
+    )
+),
+months AS (SELECT DISTINCT m FROM um)
+SELECT months.m AS week_index,
+       CAST(COALESCE(SUM(CASE WHEN cls.st = 'new' THEN 1 END), 0) AS BIGINT)
+         AS n_new,
+       CAST(COALESCE(SUM(CASE WHEN cls.st = 'retained' THEN 1 END), 0) AS BIGINT)
+         AS n_retained,
+       CAST(COALESCE(SUM(CASE WHEN cls.st = 'resurrected' THEN 1 END), 0) AS BIGINT)
+         AS n_resurrected,
+       CAST(COUNT(cls.user_id) AS BIGINT) AS n_active,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM churn WHERE churn.m = months.m)
+         AS n_churned
+FROM months LEFT JOIN cls ON cls.m = months.m
+GROUP BY months.m
+ORDER BY week_index
+"""
+
+
+@query("events_user_lifecycle_states", oracle=LIFECYCLE_ORACLE)
+def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting at WEEK grain: every week's active users
+    decomposed into NEW (first week ever), RETAINED (also active the
+    week before), and RESURRECTED (returned after a gap), plus the
+    week's CHURNED count (active last week, absent now) — the WAU
+    waterfall every growth team reports, and the pair to
+    events_retention_cohorts (cohorts slice by signup age; lifecycle
+    slices by state transitions). Week = epoch-microsecond div — a
+    calendar-free grain both engines share exactly.
+
+    Identity pinned by construction AND test: n_active = n_new +
+    n_retained + n_resurrected, and week-over-week,
+    active(w) = active(w−1) + new(w) + resurrected(w) − churned(w).
+
+    Scale: the corpus collapses to DISTINCT (user, week) grain in
+    one map-side pass; the state window partitions per user over
+    unique weeks (total order); churn is a key-shifted anti-join
+    on the same grain. Everything after the first distinct runs on
+    user-week cardinality, not event volume.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    um = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000").alias("m"),
+    ).distinct()
+    fm = um.groupBy("user_id").agg(F.min("m").alias("first_m"))
+    mx = um.agg(F.max("m").alias("max_m"))
+    wu = Window.partitionBy("user_id").orderBy("m")
+    cls = (
+        um.join(fm, "user_id")
+        .select(
+            "user_id", "m",
+            F.when(F.col("m") == F.col("first_m"), F.lit("new"))
+            .when(F.lag("m").over(wu) == F.col("m") - 1, F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("st"),
+        )
+    )
+    churn = (
+        um.crossJoin(F.broadcast(mx))
+        .filter(F.col("m") + 1 <= F.col("max_m"))
+        .select("user_id", (F.col("m") + 1).alias("m"))
+        .join(um, ["user_id", "m"], "left_anti")
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    per_month = cls.groupBy("m").agg(
+        F.sum((F.col("st") == "new").cast("int")).cast("long").alias("n_new"),
+        F.sum((F.col("st") == "retained").cast("int")).cast("long").alias("n_retained"),
+        F.sum((F.col("st") == "resurrected").cast("int")).cast("long").alias("n_resurrected"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    return (
+        per_month.join(churn, "m", "left")
+        .select(
+            F.col("m").alias("week_index"),
+            "n_new", "n_retained", "n_resurrected", "n_active",
+            F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("week_index")
+    )

@@ -186,3 +186,20 @@ def test_dp_release_noise_is_centered_and_bounded(spark, sf_dir):
         assert abs(r["noise_milli"]) < 20_000
         assert r["released_milli"] - r["n_true"] * 1000 == r["noise_milli"]
         assert r["epsilon_micro"] == 1_000_000
+
+
+def test_lifecycle_growth_accounting_identity(spark, sf_dir):
+    rows = sorted(
+        _rows("events_user_lifecycle_states", spark, sf_dir),
+        key=lambda r: r["week_index"],
+    )
+    prev = None
+    for r in rows:
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        if prev is not None and r["week_index"] == prev["week_index"] + 1:
+            # MAU waterfall: active(m) = active(m-1) + new + resurrected - churned
+            assert (
+                r["n_active"]
+                == prev["n_active"] + r["n_new"] + r["n_resurrected"] - r["n_churned"]
+            )
+        prev = r
