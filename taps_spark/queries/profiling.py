@@ -3516,3 +3516,154 @@ def stats_weighted_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "decile")
     )
+
+
+PERMUTATION_TEST_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+         CAST(('0x' || SUBSTRING(MD5(
+             CAST(l_orderkey AS VARCHAR) || '-' ||
+             CAST(l_partkey AS VARCHAR) || '-' ||
+             CAST(l_suppkey AS VARCHAR) || '|perm9'), 1, 15)) AS BIGINT) AS h
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+bs AS (SELECT unnest(range(0, 20)) AS b),
+per AS (
+  SELECT bs.b,
+         CAST(SUM(CASE WHEN (v.h >> bs.b) & 1 = 1 THEN v.cents END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN (v.h >> bs.b) & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(v.cents) AS BIGINT) AS st,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM v CROSS JOIN bs
+  GROUP BY bs.b
+),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN grp = 1 THEN cents END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(cents) AS BIGINT) AS st,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM v
+),
+pd AS (
+  SELECT b,
+         CAST(FLOOR((CAST(s1 AS DOUBLE) / n1
+                     - CAST(st - s1 AS DOUBLE) / (nt - n1)) * 10 + 0.5)
+              AS BIGINT) AS diff_milli
+  FROM per
+),
+od AS (
+  SELECT CAST(FLOOR((CAST(s1 AS DOUBLE) / n1
+                     - CAST(st - s1 AS DOUBLE) / (nt - n1)) * 10 + 0.5)
+              AS BIGINT) AS diff_milli
+  FROM obs
+)
+SELECT CAST(pd.b AS INT) AS b, pd.diff_milli,
+       ABS(pd.diff_milli) >= ABS(od.diff_milli) AS is_extreme
+FROM pd, od
+UNION ALL
+SELECT -1, od.diff_milli,
+       (SELECT COUNT(*) FROM pd WHERE ABS(pd.diff_milli) >= ABS(od.diff_milli))
+         >= 1
+FROM od
+ORDER BY b
+"""
+
+
+@query("stats_permutation_test", oracle=PERMUTATION_TEST_ORACLE)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the R-vs-N mean price difference: 20
+    deterministic pseudo-permutations relabel the pooled sample by
+    the BITS of one keyed hash per row, and the observed difference
+    (the b=-1 row) is compared against the permutation distribution
+    — the distribution-free significance check that needs NO
+    parametric assumption (companion to stats_welch_ttest, which
+    assumes normal-ish tails).
+
+    One MD5 per row yields all 20 relabelings (bit b = permutation
+    b), so the whole distribution costs ONE scan with 20 conditional
+    integer sums — map-side combined, no shuffle growth with B. The
+    hash key is the 3-column grain FIXTURES.md records as unique
+    (the 2-column 'PK' is not). Means derive from exact BIGINT sums;
+    milli-diffs are fixed IEEE chains.
+
+    Scale: B permutations cost B aggregate COLUMNS, not B scans —
+    the canonical trick for resampling on a cluster (same shape as
+    stats_bootstrap_ci). Output is 21 rows.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").cast("int").alias("grp"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("-"),
+                        F.col("l_partkey").cast("string"),
+                        F.lit("-"),
+                        F.col("l_suppkey").cast("string"),
+                        F.lit("|perm9"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    bs = spark.range(0, 20).select(F.col("id").cast("int").alias("b"))
+    per = (
+        v.crossJoin(F.broadcast(bs))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1 = 1"), F.col("cents"))
+            ).alias("s1"),
+            F.sum(F.expr("CAST((h >> b) & 1 = 1 AS INT)")).alias("n1"),
+            F.sum("cents").alias("st"),
+            F.count(F.lit(1)).alias("nt"),
+        )
+    )
+    obs = v.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("cents"))).alias("s1"),
+        F.sum("grp").alias("n1"),
+        F.sum("cents").alias("st"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    dmilli = lambda df: F.floor(  # noqa: E731
+        (
+            F.col("s1").cast("double") / F.col("n1")
+            - (F.col("st") - F.col("s1")).cast("double")
+            / (F.col("nt") - F.col("n1"))
+        )
+        * 10
+        + F.lit(0.5)
+    ).cast("long")
+    pd_ = per.select("b", dmilli(per).alias("diff_milli"))
+    od = obs.select(dmilli(obs).alias("obs_milli"))
+    rows = pd_.crossJoin(F.broadcast(od)).select(
+        F.col("b").cast("int").alias("b"),
+        "diff_milli",
+        (F.abs(F.col("diff_milli")) >= F.abs(F.col("obs_milli"))).alias(
+            "is_extreme"
+        ),
+    )
+    n_ext = (
+        pd_.crossJoin(F.broadcast(od))
+        .agg(
+            F.sum(
+                (F.abs(F.col("diff_milli")) >= F.abs(F.col("obs_milli"))).cast(
+                    "int"
+                )
+            ).alias("ne")
+        )
+    )
+    glob = od.crossJoin(F.broadcast(n_ext)).select(
+        F.lit(-1).cast("int").alias("b"),
+        F.col("obs_milli").alias("diff_milli"),
+        (F.col("ne") >= 1).alias("is_extreme"),
+    )
+    return rows.unionByName(glob).orderBy("b")
