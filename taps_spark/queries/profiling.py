@@ -3614,18 +3614,22 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long").alias("h"),
     )
-    bs = spark.range(0, 20).select(F.col("id").cast("int").alias("b"))
-    per = (
-        v.crossJoin(F.broadcast(bs))
-        .groupBy("b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> b) & 1 = 1"), F.col("cents"))
-            ).alias("s1"),
-            F.sum(F.expr("CAST((h >> b) & 1 = 1 AS INT)")).alias("n1"),
-            F.sum("cents").alias("st"),
-            F.count(F.lit(1)).alias("nt"),
-        )
+    # ONE ungrouped aggregate with a conditional-sum column PAIR per
+    # permutation — the 20-row crossJoin formulation expanded every
+    # input row 20x before combining (measured 152 s at synthetic sf1,
+    # alpha 0.95); this shape keeps the scan single-width and unpivots
+    # the 1x42 result afterwards.
+    aggs = []
+    for b in range(20):
+        bit = F.expr(f"(h >> {b}) & 1 = 1")
+        aggs.append(F.sum(F.when(bit, F.col("cents"))).alias(f"s1_{b}"))
+        aggs.append(F.sum(bit.cast("int")).alias(f"n1_{b}"))
+    wide = v.agg(
+        *aggs, F.sum("cents").alias("st"), F.count(F.lit(1)).alias("nt")
+    )
+    stack_args = ", ".join(f"{b}, s1_{b}, n1_{b}" for b in range(20))
+    per = wide.select(
+        F.expr(f"stack(20, {stack_args}) AS (b, s1, n1)"), "st", "nt"
     )
     obs = v.agg(
         F.sum(F.when(F.col("grp") == 1, F.col("cents"))).alias("s1"),

@@ -190,7 +190,41 @@ def main() -> int:
         .parquet(os.path.join(out, "orders.parquet"))
     )
 
-    for t in ("documents", "embeddings", "lineitem", "events", "orders"):
+    # customer / part: offset the PK per replica — N disjoint entity
+    # books (the profiling family's FD/key/MI audits read these; the
+    # non-key attribute columns ride along so per-replica cardinality
+    # ratios and dependency structure are preserved exactly).
+    cu = spark.read.parquet(os.path.join(src, "customer.parquet"))
+    cmax = cu.agg(F.max("c_custkey")).collect()[0][0]
+    (
+        cu.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("c_custkey") + F.col("rep").cast("long") * (cmax + 1)).alias(
+                "c_custkey"
+            ),
+            *[c for c in cu.columns if c != "c_custkey"],
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "customer.parquet"))
+    )
+    pa = spark.read.parquet(os.path.join(src, "part.parquet"))
+    pmax = pa.agg(F.max("p_partkey")).collect()[0][0]
+    (
+        pa.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("p_partkey") + F.col("rep").cast("long") * (pmax + 1)).alias(
+                "p_partkey"
+            ),
+            *[c for c in pa.columns if c != "p_partkey"],
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "part.parquet"))
+    )
+
+    for t in ("documents", "embeddings", "lineitem", "events", "orders",
+              "customer", "part"):
         c = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         print(f"{t}: {c} rows")
     return 0
