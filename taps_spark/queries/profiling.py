@@ -3671,3 +3671,273 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ne") >= 1).alias("is_extreme"),
     )
     return rows.unionByName(glob).orderBy("b")
+
+
+_OUTLIER_COLS = (
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_quantity"),
+    ("customer", "c_acctbal"),
+    ("supplier", "s_acctbal"),
+    ("part", "p_retailprice"),
+)
+
+_OUTLIER_BRANCH = """
+SELECT '{tbl}' AS tbl, '{col}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN ABS(CAST(cents AS DOUBLE) - mu) > 3 * sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sigma3,
+       CAST(SUM(CASE WHEN cents < lo_fence OR cents > hi_fence
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr
+FROM (
+  SELECT v.cents, s.mu, s.sigma, q.lo_fence, q.hi_fence
+  FROM (SELECT CAST(ROUND({col} * 100) AS BIGINT) AS cents FROM {tbl}) v
+  CROSS JOIN (
+    SELECT CAST(SUM(c2.cents) AS DOUBLE) / COUNT(*) AS mu,
+           SQRT(CAST(SUM(CAST(c2.cents * c2.cents AS DECIMAL(38,0))) AS DOUBLE)
+                  / COUNT(*)
+                - (CAST(SUM(c2.cents) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(c2.cents) AS DOUBLE) / COUNT(*))) AS sigma
+    FROM (SELECT CAST(ROUND({col} * 100) AS BIGINT) AS cents FROM {tbl}) c2
+  ) s
+  CROSS JOIN (
+    SELECT CAST(q1 - (q3 - q1) * 3 // 2 AS BIGINT) AS lo_fence,
+           CAST(q3 + (q3 - q1) * 3 // 2 AS BIGINT) AS hi_fence
+    FROM (
+      SELECT MIN(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+             MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3
+      FROM (
+        SELECT cents, SUM(c) OVER (ORDER BY cents) AS cum, MAX(nn) OVER () AS n
+        FROM (
+          SELECT cents, COUNT(*) AS c, SUM(COUNT(*)) OVER () AS nn
+          FROM (SELECT CAST(ROUND({col} * 100) AS BIGINT) AS cents FROM {tbl})
+          GROUP BY cents
+        )
+      )
+    )
+  ) q
+)
+"""
+
+OUTLIER_CENSUS_ORACLE = (
+    "\nUNION ALL\n".join(
+        _OUTLIER_BRANCH.format(tbl=t, col=c) for t, c in _OUTLIER_COLS
+    )
+    + "\nORDER BY tbl, col_name"
+)
+
+
+@query("profile_outlier_census", oracle=OUTLIER_CENSUS_ORACLE)
+def profile_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier census for every numeric money/quantity column: counts
+    beyond ±3σ AND outside Tukey fences (1.5×IQR past the exact
+    quartiles) — the two standard screens a column profiler reports
+    side by side, because they disagree exactly where it matters
+    (σ is inflated by the outliers it hunts; fences are robust).
+
+    Exact: moments from integer-cents sums (Σx BIGINT, Σx²
+    DECIMAL(38,0)); quartiles selected by aggregation over the
+    distinct-cents cumulative frame (the stats_levene_bf median law,
+    generalized to arbitrary rank ⌈n·k/4⌉); both thresholds then
+    compare on integer cents (fences) or one fixed double chain
+    (σ rule).
+
+    Scale: per column, one moment pass + one distinct-cents pass +
+    one counting pass with the two scalar thresholds broadcast —
+    all map-side-combined aggregates; the quantile frame is bounded
+    by the value grid.
+    """
+    from pyspark.sql import Window
+
+    tabs = load_tables(
+        spark, sf_dir, ("orders", "lineitem", "customer", "supplier", "part")
+    )
+    branches = []
+    for tbl, col in _OUTLIER_COLS:
+        v = tabs[tbl].select(
+            F.round(F.col(col) * 100).cast("long").alias("cents")
+        )
+        s = v.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
+        ).select(
+            (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s1").cast("double") / F.col("n"))
+                * (F.col("s1").cast("double") / F.col("n"))
+            ).alias("sigma"),
+        )
+        vc = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+        cum = vc.select(
+            "cents",
+            F.sum("c").over(Window.orderBy("cents")).alias("cum"),
+            F.sum("c").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        q = cum.agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("cents"))
+            ).alias("q1"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("cents"))
+            ).alias("q3"),
+        ).select(
+            F.expr("CAST(q1 - (q3 - q1) * 3 div 2 AS BIGINT)").alias("lo_fence"),
+            F.expr("CAST(q3 + (q3 - q1) * 3 div 2 AS BIGINT)").alias("hi_fence"),
+        )
+        j = v.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(q))
+        branches.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    (
+                        F.abs(F.col("cents").cast("double") - F.col("mu"))
+                        > 3 * F.col("sigma")
+                    ).cast("int")
+                ).cast("long").alias("n_sigma3"),
+                F.sum(
+                    (
+                        (F.col("cents") < F.col("lo_fence"))
+                        | (F.col("cents") > F.col("hi_fence"))
+                    ).cast("int")
+                ).cast("long").alias("n_iqr"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col_name"),
+                "n_rows",
+                "n_sigma3",
+                "n_iqr",
+            )
+        )
+    b = branches[0]
+    for extra in branches[1:]:
+        b = b.unionByName(extra)
+    return b.orderBy("tbl", "col_name")
+
+
+SAMPLED_ESTIMATE_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         CAST(('0x' || SUBSTRING(MD5(
+             CAST(l_orderkey AS VARCHAR) || '-' ||
+             CAST(l_partkey AS VARCHAR) || '-' ||
+             CAST(l_suppkey AS VARCHAR) || '|aqp9'), 1, 15)) AS BIGINT) % 100
+           AS bucket
+  FROM lineitem
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+         SUM(CAST(cents AS DECIMAL(38,0))) AS exact_total
+  FROM v
+),
+sm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         SUM(CAST(cents * cents AS DECIMAL(38,0))) AS s2
+  FROM v WHERE bucket = 0
+),
+t AS (
+  SELECT ex.n_pop, sm.n_sample,
+         CAST(ex.exact_total AS BIGINT) AS exact_total_cents,
+         CAST(sm.s1 AS DOUBLE) * 100 AS est,
+         SQRT(CAST(sm.s2 AS DOUBLE) * 0.99 * 10000) AS hw_raw,
+         CAST(ex.exact_total AS DOUBLE) AS exd
+  FROM ex, sm
+)
+SELECT n_pop, n_sample, exact_total_cents,
+       CAST(FLOOR(est + 0.5) AS BIGINT) AS est_total_cents,
+       CAST(FLOOR(ABS(est - exd) / exd * 1000000 + 0.5) AS BIGINT) AS err_ppm,
+       CAST(FLOOR(1.96 * hw_raw + 0.5) AS BIGINT) AS ci95_halfwidth_cents,
+       ABS(est - exd) <= 1.96 * hw_raw AS within_ci
+FROM t
+"""
+
+
+@query("agg_sampled_estimate_ci", oracle=SAMPLED_ESTIMATE_ORACLE)
+def agg_sampled_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: estimate total discounted
+    revenue from a 1% deterministic hash sample with a
+    Horvitz–Thompson 95% confidence interval, and audit it against
+    the exact total — the AQP pattern that answers a 100 TB SUM by
+    scanning 1 TB (sample stored as its own partition/table in
+    production; the estimator and CI are what make the shortcut
+    honest). The deterministic bucket (keyed MD5 mod 100 on the
+    unique 3-column grain) makes the 'random' sample replayable and
+    oracle-checkable.
+
+    HT under Bernoulli(p=1/100): est = Σ_s x/p; Var ≈ (1−p)/p² Σ_s x²
+    → halfwidth = 1.96·√(0.99·10⁴·Σ_s x²). All sums exact (BIGINT /
+    DECIMAL(38,0)); the estimate/CI are fixed IEEE chains from those
+    integers.
+
+    Scale: TWO aggregates over one scan (the exact side exists only
+    for the audit; a production AQP query runs just the sample-side
+    aggregate over the 1% partition). No shuffle beyond scalar
+    partials, no window, no join.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("-"),
+                            F.col("l_partkey").cast("string"),
+                            F.lit("-"),
+                            F.col("l_suppkey").cast("string"),
+                            F.lit("|aqp9"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    ex = v.agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("exact_total"),
+    )
+    sm = v.filter(F.col("bucket") == 0).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum("cents").alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
+    )
+    t = ex.crossJoin(F.broadcast(sm)).select(
+        "n_pop",
+        "n_sample",
+        F.col("exact_total").cast("long").alias("exact_total_cents"),
+        (F.col("s1").cast("double") * 100).alias("est"),
+        F.sqrt(F.col("s2").cast("double") * 0.99 * 10000).alias("hw_raw"),
+        F.col("exact_total").cast("double").alias("exd"),
+    )
+    return t.select(
+        "n_pop", "n_sample", "exact_total_cents",
+        F.floor(F.col("est") + F.lit(0.5)).cast("long").alias("est_total_cents"),
+        F.floor(
+            F.abs(F.col("est") - F.col("exd")) / F.col("exd") * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("err_ppm"),
+        F.floor(1.96 * F.col("hw_raw") + F.lit(0.5))
+        .cast("long")
+        .alias("ci95_halfwidth_cents"),
+        (
+            F.abs(F.col("est") - F.col("exd")) <= 1.96 * F.col("hw_raw")
+        ).alias("within_ci"),
+    )
