@@ -3440,3 +3440,235 @@ def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_index")
     )
+
+
+EXPFIT_GOF_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+fit AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s
+  FROM gg GROUP BY event_type
+),
+ks AS (SELECT unnest(range(1, 10)) AS k),
+edges AS (
+  SELECT fit.event_type,
+         ks.k,
+         -LN(1.0 - ks.k / 10.0) * (CAST(fit.s AS DOUBLE) / fit.n) AS edge
+  FROM fit CROSS JOIN ks
+),
+binned AS (
+  SELECT gg.event_type,
+         (SELECT COUNT(*) FROM edges e
+          WHERE e.event_type = gg.event_type
+            AND CAST(gg.gap AS DOUBLE) > e.edge) AS bin
+  FROM gg
+),
+oc AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS o
+  FROM binned GROUP BY event_type, bin
+),
+chi AS (
+  SELECT fit.event_type, fit.n,
+         SUM(CAST(FLOOR((CAST(oc.o AS DOUBLE) - fit.n / 10.0)
+                        * (CAST(oc.o AS DOUBLE) - fit.n / 10.0)
+                        / (fit.n / 10.0) * 1000000000 + 0.5)
+                  AS DECIMAL(38,0))) AS q
+  FROM fit JOIN oc ON oc.event_type = fit.event_type
+  GROUP BY fit.event_type, fit.n
+)
+SELECT chi.event_type, chi.n AS n_gaps,
+       CAST(FLOOR(CAST(fit.s AS DOUBLE) / fit.n + 0.5) AS BIGINT)
+         AS mean_gap_us,
+       CAST(FLOOR((CAST(chi.q AS DOUBLE) / 1000000000) * 10000 + 0.5)
+            AS BIGINT) AS chi2_x10k
+FROM chi JOIN fit ON fit.event_type = chi.event_type
+ORDER BY chi.event_type
+"""
+
+
+@query("events_expfit_gof", oracle=EXPFIT_GOF_ORACLE)
+def events_expfit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric fit + goodness-of-fit: fit Exp(λ) to each event
+    type's same-user inter-arrival gaps by MLE (λ̂ = n/Σgap), bin the
+    gaps at the FITTED distribution's own deciles, and report the
+    chi-square distance from the uniform 10% expected occupancy —
+    the 'is this process actually Poisson' check behind capacity
+    models and anomaly baselines (a big χ² says bursts/heavy tails;
+    events_interarrival_stats gives moments, this tests the model).
+
+    Determinism: gaps are exact integer micros over the
+    FIXTURES-safe total order; decile edges are one fixed chain per
+    (type, k) from exact n/Σ; per-bin χ² terms nano-quantize into a
+    DECIMAL sum. The lag window partitions per user (the
+    sessionizer exchange).
+
+    Scale: one user-partitioned window + a type-grain fit + a
+    9-row-per-type broadcast comparison + a (type, bin) fold —
+    nothing wider than |types|×10 after the gap scan.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(wu)).alias("gap")
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    fit = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("gap").alias("s")
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    edges = fit.crossJoin(F.broadcast(ks)).select(
+        "event_type", "k",
+        (
+            -F.log(F.lit(1.0) - F.col("k") / F.lit(10.0))
+            * (F.col("s").cast("double") / F.col("n"))
+        ).alias("edge"),
+    )
+    # Bin at DISTINCT (type, gap) grain (bounded by the gap-value
+    # grid), weighted by multiplicity — binning raw rows against the
+    # 9-edge broadcast would duplicate every row 9x first.
+    gd = g.groupBy("event_type", "gap").agg(F.count(F.lit(1)).alias("m"))
+    binned = (
+        gd.join(F.broadcast(edges.select("event_type", "edge")), "event_type")
+        .select(
+            "event_type", "gap", "m",
+            (F.col("gap").cast("double") > F.col("edge")).cast("int").alias("gt"),
+        )
+        .groupBy("event_type", "gap", "m")
+        .agg(F.sum("gt").alias("bin"))
+    )
+    oc = binned.groupBy("event_type", "bin").agg(F.sum("m").alias("o"))
+    nd = F.col("n").cast("double")
+    chi = (
+        fit.join(oc, "event_type")
+        .select(
+            "event_type", "n", "s",
+            F.floor(
+                (F.col("o").cast("double") - nd / 10.0)
+                * (F.col("o").cast("double") - nd / 10.0)
+                / (nd / 10.0)
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("decimal(38,0)")
+            .alias("qv"),
+        )
+        .groupBy("event_type", "n", "s")
+        .agg(F.sum("qv").alias("q"))
+    )
+    return chi.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("mean_gap_us"),
+        F.floor((F.col("q").cast("double") / 1000000000) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("chi2_x10k"),
+    ).orderBy("event_type")
+
+
+SEASONALITY_STRENGTH_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour_utc,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         SUM(CAST(c * c AS DECIMAL(38,0))) AS s2
+  FROM cells GROUP BY event_type
+),
+hr AS (
+  SELECT event_type, hour_utc, CAST(COUNT(*) AS BIGINT) AS nh,
+         CAST(SUM(c) AS BIGINT) AS sh
+  FROM cells GROUP BY event_type, hour_utc
+),
+ssb AS (
+  SELECT hr.event_type,
+         SUM(CAST(FLOOR((CAST(hr.sh AS DOUBLE) * hr.sh / hr.nh)
+                        * 1000 + 0.5) AS DECIMAL(38,0))) AS bterm
+  FROM hr GROUP BY hr.event_type
+)
+SELECT tot.event_type, tot.n_cells,
+       CAST(FLOOR(((CAST(ssb.bterm AS DOUBLE) / 1000
+                    - CAST(tot.s1 AS DOUBLE) * tot.s1 / tot.n_cells)
+                   / (CAST(tot.s2 AS DOUBLE)
+                      - CAST(tot.s1 AS DOUBLE) * tot.s1 / tot.n_cells))
+                  * 1000000 + 0.5) AS BIGINT) AS seasonality_ppm
+FROM tot JOIN ssb ON ssb.event_type = tot.event_type
+ORDER BY tot.event_type
+"""
+
+
+@query("events_seasonality_strength", oracle=SEASONALITY_STRENGTH_ORACLE)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type: the fraction
+    of hourly-count variance explained by hour-of-day (between-hour
+    sum of squares over total, i.e. the eta-squared of a one-way
+    layout on the 24 hour groups) — near 1 means a strong daily
+    cycle a forecaster must model, near 0 means the load is
+    hour-stationary (events_weekly_heatmap SHOWS the cycle; this
+    gives the one-number effect size).
+
+    Determinism: counting happens at (type, day, hour) CELL grain
+    (exact integers); per-hour Σ²/n terms are fixed chains milli-
+    quantized into a DECIMAL sum (24 terms, unordered); the final
+    ratio is one chain per type row.
+
+    Scale: the corpus collapses to calendar-bounded cells map-side;
+    everything after is |types|×24 arithmetic. No window at all.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        F.expr(
+            "cast((unix_micros(cast(ts as timestamp)) div 3600000000) % 24 as int)"
+        ).alias("hour_utc"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("c").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+    )
+    hr = cells.groupBy("event_type", "hour_utc").agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("c").alias("sh")
+    )
+    ssb = hr.select(
+        "event_type",
+        F.floor(
+            (F.col("sh").cast("double") * F.col("sh") / F.col("nh")) * 1000
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("bterm"),
+    ).groupBy("event_type").agg(F.sum("bterm").alias("bterm"))
+    num = (
+        F.col("bterm").cast("double") / 1000
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_cells")
+    )
+    den = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_cells")
+    )
+    return (
+        tot.join(ssb, "event_type")
+        .select(
+            "event_type",
+            "n_cells",
+            F.floor(num / den * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("seasonality_ppm"),
+        )
+        .orderBy("event_type")
+    )
