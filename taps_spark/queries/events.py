@@ -3672,3 +3672,102 @@ def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+TYPE_MINUTE_CORR_ORACLE = """
+WITH cells AS (
+  SELECT epoch_us(ts) // 60000000 AS minute, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+minutes AS (SELECT DISTINCT minute FROM cells),
+types AS (SELECT DISTINCT event_type FROM cells),
+grid AS (
+  SELECT m.minute, t.event_type, COALESCE(cells.c, 0) AS c
+  FROM minutes m CROSS JOIN types t
+  LEFT JOIN cells ON cells.minute = m.minute
+                 AND cells.event_type = t.event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.c) AS BIGINT) AS sa,
+         CAST(SUM(b.c) AS BIGINT) AS sb,
+         SUM(CAST(a.c * a.c AS DECIMAL(38,0))) AS qa,
+         SUM(CAST(b.c * b.c AS DECIMAL(38,0))) AS qb,
+         SUM(CAST(a.c * b.c AS DECIMAL(38,0))) AS sab
+  FROM grid a JOIN grid b
+    ON a.minute = b.minute AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n AS n_minutes,
+       CAST(FLOOR((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n)
+                  / SQRT((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n)
+                         * (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n))
+                  * 1000000 + 0.5) AS BIGINT) AS pearson_ppm
+FROM pairs
+ORDER BY type_a, type_b
+"""
+
+
+@query("events_type_minute_correlation", oracle=TYPE_MINUTE_CORR_ORACLE)
+def events_type_minute_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-stream correlation: Pearson correlation of per-MINUTE
+    counts between every pair of event types (zero-filled on the
+    shared minute grid) — the incident-analysis primitive ('do error
+    spikes co-move with purchase attempts?') and the cross-series
+    companion to events_autocorrelation.
+
+    Determinism: counts live on the (minute, type) integer grid,
+    zero-filled via the minute×type cross grid so absent cells
+    count as 0 (a correlation over only-joint-active minutes is a
+    different, biased statistic); Σx/Σx²/Σxy are exact
+    BIGINT/DECIMAL sums; one fixed chain per pair row.
+
+    Scale: the corpus collapses to calendar-bounded (minute, type)
+    cells map-side; the pair join runs on the minute key over that
+    bounded grid (|minutes|×|types|² worst case — calendar×25 here);
+    output is C(|types|,2) rows.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cells = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 60000000").alias("minute"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    minutes = cells.select("minute").distinct()
+    types = cells.select("event_type").distinct()
+    grid = (
+        minutes.crossJoin(F.broadcast(types))
+        .join(cells, ["minute", "event_type"], "left")
+        .select("minute", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = grid.select(
+        "minute", F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    b = grid.select(
+        "minute", F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "minute")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ca").alias("sa"),
+            F.sum("cb").alias("sb"),
+            F.sum((F.col("ca") * F.col("ca")).cast("decimal(38,0)")).alias("qa"),
+            F.sum((F.col("cb") * F.col("cb")).cast("decimal(38,0)")).alias("qb"),
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,0)")).alias("sab"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb") / nd
+    den = F.sqrt(
+        (F.col("qa").cast("double") - F.col("sa").cast("double") * F.col("sa") / nd)
+        * (F.col("qb").cast("double") - F.col("sb").cast("double") * F.col("sb") / nd)
+    )
+    return pairs.select(
+        "type_a", "type_b",
+        F.col("n").alias("n_minutes"),
+        F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("pearson_ppm"),
+    ).orderBy("type_a", "type_b")

@@ -604,3 +604,84 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+ASSORTATIVITY_ORACLE = "\nWITH " + COPURCHASE_EDGES_CTE + """,
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+-- each undirected edge contributes BOTH orientations (the standard
+-- symmetrized formulation, Newman 2002)
+de AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         SUM(CAST(dx * dx AS DECIMAL(38,0))) AS qx,
+         SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy
+  FROM de
+)
+SELECT n AS n_edge_ends,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       CAST(FLOOR((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                  / (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                  * 1000000 + 0.5) AS BIGINT) AS assortativity_ppm
+FROM m
+"""
+
+
+@query("graph_assortativity", oracle=ASSORTATIVITY_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the symmetrized
+    edge list — positive means hubs link to hubs (social-network
+    shape), negative means hubs link to leaves (hub-and-spoke /
+    technological shape). The one-number structural fingerprint that
+    tells a curation pipeline whether association clusters are
+    cliquish or star-like before it picks a community algorithm.
+
+    Symmetrization makes the x/y marginals identical, so r needs
+    only Σd, Σd², Σdxdy — exact BIGINT/DECIMAL sums over the edge
+    ends, one fixed IEEE chain for the ratio.
+
+    Scale: two degree-lookup joins on node id over the
+    support-thresholded edge list, then ONE scalar aggregate. No
+    window, nothing quadratic.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dxu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dyv"))
+    both = edges.join(du, "u").join(dv, "v")
+    de = both.select(
+        F.col("dxu").alias("dx"), F.col("dyv").alias("dy")
+    ).unionAll(both.select(F.col("dyv").alias("dx"), F.col("dxu").alias("dy")))
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("qx"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nd = F.col("n").cast("double")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    den = F.col("qx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    return m.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_edge_ends"),
+        "n_nodes",
+        F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias(
+            "assortativity_ppm"
+        ),
+    )

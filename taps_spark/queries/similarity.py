@@ -2069,3 +2069,82 @@ def similarity_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+RANGE_SEARCH_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.q_id, c.vec_id,
+         list_dot_product(q.q_vec, c.v)
+           / SQRT(list_dot_product(q.q_vec, q.q_vec)
+                  * list_dot_product(c.v, c.v)) AS cos
+  FROM q CROSS JOIN c
+  WHERE c.vec_id <> q.q_id
+)
+SELECT q_id,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN cos >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_030,
+       CAST(SUM(CASE WHEN cos >= 0.50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_050,
+       CAST(SUM(CASE WHEN cos >= 0.70 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_070,
+       CAST(MAX(CASE WHEN cos >= 0.30 THEN vec_id END) AS BIGINT)
+         AS max_id_within_030
+FROM s
+GROUP BY q_id
+ORDER BY q_id
+"""
+
+
+@query("similarity_range_search", oracle=RANGE_SEARCH_ORACLE)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: for each query vector, how many corpus
+    neighbors fall within cosine ≥ τ at three thresholds — the OTHER
+    vector-store query mode (top-k asks 'the best k whatever their
+    quality'; range asks 'everything above a quality bar', the
+    semantics dedup sweeps and recall-oriented retrieval actually
+    want). Reported as per-query occupancy so the result stays
+    result-bounded at any corpus size.
+
+    Scale: broadcast(8 queries) × one corpus scan with the cosine
+    fold in codegen; the per-query fold is map-side combined. At
+    100 TB the same query runs against LSH/IVF buckets
+    (similarity_ann_* machinery) with the radius as the verify
+    predicate — the brute scan here is the oracle-able baseline of
+    that plan.
+
+    Determinism: cosines are the TOPK_ORACLE IEEE chain; thresholds
+    compare exactly; counts are integers.
+    """
+    from taps_spark.operators.similarity import cosine
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    s = (
+        emb.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos"),
+        )
+    )
+    return (
+        s.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("cos") >= 0.30).cast("int")).cast("long").alias("n_within_030"),
+            F.sum((F.col("cos") >= 0.50).cast("int")).cast("long").alias("n_within_050"),
+            F.sum((F.col("cos") >= 0.70).cast("int")).cast("long").alias("n_within_070"),
+            F.max(F.when(F.col("cos") >= 0.30, F.col("vec_id"))).alias(
+                "max_id_within_030"
+            ),
+        )
+        .orderBy("q_id")
+    )
