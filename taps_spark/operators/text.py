@@ -271,3 +271,54 @@ def language_id(
             F.round(F.col("_b.s"), 4).alias("score"),
         )
     )
+
+
+def compression_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio (level 6) in exact integer
+    ten-thousandths — the classic cheap quality/repetition proxy for
+    pretraining corpora: boilerplate and template text compresses far
+    below ~0.5, high-entropy natural prose sits near 0.6–0.9, and
+    already-compressed/binary junk exceeds 1.0.
+
+    Arrow-batched mapInPandas (zlib is C-speed; the Python stage is
+    I/O-shaped, not compute-bound) — map-only, no shuffle; at scale
+    the only knob is Arrow batch size vs document length. zlib output
+    for a fixed level is deterministic for a given zlib version, so
+    results are stable within an environment but are NOT an ANSI-SQL-
+    expressible function — the registry entry is rows-only with
+    property pins (tests/test_round9_invariants.py).
+    """
+    import pandas as pd  # noqa: F401  (type context for readers)
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pdm
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("ratio_tt", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator["pdm.DataFrame"]) -> Iterator["pdm.DataFrame"]:
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n = raw.str.len().astype("int64")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            out = pdm.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n,
+                    "ratio_tt": (
+                        (comp * 10000 + n // 2) // n.where(n > 0, 1)
+                    ).astype("int64"),
+                }
+            )
+            yield out[n > 0]
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)

@@ -4751,3 +4751,37 @@ def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("text_compression_ratio")  # rows-only: zlib is not ANSI-SQL
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression-ratio profile: mean/min/max zlib ratio
+    (integer ten-thousandths) over documents — the cheapest
+    repetition/boilerplate screen a pretraining filter runs (pairs
+    with text_repetition: that one counts repeated n-grams, this one
+    prices the WHOLE redundancy structure at C speed).
+
+    Rows-only by design (zlib has no DuckDB twin); semantics pinned
+    by tests/test_round9_invariants.py: ratios bounded, repeated
+    text compresses strictly below shuffled-diverse text, and the
+    map is deterministic across runs.
+
+    Scale: map-only Arrow expansion to (doc, ratio) then a
+    source-grain fold — no shuffle beyond |sources| partials.
+    """
+    from taps_spark.operators.text import compression_ratio
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    r = compression_ratio(docs)
+    src = docs.select("doc_id", "source")
+    return (
+        r.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("SUM(ratio_tt) div COUNT(*)").alias("mean_ratio_tt"),
+            F.min("ratio_tt").alias("min_ratio_tt"),
+            F.max("ratio_tt").alias("max_ratio_tt"),
+        )
+        .orderBy("source")
+    )

@@ -203,3 +203,26 @@ def test_lifecycle_growth_accounting_identity(spark, sf_dir):
                 == prev["n_active"] + r["n_new"] + r["n_resurrected"] - r["n_churned"]
             )
         prev = r
+
+
+def test_compression_ratio_orders_redundancy(spark, sf_dir):
+    """zlib ratio must (a) be bounded, (b) price redundancy: a highly
+    repetitive document compresses strictly below a diverse one, and
+    (c) be deterministic across two runs."""
+    from taps_spark.operators.text import compression_ratio
+
+    rows1 = {r["source"]: r for r in REGISTRY["text_compression_ratio"].fn(spark, sf_dir).collect()}
+    rows2 = {r["source"]: r for r in REGISTRY["text_compression_ratio"].fn(spark, sf_dir).collect()}
+    assert rows1.keys() == rows2.keys() and all(
+        rows1[s].asDict() == rows2[s].asDict() for s in rows1
+    )
+    for r in rows1.values():
+        assert 0 < r["min_ratio_tt"] <= r["mean_ratio_tt"] <= r["max_ratio_tt"]
+        assert r["max_ratio_tt"] < 12000  # zlib overhead tops out well below 1.2x
+
+    toy = spark.createDataFrame(
+        [(1, "spam " * 400), (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(400)))],
+        "doc_id long, text string",
+    )
+    t = {r["doc_id"]: r["ratio_tt"] for r in compression_ratio(toy).collect()}
+    assert t[1] < t[2], "repetitive text must compress better than diverse text"
