@@ -208,6 +208,20 @@ def main() -> int:
         .write.mode("overwrite")
         .parquet(os.path.join(out, "customer.parquet"))
     )
+    su = spark.read.parquet(os.path.join(src, "supplier.parquet"))
+    smax = su.agg(F.max("s_suppkey")).collect()[0][0]
+    (
+        su.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("s_suppkey") + F.col("rep").cast("long") * (smax + 1)).alias(
+                "s_suppkey"
+            ),
+            *[c for c in su.columns if c != "s_suppkey"],
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "supplier.parquet"))
+    )
     pa = spark.read.parquet(os.path.join(src, "part.parquet"))
     pmax = pa.agg(F.max("p_partkey")).collect()[0][0]
     (
@@ -224,7 +238,7 @@ def main() -> int:
     )
 
     for t in ("documents", "embeddings", "lineitem", "events", "orders",
-              "customer", "part"):
+              "customer", "part", "supplier"):
         c = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         print(f"{t}: {c} rows")
     return 0
