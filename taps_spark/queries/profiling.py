@@ -3941,3 +3941,229 @@ def agg_sampled_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est") - F.col("exd")) <= 1.96 * F.col("hw_raw")
         ).alias("within_ci"),
     )
+
+
+BENFORD2_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice >= 0.10
+),
+obs AS (
+  SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 2, 1) AS INT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM v GROUP BY 1
+),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+grid AS (
+  SELECT d.d, k.k,
+         CAST(FLOOR(LOG10(1.0 + 1.0 / (10 * k.k + d.d)) * 1000000000 + 0.5)
+              AS DECIMAL(38,0)) AS q
+  FROM (SELECT unnest(range(0, 10)) AS d) d
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS k) k
+),
+exp_p AS (
+  SELECT d, CAST(SUM(q) AS DOUBLE) / 1000000000 AS p FROM grid GROUP BY d
+)
+SELECT exp_p.d AS second_digit,
+       COALESCE(obs.o, 0) AS n_observed,
+       CAST(FLOOR(exp_p.p * n.n + 0.5) AS BIGINT) AS n_expected,
+       CAST(FLOOR((COALESCE(obs.o, 0) - exp_p.p * n.n)
+                  * (COALESCE(obs.o, 0) - exp_p.p * n.n)
+                  / (exp_p.p * n.n) * 10000 + 0.5) AS BIGINT)
+         AS chi2_term_x10k
+FROM exp_p LEFT JOIN obs ON obs.d = exp_p.d CROSS JOIN n
+ORDER BY second_digit
+"""
+
+
+@query("stats_benford_second_digit", oracle=BENFORD2_ORACLE)
+def stats_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford second-digit conformity of order totals — the
+    forensic-accounting screen auditors run AFTER the first-digit
+    test (stats_benford_check): fabricated or threshold-gamed
+    amounts distort the second digit even when the first survives,
+    because humans pad with round numbers. Expected probabilities
+    P(d) = Σₖ log10(1+1/(10k+d)) are built from the SAME 90-term
+    grid on both engines (each term nano-quantized, summed exactly)
+    — no hardcoded float constants to drift.
+
+    Scale: one map-side digit extraction + a 10-group count; the
+    expectation grid is 90 rows of arithmetic. Per-digit χ² terms
+    let the consumer fold the 8-df statistic or inspect which digit
+    deviates.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.filter(F.col("o_totalprice") >= 0.10).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    obs = v.groupBy(
+        F.substring(F.col("cents").cast("string"), 2, 1).cast("int").alias("d")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    n = obs.agg(F.sum("o").alias("n"))
+    ds = spark.range(0, 10).select(F.col("id").alias("d"))
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    grid = ds.crossJoin(ks).select(
+        "d",
+        F.floor(
+            F.log10(F.lit(1.0) + F.lit(1.0) / (10 * F.col("k") + F.col("d")))
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    exp_p = grid.groupBy("d").agg(
+        (F.sum("q").cast("double") / 1000000000).alias("p")
+    )
+    e = F.col("p") * F.col("n")
+    o = F.coalesce(F.col("o"), F.lit(0))
+    return (
+        exp_p.join(obs, "d", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("d").alias("second_digit"),
+            o.alias("n_observed"),
+            F.floor(e + F.lit(0.5)).cast("long").alias("n_expected"),
+            F.floor((o - e) * (o - e) / e * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("chi2_term_x10k"),
+        )
+        .orderBy("second_digit")
+    )
+
+
+STRATIFIED_ESTIMATE_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         CAST(('0x' || SUBSTRING(MD5(
+             CAST(l_orderkey AS VARCHAR) || '-' ||
+             CAST(l_partkey AS VARCHAR) || '-' ||
+             CAST(l_suppkey AS VARCHAR) || '|aqp9s'), 1, 15)) AS BIGINT) % 100
+           AS bucket
+  FROM lineitem
+),
+ex AS (SELECT SUM(CAST(cents AS DECIMAL(38,0))) AS exact_total FROM v),
+st AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+         CAST(SUM(CASE WHEN bucket = 0 THEN cents END) AS BIGINT) AS s1,
+         SUM(CASE WHEN bucket = 0
+             THEN CAST(cents * cents AS DECIMAL(38,0)) END) AS s2
+  FROM v GROUP BY grp
+),
+w AS (
+  SELECT MAX(CASE WHEN grp = 'A' THEN CAST(s1 AS DOUBLE) END) AS sa,
+         MAX(CASE WHEN grp = 'N' THEN CAST(s1 AS DOUBLE) END) AS sn,
+         MAX(CASE WHEN grp = 'R' THEN CAST(s1 AS DOUBLE) END) AS sr,
+         MAX(CASE WHEN grp = 'A' THEN CAST(s2 AS DOUBLE) END) AS qa,
+         MAX(CASE WHEN grp = 'N' THEN CAST(s2 AS DOUBLE) END) AS qn,
+         MAX(CASE WHEN grp = 'R' THEN CAST(s2 AS DOUBLE) END) AS qr,
+         CAST(SUM(ns) AS BIGINT) AS n_sample
+  FROM st
+),
+t AS (
+  SELECT n_sample,
+         (sa + sn + sr) * 100 AS est,
+         SQRT((qa + qn + qr) * 0.99 * 10000) AS hw_raw,
+         (SELECT CAST(exact_total AS DOUBLE) FROM ex) AS exd,
+         (SELECT CAST(exact_total AS BIGINT) FROM ex) AS exact_total_cents
+  FROM w
+)
+SELECT n_sample, exact_total_cents,
+       CAST(FLOOR(est + 0.5) AS BIGINT) AS est_total_cents,
+       CAST(FLOOR(ABS(est - exd) / exd * 1000000 + 0.5) AS BIGINT) AS err_ppm,
+       CAST(FLOOR(1.96 * hw_raw + 0.5) AS BIGINT) AS ci95_halfwidth_cents,
+       ABS(est - exd) <= 1.96 * hw_raw AS within_ci
+FROM t
+"""
+
+
+@query("agg_stratified_estimate_ci", oracle=STRATIFIED_ESTIMATE_ORACLE)
+def agg_stratified_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified companion to agg_sampled_estimate_ci: the same 1%
+    hash sample, but the HT estimator folds per return-flag STRATUM
+    before summing (fixed 3-term chain via the MAX-CASE pivot, no
+    unordered double sum) — the estimator production AQP actually
+    deploys, because stratification confines each stratum's variance
+    to its own term and (with per-stratum rates) buys Neyman
+    allocation for free. Reported with the same exact-total audit.
+
+    Scale: ONE scan, one 3-group aggregate with conditional sample
+    sums — the stratification costs nothing over the plain
+    estimator (the strata ARE the aggregation keys). All sums
+    exact; the estimate/CI are fixed IEEE chains.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("-"),
+                            F.col("l_partkey").cast("string"),
+                            F.lit("-"),
+                            F.col("l_suppkey").cast("string"),
+                            F.lit("|aqp9s"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    ex = v.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("exact_total"))
+    in_s = F.col("bucket") == 0
+    st = v.groupBy("grp").agg(
+        F.sum(in_s.cast("int")).alias("ns"),
+        F.sum(F.when(in_s, F.col("cents"))).alias("s1"),
+        F.sum(
+            F.when(in_s, (F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        ).alias("s2"),
+    )
+    pick = lambda flag, col: F.max(F.when(F.col("grp") == flag, F.col(col)))  # noqa: E731
+    w = st.agg(
+        pick("A", "s1").cast("double").alias("sa"),
+        pick("N", "s1").cast("double").alias("sn"),
+        pick("R", "s1").cast("double").alias("sr"),
+        pick("A", "s2").cast("double").alias("qa"),
+        pick("N", "s2").cast("double").alias("qn"),
+        pick("R", "s2").cast("double").alias("qr"),
+        F.sum("ns").alias("n_sample"),
+    )
+    t = w.crossJoin(F.broadcast(ex)).select(
+        "n_sample",
+        ((F.col("sa") + F.col("sn") + F.col("sr")) * 100).alias("est"),
+        F.sqrt((F.col("qa") + F.col("qn") + F.col("qr")) * 0.99 * 10000).alias(
+            "hw_raw"
+        ),
+        F.col("exact_total").cast("double").alias("exd"),
+        F.col("exact_total").cast("long").alias("exact_total_cents"),
+    )
+    return t.select(
+        "n_sample", "exact_total_cents",
+        F.floor(F.col("est") + F.lit(0.5)).cast("long").alias("est_total_cents"),
+        F.floor(
+            F.abs(F.col("est") - F.col("exd")) / F.col("exd") * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("err_ppm"),
+        F.floor(1.96 * F.col("hw_raw") + F.lit(0.5))
+        .cast("long")
+        .alias("ci95_halfwidth_cents"),
+        (
+            F.abs(F.col("est") - F.col("exd")) <= 1.96 * F.col("hw_raw")
+        ).alias("within_ci"),
+    )
