@@ -48,6 +48,29 @@ def _coverage_counts() -> dict[str, int]:
     return counts
 
 
+def _last_green_round() -> dict[str, int]:
+    """Most recent round index (1-based over the sorted artifacts) in
+    which each query had a green row. Staleness tiebreak: among
+    queries with equal green-row counts, the one whose last green is
+    OLDEST re-gates first — a query last verified in r1 whose module
+    was since refactored needs fresh driver evidence more than one
+    verified last round (r9 VERDICT task #5)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for i, path in enumerate(
+        sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))), start=1
+    ):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _row_green(row):
+                last[name] = i
+    return last
+
+
 def _row_green(row: dict) -> bool:
     """Green = FULL oracle match (rows + schema + hash), or the best a
     rows-only query can achieve (err == "no_oracle" with a row count).
@@ -89,9 +112,12 @@ def _failed_latest_round() -> set[str]:
 def _rotated(names: list[str]) -> list[str]:
     counts = _coverage_counts()
     failed = _failed_latest_round()
-    # Failed-last-round first, then least-covered; registry order
-    # breaks ties (stable sort).
-    return sorted(names, key=lambda n: (n not in failed, counts.get(n, 0)))
+    last = _last_green_round()
+    # Failed-last-round first, then least-covered, then stalest last
+    # green; registry order breaks remaining ties (stable sort).
+    return sorted(
+        names, key=lambda n: (n not in failed, counts.get(n, 0), last.get(n, 0))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2,10 +2,10 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: median sec, ...}, "spread": {name: max-min sec, ...},
-   "runs": 3, "sf": <sf>}
+Prints the full JSON line (medians + spread + mins), then a compact
+contract-shaped LAST line that fits the driver's 2000-char tail capture:
+  {"metric": "...", "value": <total of mins>, "unit": "sec",
+   "queries": {name: min sec, ...}, "stat": "min", "runs": 3, "sf": <sf>}
 
 Each query is forced end-to-end with a noop sink (full plan executes,
 nothing collected to the driver). A warm-up pass at sf0.001 absorbs
@@ -143,6 +143,22 @@ def main() -> None:
             json.dump(out, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: stdout line is still the artifact
+    # LAST line: a compact, contract-shaped summary (suite total +
+    # per-query MIN) small enough (<2 KB for ~40 queries) to survive
+    # the driver's 2000-char tail capture intact — BENCH_r08/r09.json
+    # both recorded "parsed": null because the full line above
+    # overflows that window. min-of-N is the contention-robust point
+    # statistic (see comment above); medians stay in BENCH_LOCAL.json.
+    compact = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(mins.values()), 3),
+        "unit": "sec",
+        "queries": mins,
+        "stat": "min",
+        "runs": reps,
+        "sf": out["sf"],
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -289,8 +289,11 @@ def compression_ratio(
     results are stable within an environment but are NOT an ANSI-SQL-
     expressible function — the registry entry is rows-only with
     property pins (tests/test_round9_invariants.py).
+
+    Empty/null-text documents are EXCLUDED from the output (a ratio is
+    undefined at n_bytes=0), so downstream n_docs counts are over
+    non-empty documents, not the full documents table.
     """
-    import pandas as pd  # noqa: F401  (type context for readers)
     import zlib
     from collections.abc import Iterator
 

@@ -3040,11 +3040,19 @@ ORDER BY hour_utc
 @query("events_peak_concurrency", oracle=PEAK_CONCURRENCY_ORACLE)
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per hour-of-day (plus the global
-    peak as the hour=-1 row) at minute resolution — the capacity-
-    planning number behind autoscaling targets and concurrency
-    billing, computed with the boundary-sweep (+1 at session start
-    minute, −1 after its last minute; a session is live from its
-    first through its last minute INCLUSIVE).
+    peak as the hour=-1 row) — the capacity-planning number behind
+    autoscaling targets and concurrency billing, computed with the
+    boundary-sweep (+1 at session start minute, −1 after its last
+    minute; a session is live from its first through its last minute
+    INCLUSIVE).
+
+    BOUNDARY-SAMPLING SEMANTICS (deliberate, oracle-pinned): liveness
+    is evaluated only at DISTINCT SESSION-BOUNDARY minutes, not at
+    every calendar minute. The global hour=-1 peak is exact (true
+    concurrency can only change at a boundary), but a per-hour bucket
+    crossed by long sessions with no start/end inside it reports the
+    boundary-minute peaks only; and n_active_minutes counts distinct
+    boundary minutes in the bucket, not minutes-with-live-sessions.
 
     Algorithm: sessions fold to (minute, starts, ends) grain, then
     live(m) = Σstarts(≤m) − Σends(≤m) + ends(m) — RANGE-framed

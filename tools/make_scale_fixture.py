@@ -120,22 +120,41 @@ def main() -> int:
         .parquet(os.path.join(out, "embeddings.parquet"))
     )
 
+    # One shared stride per KEY DOMAIN (orderkey/partkey/suppkey/
+    # custkey), derived from the max over EVERY table carrying that
+    # key — fact and dimension alike. Per-table strides (the r9 shape)
+    # only preserve cross-table FK joins when each dimension's max key
+    # happens to appear in the fact table; a fixture where the top
+    # customer/part has no orders/lineitems would silently break every
+    # replica-k>0 join (ADVICE r9 #1).
     li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
-    ks = li.agg(
+    od = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(src, "customer.parquet"))
+    su = spark.read.parquet(os.path.join(src, "supplier.parquet"))
+    pa = spark.read.parquet(os.path.join(src, "part.parquet"))
+    lk = li.agg(
         F.max("l_orderkey"), F.max("l_partkey"), F.max("l_suppkey")
     ).collect()[0]
+    omax = od.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
+    cmax = cu.agg(F.max("c_custkey")).collect()[0][0]
+    smax = su.agg(F.max("s_suppkey")).collect()[0][0]
+    pmax = pa.agg(F.max("p_partkey")).collect()[0][0]
+    orderkey_stride = max(lk[0], omax[0]) + 1
+    partkey_stride = max(lk[1], pmax) + 1
+    suppkey_stride = max(lk[2], smax) + 1
+    custkey_stride = max(omax[1], cmax) + 1
     (
         li.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("l_orderkey") + F.col("rep").cast("long") * (ks[0] + 1)).alias(
-                "l_orderkey"
-            ),
-            (F.col("l_partkey") + F.col("rep").cast("long") * (ks[1] + 1)).alias(
-                "l_partkey"
-            ),
-            (F.col("l_suppkey") + F.col("rep").cast("long") * (ks[2] + 1)).alias(
-                "l_suppkey"
-            ),
+            (
+                F.col("l_orderkey") + F.col("rep").cast("long") * orderkey_stride
+            ).alias("l_orderkey"),
+            (
+                F.col("l_partkey") + F.col("rep").cast("long") * partkey_stride
+            ).alias("l_partkey"),
+            (
+                F.col("l_suppkey") + F.col("rep").cast("long") * suppkey_stride
+            ).alias("l_suppkey"),
             *[
                 c
                 for c in li.columns
@@ -172,17 +191,15 @@ def main() -> int:
     )
 
     # orders: offset both keys per replica — N disjoint customer books.
-    od = spark.read.parquet(os.path.join(src, "orders.parquet"))
-    oks = od.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
     (
         od.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("o_orderkey") + F.col("rep").cast("long") * (oks[0] + 1)).alias(
-                "o_orderkey"
-            ),
-            (F.col("o_custkey") + F.col("rep").cast("long") * (oks[1] + 1)).alias(
-                "o_custkey"
-            ),
+            (
+                F.col("o_orderkey") + F.col("rep").cast("long") * orderkey_stride
+            ).alias("o_orderkey"),
+            (
+                F.col("o_custkey") + F.col("rep").cast("long") * custkey_stride
+            ).alias("o_custkey"),
             *[c for c in od.columns if c not in ("o_orderkey", "o_custkey")],
         )
         .repartition(32)
@@ -194,42 +211,36 @@ def main() -> int:
     # books (the profiling family's FD/key/MI audits read these; the
     # non-key attribute columns ride along so per-replica cardinality
     # ratios and dependency structure are preserved exactly).
-    cu = spark.read.parquet(os.path.join(src, "customer.parquet"))
-    cmax = cu.agg(F.max("c_custkey")).collect()[0][0]
     (
         cu.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("c_custkey") + F.col("rep").cast("long") * (cmax + 1)).alias(
-                "c_custkey"
-            ),
+            (
+                F.col("c_custkey") + F.col("rep").cast("long") * custkey_stride
+            ).alias("c_custkey"),
             *[c for c in cu.columns if c != "c_custkey"],
         )
         .repartition(8)
         .write.mode("overwrite")
         .parquet(os.path.join(out, "customer.parquet"))
     )
-    su = spark.read.parquet(os.path.join(src, "supplier.parquet"))
-    smax = su.agg(F.max("s_suppkey")).collect()[0][0]
     (
         su.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("s_suppkey") + F.col("rep").cast("long") * (smax + 1)).alias(
-                "s_suppkey"
-            ),
+            (
+                F.col("s_suppkey") + F.col("rep").cast("long") * suppkey_stride
+            ).alias("s_suppkey"),
             *[c for c in su.columns if c != "s_suppkey"],
         )
         .repartition(4)
         .write.mode("overwrite")
         .parquet(os.path.join(out, "supplier.parquet"))
     )
-    pa = spark.read.parquet(os.path.join(src, "part.parquet"))
-    pmax = pa.agg(F.max("p_partkey")).collect()[0][0]
     (
         pa.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("p_partkey") + F.col("rep").cast("long") * (pmax + 1)).alias(
-                "p_partkey"
-            ),
+            (
+                F.col("p_partkey") + F.col("rep").cast("long") * partkey_stride
+            ).alias("p_partkey"),
             *[c for c in pa.columns if c != "p_partkey"],
         )
         .repartition(8)
