@@ -1933,7 +1933,8 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS frame puts p-ties across levels in the tie terms, not C/D.
     The level count R is collected at plan time (one tiny job over the
     distinct-q dim) and the operator refuses past 200 levels rather
-    than degrade; for a high-cardinality pair bucket one side first.
+    than degrade; for a high-cardinality pair use the registered
+    quantile-grid fallback, stats_kendall_tau_bucketed.
 
     Memory note — this is the THIRD design, chosen by measurement:
     a per-(flag, p) running-sum column per level (one window pass, no
@@ -1978,7 +1979,8 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     if R is None or R > 200:
         raise ValueError(
             f"stats_kendall_tau: small-dimension cardinality {R} exceeds 200 "
-            "levels; bucket the quantity side before correlating"
+            "levels; bucket before correlating — stats_kendall_tau_bucketed "
+            "is the registered quantile-grid fallback for such pairs"
         )
 
     cr = cells.join(F.broadcast(qd), ["flag", "q"])
@@ -2056,6 +2058,241 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(tie_pairs).alias("n2"))
     )
     out = s.join(n_f, "flag").join(t1, "flag").join(t2, "flag")
+    nn = F.col("n").cast("decimal(19,0)")
+    n0 = ((nn * (nn - 1)) / 2).cast("decimal(38,0)")
+    num = (F.col("nc") - F.col("nd")).cast("decimal(38,0)")
+    den = F.sqrt((n0 - F.col("n1")).cast("double")) * F.sqrt(
+        (n0 - F.col("n2")).cast("double")
+    )
+    return out.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        F.col("nc").cast("string").alias("n_concordant"),
+        F.col("nd").cast("string").alias("n_discordant"),
+        F.floor(num.cast("double") / den * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("tau_b_ppm"),
+    ).orderBy("flag")
+
+
+KENDALL_BUCKETED_ORACLE = """
+WITH base AS MATERIALIZED (
+  SELECT l.l_returnflag AS flag, l.l_extendedprice AS x, o.o_totalprice AS y
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nf AS (SELECT flag, COUNT(*)::BIGINT AS n FROM base GROUP BY flag),
+xv AS (SELECT flag, x, COUNT(*)::BIGINT AS c FROM base GROUP BY flag, x),
+xc AS (
+  SELECT flag, x, SUM(c) OVER (PARTITION BY flag ORDER BY x) AS cum FROM xv
+),
+xm AS MATERIALIZED (
+  SELECT xc.flag, xc.x,
+         CAST(((xc.cum - 1) * 64) // nf.n + 1 AS INT) AS xb
+  FROM xc JOIN nf ON xc.flag = nf.flag
+),
+yv AS (SELECT flag, y, COUNT(*)::BIGINT AS c FROM base GROUP BY flag, y),
+yc AS (
+  SELECT flag, y, SUM(c) OVER (PARTITION BY flag ORDER BY y) AS cum FROM yv
+),
+ym AS MATERIALIZED (
+  SELECT yc.flag, yc.y,
+         CAST(((yc.cum - 1) * 64) // nf.n + 1 AS INT) AS yb
+  FROM yc JOIN nf ON yc.flag = nf.flag
+),
+cells AS MATERIALIZED (
+  SELECT b.flag, xm.xb, ym.yb, COUNT(*)::HUGEINT AS c
+  FROM base b
+  JOIN xm ON b.flag = xm.flag AND b.x = xm.x
+  JOIN ym ON b.flag = ym.flag AND b.y = ym.y
+  GROUP BY 1, 2, 3
+),
+ex0 AS (
+  SELECT flag, yb, c, xb, UNNEST(range(1, xb + 1)) AS i FROM cells
+),
+ex AS MATERIALIZED (
+  SELECT flag, i, yb,
+         CASE WHEN i = xb THEN c ELSE 0::HUGEINT END AS cl,
+         CASE WHEN i < xb THEN c ELSE 0::HUGEINT END AS cu
+  FROM ex0
+),
+g2 AS (
+  SELECT flag, i, yb, SUM(cl) AS cl, SUM(cu) AS cu FROM ex GROUP BY flag, i, yb
+),
+run AS (
+  SELECT flag, i, yb, cu, cl,
+         COALESCE(SUM(cl) OVER (
+           PARTITION BY flag, i ORDER BY yb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT) AS lt,
+         SUM(cl) OVER (PARTITION BY flag, i) AS tot
+  FROM g2
+),
+cdx AS (
+  SELECT flag,
+         SUM(cu * lt) AS nc,
+         SUM(cu * (tot - lt - cl)) AS nd
+  FROM run GROUP BY flag
+),
+t1 AS (
+  SELECT flag, SUM(t * (t - 1) / 2) AS n1
+  FROM (SELECT flag, xb, SUM(c) AS t FROM cells GROUP BY flag, xb)
+  GROUP BY flag
+),
+t2 AS (
+  SELECT flag, SUM(t * (t - 1) / 2) AS n2
+  FROM (SELECT flag, yb, SUM(c) AS t FROM cells GROUP BY flag, yb)
+  GROUP BY flag
+),
+m AS (
+  SELECT cdx.flag, nf.n::HUGEINT AS n, cdx.nc, cdx.nd,
+         nf.n::HUGEINT * (nf.n - 1)::HUGEINT / 2 AS n0, t1.n1, t2.n2
+  FROM cdx JOIN nf ON cdx.flag = nf.flag
+           JOIN t1 ON cdx.flag = t1.flag
+           JOIN t2 ON cdx.flag = t2.flag
+)
+SELECT flag,
+       CAST(n AS BIGINT) AS n,
+       CAST(nc AS VARCHAR) AS n_concordant,
+       CAST(nd AS VARCHAR) AS n_discordant,
+       CAST(FLOOR(CAST(nc - nd AS DOUBLE)
+                  / (SQRT(CAST(n0 - n1 AS DOUBLE)) * SQRT(CAST(n0 - n2 AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS tau_b_ppm
+FROM m
+ORDER BY flag
+"""
+
+
+@query("stats_kendall_tau_bucketed", oracle=KENDALL_BUCKETED_ORACLE)
+def stats_kendall_tau_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Kendall tau-b between TWO HIGH-CARDINALITY columns
+    (l_extendedprice x o_totalprice per return flag) via per-flag
+    quantile bucketing — the graceful-degradation path behind
+    stats_kendall_tau's 200-level refusal (r9 VERDICT task #6): where
+    the exact operator raises, a real profiler grids the contingency
+    table to a bounded 64x64 and reports tau-b on the grid. Same
+    reference lineage as the exact variant (generalizes the per-table
+    profile, lib/taps/server.rb:160-169, to cross-column association).
+
+    Bucketing is TIE-SAFE and monotone: per flag, each distinct value
+    v maps to bucket ((cum(v) - 1) * 64) div n + 1 where cum(v) is the
+    cumulative ROW count at v — a pure function of the value (equal
+    values always share a bucket; no ntile/row_number order hazard),
+    so concordant/discordant pairs on the grid are a subset of the
+    true ones and every within-bucket pair becomes a tie that tau-b's
+    n1/n2 correction absorbs. Bias is O(1/B): pairs straddling a
+    bucket boundary keep their sign, pairs inside a bucket drop out of
+    both C and D symmetrically. The grid tau is EXACT for the bucketed
+    variables — the oracle reproduces it bit-for-bit (same dominance
+    decomposition as KENDALL_ORACLE, same DECIMAL(38,0) folds, same
+    fixed float parse tree for the ppm export).
+
+    Scale: two value-grain aggregations + per-flag cumulative windows
+    over DISTINCT-value rows (the same distinct-p window grain the
+    exact variant already carries), two shuffle joins to tag rows with
+    buckets, then everything downstream is on the <= 3*64*64-cell grid
+    — constant-size regardless of corpus. Unlike the exact operator,
+    NO side needs bounded cardinality; the 64-level fan-out union runs
+    on cells, not rows. The exact variant refuses this very pair
+    (distinct prices >> 200 levels) — docstring cross-link both ways.
+    """
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    base = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    nf = base.groupBy("flag").agg(F.count("*").alias("n"))
+
+    def bucket_map(col: str, alias: str):
+        v = base.groupBy("flag", col).agg(F.count("*").alias("c"))
+        w = Window.partitionBy("flag").orderBy(col)
+        return (
+            v.select("flag", col, F.sum("c").over(w).alias("cum"))
+            .join(F.broadcast(nf), "flag")
+            .select(
+                "flag",
+                col,
+                F.expr(f"CAST(((cum - 1) * 64) div n + 1 AS int) AS {alias}"),
+            )
+        )
+
+    cells = (
+        base.join(bucket_map("x", "xb"), ["flag", "x"])
+        .join(bucket_map("y", "yb"), ["flag", "y"])
+        .groupBy("flag", "xb", "yb")
+        .agg(F.count("*").alias("c"))
+    )
+
+    # Dominance count on the bounded grid — same per-level union as
+    # stats_kendall_tau, but over <= 64*64 cells per flag instead of
+    # row-scale data, so the explode and windows are constant-size.
+    zero = F.lit(0).cast("long")
+    ex = cells.select(
+        "flag",
+        "yb",
+        "c",
+        "xb",
+        F.explode(F.sequence(F.lit(1), F.col("xb"))).alias("i"),
+    ).select(
+        "flag",
+        "i",
+        "yb",
+        F.when(F.col("i") == F.col("xb"), F.col("c")).otherwise(zero).alias("cl"),
+        F.when(F.col("i") < F.col("xb"), F.col("c")).otherwise(zero).alias("cu"),
+    )
+    g2 = ex.groupBy("flag", "i", "yb").agg(
+        F.sum("cl").alias("cl"), F.sum("cu").alias("cu")
+    )
+    wli = Window.partitionBy("flag", "i").orderBy("yb")
+    run = g2.select(
+        "flag",
+        "cu",
+        "cl",
+        F.coalesce(
+            F.sum("cl").over(wli.rowsBetween(Window.unboundedPreceding, -1)), zero
+        ).alias("lt"),
+        F.sum("cl")
+        .over(
+            wli.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("tot"),
+    )
+    cud = F.col("cu").cast("decimal(19,0)")
+    s = run.groupBy("flag").agg(
+        F.sum((cud * F.col("lt").cast("decimal(19,0)")).cast("decimal(38,0)")).alias(
+            "nc"
+        ),
+        F.sum(
+            (
+                cud
+                * (F.col("tot") - F.col("lt") - F.col("cl")).cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("nd"),
+    )
+
+    tie_pairs = (
+        F.col("t").cast("decimal(19,0)")
+        * (F.col("t") - 1).cast("decimal(19,0)")
+        / 2
+    ).cast("decimal(38,0)")
+    t1 = (
+        cells.groupBy("flag", "xb")
+        .agg(F.sum("c").alias("t"))
+        .groupBy("flag")
+        .agg(F.sum(tie_pairs).alias("n1"))
+    )
+    t2 = (
+        cells.groupBy("flag", "yb")
+        .agg(F.sum("c").alias("t"))
+        .groupBy("flag")
+        .agg(F.sum(tie_pairs).alias("n2"))
+    )
+    out = s.join(nf, "flag").join(t1, "flag").join(t2, "flag")
     nn = F.col("n").cast("decimal(19,0)")
     n0 = ((nn * (nn - 1)) / 2).cast("decimal(38,0)")
     num = (F.col("nc") - F.col("nd")).cast("decimal(38,0)")
