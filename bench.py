@@ -80,6 +80,10 @@ HEADLINE = [
     # stable): the two heaviest newcomers by sf0.1 wall time.
     "graph_bfs_hops",
     "text_collocations_pmi",
+    # Round-10 additions (appended — prior keys stay stable): the two
+    # heaviest newcomers by sf0.1 wall time.
+    "stats_kendall_tau_bucketed",
+    "text_hapax_share",
 ]
 
 

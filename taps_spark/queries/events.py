@@ -3779,3 +3779,70 @@ def events_type_minute_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n").alias("n_minutes"),
         F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("pearson_ppm"),
     ).orderBy("type_a", "type_b")
+
+
+INTERARRIVAL_HIST_ORACLE = """
+WITH o AS (
+  SELECT epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+  FROM events
+),
+g AS (
+  SELECT nt - t AS gap FROM o WHERE nt IS NOT NULL
+),
+b AS (
+  SELECT CASE WHEN gap <= 0 THEN -1
+              ELSE CAST(LENGTH(BIN(gap)) - 1 AS INT) END AS bucket,
+         gap
+  FROM g
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("events_interarrival_histogram", oracle=INTERARRIVAL_HIST_ORACLE)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of same-user inter-arrival gaps — the
+    DISTRIBUTION view that events_interarrival_stats's min/avg/max
+    hides: session-timeout and rate-limit thresholds live at
+    percentile knees, and a doubling histogram shows them in ~40
+    bounded buckets regardless of corpus size. Bucket k holds gaps in
+    [2^k, 2^(k+1)) microseconds; bucket -1 holds zero/negative gaps
+    (same-microsecond events).
+
+    Determinism: floor(log2(gap)) is computed WITHOUT libm as
+    length(bin(gap)) - 1 — the binary digit count of an exact integer
+    microsecond gap, bit-identical on both engines (the no-POWER law).
+
+    Scale: one per-user window sort (the sessionizer's shuffle), then
+    a map-side-combinable agg onto <= ~40 buckets.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select(micros.alias("t"), F.lead(micros).over(w).alias("nt"))
+        .filter(F.col("nt").isNotNull())
+        .select((F.col("nt") - F.col("t")).alias("gap"))
+    )
+    b = g.select(
+        F.when(F.col("gap") <= 0, F.lit(-1))
+        .otherwise((F.length(F.bin(F.col("gap"))) - 1).cast("int"))
+        .alias("bucket"),
+        "gap",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap").alias("min_gap_us"),
+            F.max("gap").alias("max_gap_us"),
+        )
+        .orderBy("bucket")
+    )

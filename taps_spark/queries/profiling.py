@@ -4404,3 +4404,627 @@ def agg_stratified_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est") - F.col("exd")) <= 1.96 * F.col("hw_raw")
         ).alias("within_ci"),
     )
+
+
+RUNS_TEST_ORACLE = """
+WITH daily AS (
+  -- ::BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which fetch_df
+  -- renders as float64 and the dtype-strict gate rejects.
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+grid AS (SELECT cents, COUNT(*)::BIGINT AS c FROM daily GROUP BY cents),
+cum AS (SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cum_c FROM grid),
+med AS (
+  SELECT MIN(cents) AS median_cents
+  FROM cum, (SELECT SUM(c) AS n FROM grid) t
+  WHERE cum_c * 2 >= t.n
+),
+signed AS (
+  SELECT day, CASE WHEN cents > (SELECT median_cents FROM med) THEN 1 ELSE 0 END AS s
+  FROM daily WHERE cents <> (SELECT median_cents FROM med)
+),
+runs AS (
+  SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS DISTINCT FROM s THEN 1 ELSE 0 END AS brk
+  FROM signed
+),
+agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n0,
+         CAST(SUM(brk) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n1 AS n_above, n0 AS n_below, n_runs,
+       (SELECT median_cents FROM med) AS median_cents,
+       ROUND(
+         (CAST(n_runs AS DOUBLE)
+          - (2.0 * n1 * n0 / (n1 + n0) + 1))
+         / SQRT(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+                / ((n1 + n0) * (n1 + n0) * CAST(n1 + n0 - 1 AS DOUBLE))),
+         4) AS z_score
+FROM agg
+"""
+
+
+@query("stats_runs_test", oracle=RUNS_TEST_ORACLE)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue around
+    its median — the lightweight serial-dependence screen a profiler
+    runs before trusting i.i.d.-assuming tests (too few runs = trend /
+    regime persistence, too many = oscillation). Generalizes the
+    reference's per-table count profile (lib/taps/server.rb:160-169)
+    to temporal structure, like events_autocorrelation.
+
+    Determinism: daily revenue folds to exact BIGINT cents; the median
+    is aggregation-selected on the distinct-value grid (lower median,
+    min cents with 2*cum >= n — no ranked window); days equal to the
+    median are dropped (the standard convention); the run count is
+    1 + #sign changes via LAG over the day sequence. z's float chain
+    is a fixed parse tree over the three exact integers (n1, n0, R).
+
+    Scale: day-grain aggregation first (calendar-bounded: ~2.4k rows
+    per decade REGARDLESS of corpus size), so the LAG window's single
+    partition holds calendar days, never order rows — the same
+    bounded-grid law as events_hypertable_rollup. The median grid is
+    distinct daily cents (also calendar-bounded).
+    """
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    daily = orders.groupBy(
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
+            "day"
+        )
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    grid = daily.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    from taps_spark.operators.keys import prefix_sums
+
+    cum = prefix_sums(grid, "cents", ("c",))
+    n_days = grid.agg(F.sum("c")).collect()[0][0]
+    med = (
+        cum.filter(F.col("cum_c") * 2 >= F.lit(n_days))
+        .agg(F.min("cents"))
+        .collect()[0][0]
+    )
+    signed = daily.filter(F.col("cents") != F.lit(med)).select(
+        "day", (F.col("cents") > F.lit(med)).cast("long").alias("s")
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n0"),
+        F.sum("brk").alias("n_runs"),
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    n = F.col("n1") + F.col("n0")
+    mu = 2 * n1 * n0 / n.cast("double") + F.lit(1.0)
+    sigma = F.sqrt(
+        2 * n1 * n0 * (2 * n1 * n0 - F.col("n1") - F.col("n0"))
+        / (n * n * (n - 1).cast("double"))
+    )
+    return agg.select(
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        "n_runs",
+        F.lit(med).cast("long").alias("median_cents"),
+        F.round((F.col("n_runs").cast("double") - mu) / sigma, 4).alias("z_score"),
+    )
+
+
+WILCOXON_ORACLE = """
+WITH bounds AS (
+  SELECT (MIN(epoch_us(o_orderdate) // 86400000000)
+          + MAX(epoch_us(o_orderdate) // 86400000000) + 1) // 2 AS mid
+  FROM orders
+),
+halves AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN epoch_us(o_orderdate) // 86400000000 < (SELECT mid FROM bounds)
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS h1,
+         SUM(CASE WHEN epoch_us(o_orderdate) // 86400000000 >= (SELECT mid FROM bounds)
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS h2
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT ABS(h2 - h1) AS ad,
+         CASE WHEN h2 > h1 THEN 1 ELSE 0 END AS pos
+  FROM halves WHERE h2 <> h1
+),
+g AS (
+  SELECT ad, CAST(SUM(pos) AS BIGINT) AS cp, COUNT(*)::BIGINT AS t
+  FROM d GROUP BY ad
+),
+cum AS (SELECT ad, cp, t, SUM(t) OVER (ORDER BY ad) AS cum_t FROM g),
+agg AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(cp * ((cum_t - t + 1) + cum_t)) AS BIGINT) AS two_wplus,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM cum
+)
+SELECT n AS n_pairs, two_wplus,
+       ROUND(CAST(two_wplus AS DOUBLE) / 2, 1) AS w_plus,
+       ROUND(
+         (CAST(two_wplus AS DOUBLE) / 2
+          - CAST(n AS DOUBLE) * (n + 1) / 4)
+         / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                - CAST(tie_term AS DOUBLE) / 48),
+         4) AS z_score
+FROM agg
+"""
+
+
+@query("stats_wilcoxon_signed_rank", oracle=WILCOXON_ORACLE)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-customer spend, first
+    calendar half vs second — the nonparametric paired-difference test
+    completing the rank-test family (mann_whitney = independent
+    groups, this = matched pairs): did customer spend shift between
+    the halves, ignoring the magnitude-distorting whales?
+
+    Pairing: each customer's exact BIGINT cents in [min_day, mid) vs
+    [mid, max_day], mid = (min+max+1) div 2 (integer, both engines);
+    zero differences drop (standard convention). Ranks of |d| use the
+    same aggregation-selected average-rank identity as mann_whitney:
+    2-W+ = sum over the |d| grid of cp*(lo+hi), an exact integer; the
+    tie-corrected z is one fixed float parse tree over (n, 2W+, T).
+
+    Scale: customer-grain aggregation (one shuffle), |d|-grid
+    pre-aggregation, distributed prefix sums (operators/keys) —
+    no ranked window, no global sort of raw rows.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    b = orders.agg(
+        ((F.min(day) + F.max(day) + 1) / 2).cast("long").alias("mid")
+    ).collect()[0]
+    mid = int(b["mid"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    halves = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(day < mid, cents).otherwise(F.lit(0))).alias("h1"),
+        F.sum(F.when(day >= mid, cents).otherwise(F.lit(0))).alias("h2"),
+    )
+    d = halves.filter(F.col("h2") != F.col("h1")).select(
+        F.abs(F.col("h2") - F.col("h1")).alias("ad"),
+        (F.col("h2") > F.col("h1")).cast("long").alias("pos"),
+    )
+    g = d.groupBy("ad").agg(
+        F.sum("pos").alias("cp"), F.count(F.lit(1)).alias("t")
+    )
+    from taps_spark.operators.keys import prefix_sums
+
+    cum = prefix_sums(g, "ad", ("t",))
+    agg = cum.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("cp") * ((F.col("cum_t") - F.col("t") + 1) + F.col("cum_t")))
+        .cast("long")
+        .alias("two_wplus"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    nd = F.col("n").cast("double")
+    wp = F.col("two_wplus").cast("double") / 2
+    sigma = F.sqrt(
+        nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+        - F.col("tie_term").cast("double") / 48
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        "two_wplus",
+        F.round(wp, 1).alias("w_plus"),
+        F.round((wp - nd * (F.col("n") + 1) / 4) / sigma, 4).alias("z_score"),
+    )
+
+
+TUKEY_HSD_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::HUGEINT AS s,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)::HUGEINT
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)::HUGEINT) AS ss
+  FROM lineitem GROUP BY 1
+),
+p AS (
+  SELECT
+    MAX(CASE WHEN flag = 'A' THEN n END) AS na,
+    MAX(CASE WHEN flag = 'N' THEN n END) AS nn,
+    MAX(CASE WHEN flag = 'R' THEN n END) AS nr,
+    CAST(MAX(CASE WHEN flag = 'A' THEN s END) AS DOUBLE) AS sa,
+    CAST(MAX(CASE WHEN flag = 'N' THEN s END) AS DOUBLE) AS sn,
+    CAST(MAX(CASE WHEN flag = 'R' THEN s END) AS DOUBLE) AS sr,
+    CAST(MAX(CASE WHEN flag = 'A' THEN ss END) AS DOUBLE) AS ssa,
+    CAST(MAX(CASE WHEN flag = 'N' THEN ss END) AS DOUBLE) AS ssn,
+    CAST(MAX(CASE WHEN flag = 'R' THEN ss END) AS DOUBLE) AS ssr
+  FROM g
+),
+m AS (
+  SELECT na, nn, nr,
+         sa / na AS ma, sn / nn AS mn, sr / nr AS mr,
+         ((ssa - sa * sa / na) + (ssn - sn * sn / nn) + (ssr - sr * sr / nr))
+           / (na + nn + nr - 3) AS msw
+  FROM p
+)
+SELECT * FROM (
+  SELECT 'A/N' AS pair,
+         ROUND(ma - mn, 4) AS mean_diff_cents,
+         ROUND(ABS(ma - mn) / SQRT(msw / 2 * (1.0 / na + 1.0 / nn)), 4) AS q_stat
+  FROM m
+  UNION ALL
+  SELECT 'A/R', ROUND(ma - mr, 4),
+         ROUND(ABS(ma - mr) / SQRT(msw / 2 * (1.0 / na + 1.0 / nr)), 4)
+  FROM m
+  UNION ALL
+  SELECT 'N/R', ROUND(mn - mr, 4),
+         ROUND(ABS(mn - mr) / SQRT(msw / 2 * (1.0 / nn + 1.0 / nr)), 4)
+  FROM m
+) ORDER BY pair
+"""
+
+
+@query("stats_tukey_hsd", oracle=TUKEY_HSD_ORACLE)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc statistics for every return-flag pair —
+    the step a profiler takes AFTER stats_anova_oneway rejects: which
+    specific group means differ? Emits each pair's mean difference and
+    the studentized-range statistic q = |mi - mj| / sqrt(MSW/2 *
+    (1/ni + 1/nj)) (unequal-n Tukey-Kramer form); comparing q against
+    the chosen q-critical quantile is the caller's decision, since the
+    studentized-range inverse CDF has no closed form (same honest
+    boundary as events_expfit_gof's fitted-decile chi-square).
+
+    Determinism: per-group (n, sum, sum-of-squares) fold in exact
+    integer cents / DECIMAL(38,0); the three groups MAX-CASE-pivot to
+    ONE row (the stats_welch_ttest shape), so means, MSW, and each
+    pair's q are one fixed float parse tree over exactly-agreed
+    integers; the 3 pairs unpivot via stack()/UNION ALL.
+
+    Scale: one map-side-combinable aggregation over lineitem (flag
+    grain, 3 groups) then scalar math on a 1-row frame — the cheapest
+    possible shape; no second scan, no window, no join.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast(dec).alias("s"),
+        F.sum((cents.cast(dec) * cents.cast(dec)).cast(dec)).cast(dec).alias("ss"),
+    )
+
+    def pick(col: str, flag: str):
+        return F.max(F.when(F.col("flag") == flag, F.col(col)))
+
+    p = g.agg(
+        pick("n", "A").alias("na"),
+        pick("n", "N").alias("nn"),
+        pick("n", "R").alias("nr"),
+        pick("s", "A").cast("double").alias("sa"),
+        pick("s", "N").cast("double").alias("sn"),
+        pick("s", "R").cast("double").alias("sr"),
+        pick("ss", "A").cast("double").alias("ssa"),
+        pick("ss", "N").cast("double").alias("ssn"),
+        pick("ss", "R").cast("double").alias("ssr"),
+    )
+    m = p.select(
+        "na",
+        "nn",
+        "nr",
+        (F.col("sa") / F.col("na")).alias("ma"),
+        (F.col("sn") / F.col("nn")).alias("mn"),
+        (F.col("sr") / F.col("nr")).alias("mr"),
+        (
+            (
+                (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"))
+                + (F.col("ssn") - F.col("sn") * F.col("sn") / F.col("nn"))
+                + (F.col("ssr") - F.col("sr") * F.col("sr") / F.col("nr"))
+            )
+            / (F.col("na") + F.col("nn") + F.col("nr") - 3)
+        ).alias("msw"),
+    )
+
+    def q(ma, mb, na, nb):
+        return F.round(
+            F.abs(F.col(ma) - F.col(mb))
+            / F.sqrt(
+                F.col("msw")
+                / 2
+                * (F.lit(1.0) / F.col(na) + F.lit(1.0) / F.col(nb))
+            ),
+            4,
+        )
+
+    vals = m.select(
+        F.round(F.col("ma") - F.col("mn"), 4).alias("d_an"),
+        F.round(F.col("ma") - F.col("mr"), 4).alias("d_ar"),
+        F.round(F.col("mn") - F.col("mr"), 4).alias("d_nr"),
+        q("ma", "mn", "na", "nn").alias("q_an"),
+        q("ma", "mr", "na", "nr").alias("q_ar"),
+        q("mn", "mr", "nn", "nr").alias("q_nr"),
+    )
+    return vals.select(
+        F.expr(
+            "stack(3, 'A/N', d_an, q_an, 'A/R', d_ar, q_ar, 'N/R', d_nr, q_nr)"
+            " as (pair, mean_diff_cents, q_stat)"
+        )
+    ).orderBy("pair")
+
+
+LJUNG_BOX_ORACLE = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+st AS (SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS s FROM daily),
+z AS (
+  SELECT d, (st.n * y - st.s)::HUGEINT AS z FROM daily, st
+),
+den AS (SELECT SUM(z * z) AS dzz FROM z),
+lags AS (SELECT CAST(UNNEST(range(1, 8)) AS INT) AS lag),
+num AS (
+  SELECT l.lag, SUM(a.z * b.z) AS nzz
+  FROM lags l
+  CROSS JOIN z a
+  JOIN z b ON b.d = a.d + l.lag
+  GROUP BY l.lag
+),
+p AS (
+  SELECT st.n,
+         CAST(den.dzz AS DOUBLE) AS dzz,
+         CAST(MAX(CASE WHEN lag = 1 THEN nzz END) AS DOUBLE) AS z1,
+         CAST(MAX(CASE WHEN lag = 2 THEN nzz END) AS DOUBLE) AS z2,
+         CAST(MAX(CASE WHEN lag = 3 THEN nzz END) AS DOUBLE) AS z3,
+         CAST(MAX(CASE WHEN lag = 4 THEN nzz END) AS DOUBLE) AS z4,
+         CAST(MAX(CASE WHEN lag = 5 THEN nzz END) AS DOUBLE) AS z5,
+         CAST(MAX(CASE WHEN lag = 6 THEN nzz END) AS DOUBLE) AS z6,
+         CAST(MAX(CASE WHEN lag = 7 THEN nzz END) AS DOUBLE) AS z7
+  FROM num, st, den
+  GROUP BY st.n, den.dzz
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(z1 / dzz, 6) AS rho_1,
+       ROUND(z2 / dzz, 6) AS rho_2,
+       ROUND(z3 / dzz, 6) AS rho_3,
+       ROUND(z4 / dzz, 6) AS rho_4,
+       ROUND(z5 / dzz, 6) AS rho_5,
+       ROUND(z6 / dzz, 6) AS rho_6,
+       ROUND(z7 / dzz, 6) AS rho_7,
+       ROUND(CAST(n AS DOUBLE) * (n + 2)
+             * ((z1 / dzz) * (z1 / dzz) / (n - 1)
+                + (z2 / dzz) * (z2 / dzz) / (n - 2)
+                + (z3 / dzz) * (z3 / dzz) / (n - 3)
+                + (z4 / dzz) * (z4 / dzz) / (n - 4)
+                + (z5 / dzz) * (z5 / dzz) / (n - 5)
+                + (z6 / dzz) * (z6 / dzz) / (n - 6)
+                + (z7 / dzz) * (z7 / dzz) / (n - 7)), 4) AS q_lb_7
+FROM p
+"""
+
+
+@query("stats_ljung_box", oracle=LJUNG_BOX_ORACLE)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic Q(7) on the daily event-count
+    series — the whiteness test that summarizes what
+    events_autocorrelation shows lag-by-lag: is there ANY serial
+    dependence in the first 7 lags? (Compare Q against the chi-square
+    critical value at df=7; the inverse CDF stays caller-side, the
+    events_expfit_gof precedent.)
+
+    Determinism: the standard ACF estimator needs (y_t - mean), which
+    is not integer — so every term is scaled by n: z_t = n*y_t - S is
+    an EXACT integer, rho_k = sum(z_t*z_{t-k}) / sum(z_t^2) (the n^2
+    factors cancel), and all numerators/denominators fold in
+    DECIMAL(38,0)/HUGEINT. The 7 lag numerators MAX-CASE-pivot to one
+    row, so Q's float chain is a single fixed parse tree.
+
+    Scale: corpus collapses to one row per DAY first (map-side
+    combined, calendar-bounded forever); the 7-lag self-join and
+    everything after runs on #days rows.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    st = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")).collect()[0]
+    n, s = int(st["n"]), int(st["s"])
+    dec = "decimal(38,0)"
+    z = daily.select("d", (F.lit(n) * F.col("y") - F.lit(s)).cast(dec).alias("z"))
+    dzz = z.agg(F.sum((F.col("z") * F.col("z")).cast(dec)).alias("dzz"))
+    a = z.select(
+        F.col("d").alias("ad"),
+        F.col("z").alias("za"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    num = (
+        a.join(
+            z.select(F.col("d").alias("bd"), F.col("z").alias("zb")),
+            F.expr("bd = ad + lag"),
+        )
+        .groupBy("lag")
+        .agg(F.sum((F.col("za") * F.col("zb")).cast(dec)).alias("nzz"))
+    )
+    p = num.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("nzz")))
+            .cast("double")
+            .alias(f"z{k}")
+            for k in range(1, 8)
+        ]
+    ).crossJoin(F.broadcast(dzz.select(F.col("dzz").cast("double").alias("dzz"))))
+    nd = float(n)
+    rho = {k: F.col(f"z{k}") / F.col("dzz") for k in range(1, 8)}
+    q = F.lit(nd) * (n + 2)
+    terms = rho[1] * rho[1] / F.lit(n - 1)
+    for k in range(2, 8):
+        terms = terms + rho[k] * rho[k] / F.lit(n - k)
+    return p.select(
+        F.lit(n).cast("long").alias("n_days"),
+        *[F.round(rho[k], 6).alias(f"rho_{k}") for k in range(1, 8)],
+        F.round(q * terms, 4).alias("q_lb_7"),
+    )
+
+
+HODGES_LEHMANN_ORACLE = """
+WITH ga AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*)::BIGINT AS c
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+),
+gb AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*)::BIGINT AS c
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+),
+diffs AS (
+  SELECT ga.q - gb.q AS d, SUM(ga.c * gb.c)::HUGEINT AS w
+  FROM ga CROSS JOIN gb
+  GROUP BY 1
+),
+tot AS (SELECT SUM(w) AS tw FROM diffs),
+cum AS (SELECT d, w, SUM(w) OVER (ORDER BY d) AS cw FROM diffs)
+SELECT
+  (SELECT SUM(c) FROM ga)::BIGINT AS n_a,
+  (SELECT SUM(c) FROM gb)::BIGINT AS n_b,
+  CAST(tot.tw AS VARCHAR) AS n_pairs,
+  (SELECT MIN(d) FROM cum, tot WHERE cw * 2 >= tot.tw)::BIGINT AS hl_diff_lo,
+  (SELECT MIN(d) FROM cum, tot WHERE cw * 2 > tot.tw)::BIGINT AS hl_diff_hi
+FROM tot
+"""
+
+
+@query("stats_hodges_lehmann", oracle=HODGES_LEHMANN_ORACLE)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location-shift estimator between returned ('A')
+    and open ('N') lineitem quantities: the median of ALL n_a x n_b
+    pairwise differences — the robust effect-size companion to
+    stats_mann_whitney's significance (U says "the groups differ",
+    HL says "by this much", immune to whales on either side).
+
+    NOT all-pairs: l_quantity is a bounded small dimension (~50
+    levels), so pairwise differences aggregate on the LEVEL grid —
+    50x50 weighted cells, weight ca*cb — and the weighted lower/upper
+    median comes from a cumulative sum over the ~99 distinct
+    differences (the aggregation-selected-quantile law; no ranked
+    window). All counts exact DECIMAL/HUGEINT; output is the exact
+    integer difference grid value, no floats anywhere.
+
+    Scale: two flag-filtered level aggregations (map-side combined to
+    50 rows each), a 50x50 broadcast cross of LEVEL MARGINALS (never
+    rows), one tiny cumulative window. The same level-grid trick as
+    stats_theil_sen; for a high-cardinality pair, bucket first as in
+    stats_kendall_tau_bucketed.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    qcol = F.col("l_quantity").cast("long").alias("q")
+
+    def marginal(flag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(qcol)
+            .groupBy("q")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ga, gb = marginal("A"), marginal("N")
+    dec = "decimal(38,0)"
+    diffs = (
+        ga.select(F.col("q").alias("qa"), F.col("c").alias("ca"))
+        .crossJoin(
+            F.broadcast(gb.select(F.col("q").alias("qb"), F.col("c").alias("cb")))
+        )
+        .groupBy((F.col("qa") - F.col("qb")).alias("d"))
+        .agg(F.sum((F.col("ca").cast(dec) * F.col("cb")).cast(dec)).alias("w"))
+    )
+    from pyspark.sql import Window
+
+    wspec = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = diffs.select("d", "w", F.sum("w").over(wspec).alias("cw"))
+    tw = diffs.agg(F.sum("w").alias("tw"))
+    cumt = cum.crossJoin(F.broadcast(tw))
+    lo = cumt.filter(F.col("cw") * 2 >= F.col("tw")).agg(F.min("d").alias("lo"))
+    hi = cumt.filter(F.col("cw") * 2 > F.col("tw")).agg(F.min("d").alias("hi"))
+    na = ga.agg(F.sum("c").alias("n_a"))
+    nb = gb.agg(F.sum("c").alias("n_b"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tw))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("tw").cast("string").alias("n_pairs"),
+            F.col("lo").cast("long").alias("hl_diff_lo"),
+            F.col("hi").cast("long").alias("hl_diff_hi"),
+        )
+    )
+
+
+PK_GAP_ORACLE = """
+SELECT 'orders' AS table_name,
+       MIN(o_orderkey) AS min_pk, MAX(o_orderkey) AS max_pk,
+       COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+       (MAX(o_orderkey) - MIN(o_orderkey) + 1
+        - COUNT(DISTINCT o_orderkey))::BIGINT AS n_missing
+FROM orders
+UNION ALL
+SELECT 'events',
+       MIN(event_id), MAX(event_id),
+       COUNT(DISTINCT event_id)::BIGINT,
+       (MAX(event_id) - MIN(event_id) + 1 - COUNT(DISTINCT event_id))::BIGINT
+FROM events
+UNION ALL
+SELECT 'documents',
+       MIN(doc_id), MAX(doc_id),
+       COUNT(DISTINCT doc_id)::BIGINT,
+       (MAX(doc_id) - MIN(doc_id) + 1 - COUNT(DISTINCT doc_id))::BIGINT
+FROM documents
+ORDER BY table_name
+"""
+
+
+@query("profile_pk_gap_census", oracle=PK_GAP_ORACLE)
+def profile_pk_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key density census per table: min/max/distinct and the
+    implied hole count (span - distinct) — the health check behind
+    keyset pagination, which the reference leans on completely (its
+    keyed scan re-anchors at max(pk) after corruption,
+    lib/taps/data_stream.rb:329-340, and its chunking assumes pk
+    ranges map roughly to row counts, lib/taps/data_stream.rb:268-277).
+    A sparse or gappy key domain silently skews partitioned-JDBC range
+    splits (spark.read.jdbc partitionColumn bounds) — exactly what
+    this census detects before a transfer plans its partitions.
+
+    Scale: per-table single aggregate with a distinct-count (Spark
+    plans a partial/final hash agg on the pk — one shuffle of distinct
+    keys, map-side combined); three small frames union to 3 rows.
+    min/max/distinct are exact integers — no float anywhere.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "events", "documents"))
+
+    def census(df: DataFrame, name: str, pk: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.min(pk).alias("min_pk"),
+            F.max(pk).alias("max_pk"),
+            F.count_distinct(F.col(pk)).alias("n_distinct"),
+            (
+                F.max(pk) - F.min(pk) + 1 - F.count_distinct(F.col(pk))
+            ).alias("n_missing"),
+        )
+
+    return (
+        census(t["orders"], "orders", "o_orderkey")
+        .unionByName(census(t["events"], "events", "event_id"))
+        .unionByName(census(t["documents"], "documents", "doc_id"))
+        .orderBy("table_name")
+    )

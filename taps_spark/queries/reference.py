@@ -735,3 +735,75 @@ def transfer_dryrun_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("table_name")
+
+
+RANGE_SPLIT_SKEW_ORACLE = """
+WITH b AS (
+  SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+),
+assigned AS (
+  SELECT CAST((o.o_orderkey - b.lo) * 8 // (b.hi - b.lo + 1) AS INT) AS split_id
+  FROM orders o, b
+),
+g AS (
+  SELECT split_id, COUNT(*)::BIGINT AS n_rows FROM assigned GROUP BY split_id
+),
+t AS (SELECT SUM(n_rows) AS total FROM g)
+SELECT g.split_id, g.n_rows,
+       CAST(FLOOR(CAST(g.n_rows AS DOUBLE) * 8
+                  / CAST(t.total AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+         AS load_factor_milli
+FROM g, t
+ORDER BY g.split_id
+"""
+
+
+@query("transfer_range_split_skew", oracle=RANGE_SPLIT_SKEW_ORACLE)
+def transfer_range_split_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count skew of a NAIVE uniform pk-range split into 8
+    partitions — exactly the split `spark.read.jdbc(partitionColumn,
+    lowerBound, upperBound, numPartitions)` generates, and the modern
+    form of the reference's keyset-range chunking assumption
+    (lib/taps/data_stream.rb:268-277 sizes fetches by pk range and
+    implicitly assumes range maps to rows). load_factor_milli = 1000
+    means a perfectly balanced split; a sparse or clustered key domain
+    (see profile_pk_gap_census) shows up as factors far from 1000 —
+    the signal to switch that table to equi-depth predicates
+    (profile_equidepth_histogram's cutpoints) before a 100 TB
+    transfer serializes behind its hottest partition.
+
+    Determinism: split assignment is pure integer math
+    ((pk - lo) * 8 div span); counts are exact; the load factor is
+    one fixed FLOOR fold over two exact integers.
+
+    Scale: one aggregate for bounds (scan-only, min/max pushdown-able
+    in parquet footers), one map-side-combined 8-group count — the
+    cheapest two-pass shape; no window, no join wider than a
+    broadcast scalar.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    )
+    assigned = orders.crossJoin(F.broadcast(b)).select(
+        F.expr(
+            "CAST((o_orderkey - lo) * 8 div (hi - lo + 1) AS INT)"
+        ).alias("split_id")
+    )
+    g = assigned.groupBy("split_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    t = g.agg(F.sum("n_rows").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "split_id",
+            "n_rows",
+            F.floor(
+                F.col("n_rows").cast("double") * 8 / F.col("total").cast("double")
+                * 1000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("load_factor_milli"),
+        )
+        .orderBy("split_id")
+    )

@@ -2148,3 +2148,122 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+SILHOUETTE_ORACLE = """
+WITH c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+  FROM embeddings WHERE vec_id < 8
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT e.vec_id, c.c_id,
+         list_dot_product(e.v, c.c_vec)
+           / SQRT(list_dot_product(e.v, e.v)
+                  * list_dot_product(c.c_vec, c.c_vec)) AS cos
+  FROM e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, c_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+  FROM s
+),
+ab AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN c_id END) AS c_id,
+         MAX(CASE WHEN rn = 1 THEN cos END) AS cos1,
+         MAX(CASE WHEN rn = 2 THEN cos END) AS cos2
+  FROM r WHERE rn <= 2 GROUP BY vec_id
+),
+sil AS (
+  SELECT vec_id, c_id,
+         CAST(FLOOR(
+           CASE WHEN 1 - cos2 <= 0 THEN 0.0
+                ELSE (cos1 - cos2) / (1 - cos2) END * 1000000000 + 0.5)
+           AS DECIMAL(38,0)) AS qsil
+  FROM ab
+)
+SELECT c_id AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(FLOOR(CAST(SUM(qsil) AS DOUBLE) / 1000000000
+                  / CAST(COUNT(*) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+         AS mean_sil_milli
+FROM sil
+GROUP BY c_id
+ORDER BY centroid_id
+"""
+
+
+@query("similarity_silhouette", oracle=SILHOUETTE_ORACLE)
+def similarity_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per cluster over
+    the fixed k=8 assignment of similarity_kmeans_assign — the
+    cluster-quality verdict the E/M steps don't give: a(i) = cosine
+    distance to the OWN centroid, b(i) = distance to the nearest
+    OTHER centroid, s(i) = (b-a)/max(a,b). Since b >= a >= 0 here,
+    s = (cos1-cos2)/(1-cos2) — near 1 means tight well-separated
+    clusters, near 0 means the vector sits on a boundary (SemDeDup
+    prunes clusters by exactly this kind of margin). The classic
+    all-pairs silhouette is O(n^2); the centroid form is the standard
+    scalable surrogate (same argmin machinery as the E-step).
+
+    Determinism: nearest/second-nearest picked by row_number over
+    (cos DESC, c_id) — centroid id closes the total order; each
+    vector's s nano-quantizes to DECIMAL(38,0) BEFORE the cluster
+    mean (no unordered double sum); the 1-cos2 == 0 degenerate case
+    pins s = 0 on both engines.
+
+    Scale: broadcast(8 centroids) x one corpus scan, a k<=2 window
+    group-limit, an 8-group fold — corpus-linear, no shuffle wider
+    than the result. Cites the reference's per-table profile lineage
+    (lib/taps/server.rb:160-169) via the kmeans family docstrings.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    from pyspark.sql import Window
+
+    from taps_spark.operators.similarity import cosine
+
+    s = emb.join(F.broadcast(cent)).select(
+        "vec_id", "c_id", cosine(F.col("embedding"), F.col("c_vec")).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "c_id")
+    ab = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("c_id"))).alias("c_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("cos"))).alias("cos1"),
+            F.max(F.when(F.col("rn") == 2, F.col("cos"))).alias("cos2"),
+        )
+    )
+    sil = ab.select(
+        "c_id",
+        F.floor(
+            F.when(F.lit(1) - F.col("cos2") <= 0, F.lit(0.0))
+            .otherwise(
+                (F.col("cos1") - F.col("cos2")) / (F.lit(1) - F.col("cos2"))
+            )
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("qsil"),
+    )
+    g = sil.groupBy("c_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qsil").alias("sq")
+    )
+    return g.select(
+        F.col("c_id").alias("centroid_id"),
+        F.col("n").alias("n_assigned"),
+        F.floor(
+            F.col("sq").cast("double") / 1000000000 / F.col("n").cast("double")
+            * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_sil_milli"),
+    ).orderBy("centroid_id")

@@ -4785,3 +4785,85 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+HAPAX_ORACLE = """
+WITH tok AS (
+  SELECT source, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w, COUNT(*)::BIGINT AS global_c FROM tok WHERE w <> '' GROUP BY w
+),
+per_source AS (
+  SELECT source, w, COUNT(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY source, w
+)
+SELECT ps.source,
+       CAST(SUM(ps.c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN v.global_c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax_types,
+       CAST(SUM(CASE WHEN v.global_c = 1 THEN ps.c ELSE 0 END) AS BIGINT)
+         AS n_hapax_tokens,
+       CAST(FLOOR(CAST(SUM(CASE WHEN v.global_c = 1 THEN ps.c ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(ps.c) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         AS hapax_token_ppm
+FROM per_source ps JOIN vocab v ON ps.w = v.w
+GROUP BY ps.source
+ORDER BY ps.source
+"""
+
+
+@query("text_hapax_share", oracle=HAPAX_ORACLE)
+def text_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena share per source: how much of each source's
+    token mass is words that occur EXACTLY ONCE in the whole corpus —
+    the classic OCR-noise / machine-gibberish / tokenizer-blowup
+    signal (a healthy natural-language source runs ~40-60% hapax
+    TYPES but a low single-digit ppm of TOKEN mass; a corrupted shard
+    spikes both). Complements text_heaps_law (vocabulary GROWTH) and
+    text_term_burstiness (dispersion) with the frequency-spectrum
+    floor; §2c text-analysis extension, reference has no text surface.
+
+    Determinism: pure integer counts end-to-end; the one ppm ratio is
+    a fixed FLOOR(x*1e6+0.5) fold over two exact BIGINTs.
+
+    Scale: map-only HOF tokenization (no explode of raw text rows
+    until the token grain, which map-side combines), one token-grain
+    shuffle for the global vocabulary, one (source, token)-grain
+    shuffle, then a broadcast-sized join of the per-source marginals
+    against the vocabulary at token grain (shuffle join on the
+    already-aggregated grains — never row-scale). Output is
+    |sources| rows.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("global_c"))
+    per_source = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    j = per_source.join(vocab, "w")
+    hap = F.when(F.col("global_c") == 1, F.col("c")).otherwise(F.lit(0))
+    hap_t = F.when(F.col("global_c") == 1, F.lit(1)).otherwise(F.lit(0))
+    g = j.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(hap_t).alias("n_hapax_types"),
+        F.sum(hap).alias("n_hapax_tokens"),
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax_types",
+        "n_hapax_tokens",
+        F.floor(
+            F.col("n_hapax_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hapax_token_ppm"),
+    ).orderBy("source")
