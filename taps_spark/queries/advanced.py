@@ -597,3 +597,104 @@ def layout_zorder_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+BITWISE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(BIT_AND(o_orderkey) AS BIGINT) AS and_all,
+       CAST(BIT_OR(o_orderkey) AS BIGINT) AS or_all,
+       CAST(BIT_XOR(o_orderkey) AS BIGINT) AS xor_all,
+       CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_low_byte,
+       CAST(SUM((o_orderkey >> 8) & 15) AS BIGINT) AS sum_mid_nibble,
+       CAST(SUM(CASE WHEN (o_orderkey & 1) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_odd
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("scalar_bitwise_funcs", oracle=BITWISE_ORACLE)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface (SURVEY §2b scalar family):
+    per-priority BIT_AND / BIT_OR / BIT_XOR folds of the order key and
+    masked/shifted scalar extractions (& 255, >> 8 & 15, parity) — the
+    primitive layer under every hand-rolled bitmap/bloom/flag-word
+    scheme (dedup_bloom_incremental and the simhash family build on
+    exactly these). All integer, bit-exact cross-engine by definition.
+
+    Scale: one map-side-combinable grouped aggregate; bit folds are
+    associative-commutative so partial aggregation applies untouched.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    k = F.col("o_orderkey")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_and(k).alias("and_all"),
+            F.bit_or(k).alias("or_all"),
+            F.bit_xor(k).alias("xor_all"),
+            F.sum(F.expr("o_orderkey & 255")).alias("sum_low_byte"),
+            F.sum(F.expr("shiftright(o_orderkey, 8) & 15")).alias(
+                "sum_mid_nibble"
+            ),
+            F.sum(F.expr("CASE WHEN (o_orderkey & 1) = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_odd"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MODE_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority AS prio,
+         CAST(isodow(o_orderdate) AS INT) AS dow,
+         COUNT(*)::BIGINT AS cnt
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT prio, MAX(cnt) AS mc FROM c GROUP BY prio)
+SELECT c.prio AS o_orderpriority,
+       MIN(c.dow) AS mode_dow,
+       CAST(mx.mc AS BIGINT) AS mode_count
+FROM c JOIN mx ON c.prio = mx.prio AND c.cnt = mx.mc
+GROUP BY c.prio, mx.mc
+ORDER BY c.prio
+"""
+
+
+@query("agg_mode_exact", oracle=MODE_ORACLE)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group with a PINNED tie rule (highest count,
+    then smallest value): the most frequent order day-of-week per
+    priority. Engines' built-in mode() leaves ties implementation-
+    defined — a cross-engine hash would flap — so the operator is the
+    portable two-aggregate form: value-grain counts, per-group max
+    joined back, MIN(value) among the argmax set. (SURVEY §2b
+    aggregation family; the deterministic sibling of
+    profile_skew_heavy_hitters' top-k.)
+
+    Scale: two map-side-combinable aggregates on (group, value) and
+    (group) grains plus a broadcast-sized join on the group key —
+    value cardinality bounds the grid (7 here), rows never re-shuffle.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        (F.weekday(F.col("o_orderdate")) + 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mx = c.groupBy("prio").agg(F.max("cnt").alias("mc"))
+    return (
+        c.join(F.broadcast(mx), ["prio"])
+        .filter(F.col("cnt") == F.col("mc"))
+        .groupBy("prio", "mc")
+        .agg(F.min("dow").alias("mode_dow"))
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "mode_dow",
+            F.col("mc").cast("long").alias("mode_count"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -5028,3 +5028,114 @@ def profile_pk_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(t["documents"], "documents", "doc_id"))
         .orderBy("table_name")
     )
+
+
+CVM_ORACLE = """
+WITH sided AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_b
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+counts AS (
+  SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca, CAST(SUM(is_b) AS BIGINT) AS cb
+  FROM sided GROUP BY v
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n, CAST(SUM(cb) AS BIGINT) AS m FROM counts
+),
+ecdf AS (
+  SELECT ca + cb AS t,
+         SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM counts
+),
+agg AS (
+  SELECT SUM(CAST(t AS DECIMAL(38,0))
+             * CAST(cum_a * m - cum_b * n AS DECIMAL(38,0))
+             * CAST(cum_a * m - cum_b * n AS DECIMAL(38,0))) AS num
+  FROM ecdf CROSS JOIN tot
+)
+SELECT tot.n AS n_a, tot.m AS n_b,
+       CAST(agg.num AS VARCHAR) AS t_numerator,
+       ROUND(CAST(agg.num AS DOUBLE)
+             / (CAST(tot.n + tot.m AS DOUBLE) * (tot.n + tot.m)
+                * tot.n * tot.m), 6) AS cvm_stat
+FROM agg CROSS JOIN tot
+"""
+
+
+@query("stats_cvm_two_sample", oracle=CVM_ORACLE)
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises statistic (finished vs open order
+    prices): T = (nm/N^2) * sum over pooled observations of
+    (F_a - F_b)^2 — the EDF test that completes the family with
+    stats_ks_test (KS sees only the single worst gap; CvM integrates
+    EVERY gap, catching distributed drift KS dilutes). Same drift-
+    detection use: yesterday's score distribution vs today's.
+
+    Determinism: the same exact-integer ECDF cross-product as KS —
+    per-value D_k = cum_a*m - cum_b*n is an exact BIGINT, the sum
+    folds t_k * D_k^2 in DECIMAL(38,0) (bounded by N*(nm)^2: exact
+    through n,m ~ 3e8; beyond that pre-bucket values as in
+    stats_kendall_tau_bucketed), exported as a digit string; the
+    normalized statistic is one fixed float parse tree.
+
+    Scale: identical plan family to stats_ks_test — value-grid
+    pre-aggregation, distributed prefix sums (operators/keys), 1-row
+    reduce; no single-partition window.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+    sided = orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        v.alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_a"),
+        F.when(F.col("o_orderstatus") == "O", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_b"),
+    )
+    counts = sided.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    from taps_spark.operators.keys import prefix_sums
+
+    ecdf = prefix_sums(counts, "v", ("ca", "cb")).select(
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.col("cum_ca").alias("cum_a"),
+        F.col("cum_cb").alias("cum_b"),
+    )
+    totals = counts.agg(F.sum("ca").alias("n"), F.sum("cb").alias("m"))
+    d19 = "decimal(19,0)"
+    d = F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n")
+    agg = (
+        ecdf.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("m").alias("m"),
+            F.sum(
+                (F.col("t").cast(d19) * d.cast(d19) * d.cast(d19)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("num"),
+        )
+    )
+    nm = F.col("n") + F.col("m")
+    return agg.select(
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        F.col("num").cast("string").alias("t_numerator"),
+        F.round(
+            F.col("num").cast("double")
+            / (
+                nm.cast("double")
+                * nm
+                * F.col("n")
+                * F.col("m")
+            ),
+            6,
+        ).alias("cvm_stat"),
+    )
