@@ -807,3 +807,72 @@ def transfer_range_split_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_id")
     )
+
+
+MONEY_PRECISION_ORACLE = """
+WITH probe AS (
+  SELECT 'l_discount' AS col, l_discount AS x FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', l_tax FROM lineitem
+  UNION ALL
+  SELECT 'o_totalprice', o_totalprice FROM orders
+)
+SELECT col,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN x * 100 = FLOOR(x * 100) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_cents,
+       CAST(SUM(CASE WHEN x * 100 = FLOOR(x * 100) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_fp_residue
+FROM probe
+GROUP BY col
+ORDER BY col
+"""
+
+
+@query("validation_money_precision_audit", oracle=MONEY_PRECISION_ORACLE)
+def validation_money_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-column representability audit: for each DOUBLE money/rate
+    column, how many values land EXACTLY on the cents grid
+    (x*100 == floor(x*100) in IEEE double) vs carry binary-float
+    residue — the modern form of the reference's write-side type
+    validation (varchar length + integer range raise InvalidData,
+    lib/taps/utils.rb:59-68, lib/taps/data_stream.rb:206-213): before
+    a 100 TB transfer declares DECIMAL(18,2) target columns, this
+    census says whether a lossless cast exists or rounding policy is
+    needed. A nonzero n_fp_residue on a column the engine folds via
+    ROUND(x*100) (every cents-grid query here) quantifies exactly
+    which rows the fold normalizes.
+
+    Determinism: both engines evaluate the same IEEE expression on
+    the same parquet doubles — the predicate is bit-identical by
+    construction; outputs are pure counts.
+
+    Scale: one UNION of narrow single-column scans (column-pruned at
+    the parquet reader), map-side-combined counts to 4 rows.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li, od = t["lineitem"], t["orders"]
+
+    def probe(df: DataFrame, col: str) -> DataFrame:
+        return df.select(F.lit(col).alias("col"), F.col(col).alias("x"))
+
+    probe_df = (
+        probe(li, "l_discount")
+        .unionByName(probe(li, "l_extendedprice"))
+        .unionByName(probe(li, "l_tax"))
+        .unionByName(probe(od, "o_totalprice"))
+    )
+    clean = (F.col("x") * 100 == F.floor(F.col("x") * 100).cast("double")).cast(
+        "long"
+    )
+    return (
+        probe_df.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(clean).alias("n_exact_cents"),
+            (F.count(F.lit(1)) - F.sum(clean)).alias("n_fp_residue"),
+        )
+        .orderBy("col")
+    )
