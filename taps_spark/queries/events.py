@@ -3846,3 +3846,87 @@ def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+FANO_ORACLE = """
+WITH m AS (
+  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+         COUNT(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT MAX(epoch_us(ts) // 60000000) - MIN(epoch_us(ts) // 60000000) + 1 AS mm
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM m GROUP BY event_type
+)
+SELECT event_type,
+       s AS n_events,
+       n_active AS n_active_minutes,
+       CAST(span.mm AS BIGINT) AS span_minutes,
+       CAST(FLOOR((CAST(ss AS DOUBLE) * span.mm - CAST(s AS DOUBLE) * s)
+                  / (CAST(span.mm AS DOUBLE) * s) * 1000 + 0.5) AS BIGINT)
+         AS fano_milli
+FROM agg CROSS JOIN span
+ORDER BY event_type
+"""
+
+
+@query("events_fano_factor", oracle=FANO_ORACLE)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of per-minute event counts
+    per type, ZEROS INCLUDED over the full observation span — the
+    temporal-burstiness verdict (1000 milli = Poisson; above =
+    bursty/clustered arrivals, below = pacing/rate-limiting). The
+    event-stream twin of text_term_burstiness' per-document VMR, and
+    the quantitative backdrop for events_burst_days / velocity_alert
+    thresholds.
+
+    Determinism: empty minutes never materialize — with M = span
+    minutes, S = sum(c), SS = sum(c^2) over ACTIVE minutes only,
+    population var/mean folds to (SS*M - S^2)/(M*S) exactly; S/SS are
+    exact BIGINTs and the fold is one fixed float parse tree with a
+    FLOOR(x*1000+0.5) milli export.
+
+    Scale: one (type, minute)-grain map-side-combined count (the
+    hypertable law: minute grain is calendar-bounded), a |types|-row
+    aggregate, a broadcast scalar span. No window, no join wider than
+    a 1-row cross.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    minute = F.expr("unix_micros(cast(ts as timestamp)) div 60000000")
+    m = ev.groupBy(
+        "event_type", minute.alias("minute")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = ev.agg((F.max(minute) - F.min(minute) + 1).alias("mm"))
+    agg = m.groupBy("event_type").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mmd = F.col("mm").cast("double")
+    return (
+        agg.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("s").alias("n_events"),
+            F.col("n_active").alias("n_active_minutes"),
+            F.col("mm").cast("long").alias("span_minutes"),
+            F.floor(
+                (ssd * F.col("mm") - sd * F.col("s"))
+                / (mmd * F.col("s"))
+                * 1000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("fano_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -5139,3 +5139,141 @@ def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvm_stat"),
     )
+
+
+MOOD_MEDIAN_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS prio,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+grid AS (SELECT cents, COUNT(*)::BIGINT AS c FROM v GROUP BY cents),
+cum AS (SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cum_c FROM grid),
+med AS (
+  SELECT MIN(cents) AS m
+  FROM cum, (SELECT SUM(c)::BIGINT AS n FROM grid) t
+  WHERE cum_c * 2 >= t.n
+),
+cls AS (
+  SELECT prio,
+         CAST(SUM(CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN cents > (SELECT m FROM med) THEN 0 ELSE 1 END)
+              AS BIGINT) AS b
+  FROM v GROUP BY prio
+),
+p AS (
+  SELECT CAST(SUM(a + b) AS BIGINT) AS n, CAST(SUM(a) AS BIGINT) AS ta,
+         CAST(MAX(CASE WHEN prio = '1-URGENT' THEN a END) AS DOUBLE) AS a1,
+         CAST(MAX(CASE WHEN prio = '1-URGENT' THEN b END) AS DOUBLE) AS b1,
+         CAST(MAX(CASE WHEN prio = '2-HIGH' THEN a END) AS DOUBLE) AS a2,
+         CAST(MAX(CASE WHEN prio = '2-HIGH' THEN b END) AS DOUBLE) AS b2,
+         CAST(MAX(CASE WHEN prio = '3-MEDIUM' THEN a END) AS DOUBLE) AS a3,
+         CAST(MAX(CASE WHEN prio = '3-MEDIUM' THEN b END) AS DOUBLE) AS b3,
+         CAST(MAX(CASE WHEN prio = '4-NOT SPECIFIED' THEN a END) AS DOUBLE) AS a4,
+         CAST(MAX(CASE WHEN prio = '4-NOT SPECIFIED' THEN b END) AS DOUBLE) AS b4,
+         CAST(MAX(CASE WHEN prio = '5-LOW' THEN a END) AS DOUBLE) AS a5,
+         CAST(MAX(CASE WHEN prio = '5-LOW' THEN b END) AS DOUBLE) AS b5
+  FROM cls
+)
+SELECT n, (SELECT m FROM med) AS median_cents,
+       CAST(ta AS BIGINT) AS n_above,
+       ROUND(
+         ((a1 - (a1 + b1) * ta / n) * (a1 - (a1 + b1) * ta / n)
+            / ((a1 + b1) * ta / n)
+          + (b1 - (a1 + b1) * (n - ta) / n) * (b1 - (a1 + b1) * (n - ta) / n)
+            / ((a1 + b1) * (n - ta) / n))
+         + ((a2 - (a2 + b2) * ta / n) * (a2 - (a2 + b2) * ta / n)
+            / ((a2 + b2) * ta / n)
+          + (b2 - (a2 + b2) * (n - ta) / n) * (b2 - (a2 + b2) * (n - ta) / n)
+            / ((a2 + b2) * (n - ta) / n))
+         + ((a3 - (a3 + b3) * ta / n) * (a3 - (a3 + b3) * ta / n)
+            / ((a3 + b3) * ta / n)
+          + (b3 - (a3 + b3) * (n - ta) / n) * (b3 - (a3 + b3) * (n - ta) / n)
+            / ((a3 + b3) * (n - ta) / n))
+         + ((a4 - (a4 + b4) * ta / n) * (a4 - (a4 + b4) * ta / n)
+            / ((a4 + b4) * ta / n)
+          + (b4 - (a4 + b4) * (n - ta) / n) * (b4 - (a4 + b4) * (n - ta) / n)
+            / ((a4 + b4) * (n - ta) / n))
+         + ((a5 - (a5 + b5) * ta / n) * (a5 - (a5 + b5) * ta / n)
+            / ((a5 + b5) * ta / n)
+          + (b5 - (a5 + b5) * (n - ta) / n) * (b5 - (a5 + b5) * (n - ta) / n)
+            / ((a5 + b5) * (n - ta) / n)),
+         4) AS chi2_stat,
+       4 AS df
+FROM p
+"""
+
+
+@query("stats_mood_median", oracle=MOOD_MEDIAN_ORACLE)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the 5 order priorities: is any
+    priority's price distribution shifted relative to the GLOBAL
+    median? The k-group nonparametric location screen that
+    generalizes the two-group rank tests (mann_whitney, wilcoxon) —
+    one chi-square over the 2xk above/at-or-below-median contingency
+    table (df = k-1; the critical-value lookup stays caller-side, the
+    stats_ljung_box / stats_tukey_hsd precedent).
+
+    Determinism: the global median is aggregation-selected on the
+    integer cents grid (lower median, 2*cum >= n); the 2x5 table is
+    exact BIGINT counts; the 5 priority levels are FIXED domain
+    literals, so the whole chi-square MAX-CASE-pivots to one row and
+    folds in a single fixed float parse tree (expected counts
+    (row_tot * col_tot / n) never materialize as a separate unordered
+    sum).
+
+    Scale: one cents-grid aggregation + distributed prefix sums for
+    the median (the stats_runs_test shape), one 5-group count pass,
+    then scalar math on one row. The median grid is value-bounded,
+    never row-bounded.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    grid = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    from taps_spark.operators.keys import prefix_sums
+
+    cum = prefix_sums(grid, "cents", ("c",))
+    n_total = grid.agg(F.sum("c")).collect()[0][0]
+    med = (
+        cum.filter(F.col("cum_c") * 2 >= F.lit(n_total))
+        .agg(F.min("cents"))
+        .collect()[0][0]
+    )
+    cls = v.groupBy("prio").agg(
+        F.sum((F.col("cents") > F.lit(med)).cast("long")).alias("a"),
+        F.sum((F.col("cents") <= F.lit(med)).cast("long")).alias("b"),
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    p = cls.agg(
+        F.sum(F.col("a") + F.col("b")).alias("n"),
+        F.sum("a").alias("ta"),
+        *[
+            F.max(F.when(F.col("prio") == pr, F.col(c)))
+            .cast("double")
+            .alias(f"{c}{i+1}")
+            for i, pr in enumerate(prios)
+            for c in ("a", "b")
+        ],
+    )
+    n = F.col("n").cast("double")
+    ta = F.col("ta").cast("double")
+    tb = (F.col("n") - F.col("ta")).cast("double")
+
+    def cell(i: int):
+        ai, bi = F.col(f"a{i}"), F.col(f"b{i}")
+        ea = (ai + bi) * ta / n
+        eb = (ai + bi) * tb / n
+        return (ai - ea) * (ai - ea) / ea + (bi - eb) * (bi - eb) / eb
+
+    chi2 = cell(1) + cell(2) + cell(3) + cell(4) + cell(5)
+    return p.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(med).cast("long").alias("median_cents"),
+        F.col("ta").cast("long").alias("n_above"),
+        F.round(chi2, 4).alias("chi2_stat"),
+        F.lit(4).cast("int").alias("df"),
+    )
