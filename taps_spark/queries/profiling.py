@@ -5277,3 +5277,120 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2_stat"),
         F.lit(4).cast("int").alias("df"),
     )
+
+
+PETTITT_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+grid AS (
+  SELECT cents, COUNT(*)::BIGINT AS c FROM daily GROUP BY cents
+),
+rk AS (
+  SELECT cents,
+         (2 * (SUM(c) OVER (ORDER BY cents) - c) + c + 1) AS two_r
+  FROM grid
+),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM daily),
+seq AS (
+  SELECT d.day,
+         SUM(rk.two_r) OVER (ORDER BY d.day) AS t2,
+         CAST(ROW_NUMBER() OVER (ORDER BY d.day) AS BIGINT) AS t
+  FROM daily d JOIN rk ON d.cents = rk.cents
+),
+u AS MATERIALIZED (
+  SELECT day, t, t2 - t * (n.n + 1) AS ut FROM seq, n WHERE t < n.n
+),
+k AS (SELECT MAX(ABS(ut))::BIGINT AS k_stat FROM u),
+cp AS (
+  SELECT MIN(day) AS cp_day FROM u, k WHERE ABS(ut) = k.k_stat
+)
+SELECT n.n AS n_days,
+       k.k_stat,
+       CAST(cp.cp_day AS BIGINT) AS changepoint_day,
+       (SELECT SUM(cents) // COUNT(*) FROM daily, cp
+         WHERE day <= cp.cp_day)::BIGINT AS mean_before_cents,
+       (SELECT SUM(cents) // COUNT(*) FROM daily, cp
+         WHERE day > cp.cp_day)::BIGINT AS mean_after_cents
+FROM n, k, cp
+"""
+
+
+@query("events_changepoint_pettitt", oracle=PETTITT_ORACLE)
+def events_changepoint_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on the daily-revenue series: the
+    retrospective, rank-based single-changepoint LOCATOR that
+    complements events_cusum_changepoint's online drift alarm —
+    K = max_t |U_t| with U_t = sum_{i<=t, j>t} sgn(x_i - x_j), and the
+    argmax day is the most probable break. (The exp-form p-value
+    approximation needs libm exp, so K and the located day are the
+    exports — the ljung-box/tukey critical-value boundary again.)
+
+    Determinism: the O(n^2) sign double-sum collapses to the exact
+    integer rank identity U_t = sum_{i<=t} 2r_i - t(n+1), where
+    2r = lo+hi midranks come from the cents-grid cumulative (the
+    mann-whitney machinery) — so U_t, K, and the argmax are pure
+    BIGINT; tie on the max picks MIN(day). Split means export as
+    floor-divided integer cents.
+
+    Scale: cents-grid ranks + day-grain running sums, both
+    calendar/value-bounded (the stats_runs_test law) — no row-scale
+    window; the series join is day-grain.
+    """
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    daily = orders.groupBy(
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
+            "day"
+        )
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    grid = daily.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    from taps_spark.operators.keys import prefix_sums
+
+    rk = prefix_sums(grid, "cents", ("c",)).select(
+        "cents",
+        (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("two_r"),
+    )
+    n = daily.count()
+    seqd = daily.join(rk, "cents").select("day", "two_r", F.lit(1).alias("one"))
+    seq = prefix_sums(seqd, "day", ("two_r", "one")).select(
+        "day",
+        F.col("cum_two_r").alias("t2"),
+        F.col("cum_one").alias("t"),
+    )
+    u = seq.filter(F.col("t") < n).select(
+        "day", (F.col("t2") - F.col("t") * (n + 1)).alias("ut")
+    )
+    k = u.agg(F.max(F.abs(F.col("ut"))).alias("k_stat"))
+    cp = (
+        u.crossJoin(F.broadcast(k))
+        .filter(F.abs(F.col("ut")) == F.col("k_stat"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    sides = daily.crossJoin(F.broadcast(cp)).select(
+        "cents", (F.col("day") <= F.col("cp_day")).alias("before")
+    )
+    means = sides.groupBy().agg(
+        F.expr(
+            "CAST(sum(CASE WHEN before THEN cents END) div "
+            "sum(CASE WHEN before THEN 1 END) AS BIGINT)"
+        ).alias("mean_before_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN NOT before THEN cents END) div "
+            "sum(CASE WHEN NOT before THEN 1 END) AS BIGINT)"
+        ).alias("mean_after_cents"),
+    )
+    return (
+        k.crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(means))
+        .select(
+            F.lit(n).cast("long").alias("n_days"),
+            F.col("k_stat").cast("long").alias("k_stat"),
+            F.col("cp_day").cast("long").alias("changepoint_day"),
+            "mean_before_cents",
+            "mean_after_cents",
+        )
+    )
