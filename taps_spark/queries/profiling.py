@@ -2007,7 +2007,16 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("i") == F.col("qr"), F.col("c")).otherwise(zero).alias("cl"),
         F.when(F.col("i") < F.col("qr"), F.col("c")).otherwise(zero).alias("cu"),
     )
-    g2 = ex.groupBy("flag", "i", "p").agg(
+    # Co-partition the exploded union on the aggregation grain at 64
+    # partitions BEFORE the hash agg: at sf0.1 the explode emits ~15M
+    # rows and a 16-partition session concentrates ~1M hash-map
+    # entries per task — enough to OOM a default-1g-heap JVM that
+    # already carries a long session's debris (measured: the r10
+    # sf0.1 sweep died here at query ~208). Catalyst recognizes the
+    # co-partitioning, so the groupBy adds no second shuffle; 64
+    # partitions cost ~4 task waves on 16 threads but cap per-task
+    # aggregation state at any session heap.
+    g2 = ex.repartition(64, "flag", "i", "p").groupBy("flag", "i", "p").agg(
         F.sum("cl").alias("cl"), F.sum("cu").alias("cu")
     )
     wli = Window.partitionBy("flag", "i").orderBy("p")

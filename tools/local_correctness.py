@@ -146,14 +146,53 @@ def main() -> int:
 
     # Plain session on purpose: the external driver builds a conf-less
     # one, so engine tuning must happen inside the queries themselves.
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.ui.enabled", "false")
-        .appName("local_correctness")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        # Force-clear the client-side singletons first: after a JVM
+        # crash, plain getOrCreate() happily returns the DEAD session
+        # (SparkContext._active_spark_context and the py4j gateway
+        # survive on the Python side).
+        from pyspark import SparkContext
+
+        try:
+            if SparkContext._active_spark_context is not None:
+                SparkContext._active_spark_context.stop()
+        except Exception:  # noqa: BLE001 — gateway already gone
+            pass
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        s = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            .appName("local_correctness")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_session()
+
+    def jvm_dead(ex: Exception) -> bool:
+        """A default-heap (1g) local JVM can die under 300+ queries of
+        accumulated debris plus one heavy plan (r10: stats_kendall_tau
+        at sf0.1 OOMed the sweep JVM at query ~208 and the remaining
+        137 queries all recorded ConnectionRefusedError — bogus
+        failures). Detect the death signature so the sweep restarts a
+        fresh JVM and retries instead of cascading."""
+        msg = f"{type(ex).__name__}: {ex}"
+        return any(
+            sig in msg
+            for sig in (
+                "ConnectionRefused",
+                "Connection refused",
+                "Answer from Java side is empty",
+                "Py4JNetworkError",
+                "Java gateway process exited",
+            )
+        )
 
     import __spark_entry__ as entry
 
@@ -168,12 +207,27 @@ def main() -> int:
 
     results, n_pass, n_rows_only, n_fail = {}, 0, 0, 0
     t0 = time.time()
+    n_since_restart = 0
     for name, fn in qs.items():
+        # Proactive JVM renewal: bound the debris a 1g default-heap
+        # session accumulates over a 350-query sweep (see jvm_dead).
+        if n_since_restart >= 120:
+            spark = fresh_session()
+            n_since_restart = 0
+        n_since_restart += 1
         # Streaming queries are NOT skipped: the driver runs them
         # against their oracles, so the local gate must too (r2's
         # micros-vs-nanos event-time bug escaped through a skip here).
         try:
-            spdf = fn(spark, sf_dir).toPandas()
+            try:
+                spdf = fn(spark, sf_dir).toPandas()
+            except Exception as ex:  # noqa: BLE001
+                if not jvm_dead(ex):
+                    raise
+                # Dead JVM: restart once and retry this query fresh.
+                spark = fresh_session()
+                n_since_restart = 1
+                spdf = fn(spark, sf_dir).toPandas()
             if name not in osql:
                 results[name] = {"status": "rows_only", "rows": len(spdf)}
                 n_rows_only += 1
