@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,49 +27,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _coverage_counts() -> dict[str, int]:
-    """Count green driver-correctness rows per query across past rounds.
-
-    The driver gates a bounded prefix of `queries()` each round, so we
-    rotate: queries with the fewest green rows in CORRECTNESS_r*.json
-    sort first, giving every registered query a hard-signal row across
-    consecutive rounds.  Deterministic given the committed artifacts.
-    """
+def _artifact_scan() -> tuple[dict[str, int], dict[str, int], set[str], int]:
+    """ONE pass over the committed CORRECTNESS_r*.json artifacts (they
+    are the driver's per-round hard-signal record) returning
+    (green-row counts, last-green round, latest-round failures,
+    latest round number). Paths sort by the extracted round NUMBER —
+    lexicographic order would file r100 between r10 and r11.
+    Deterministic given the committed artifacts."""
     here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
     counts: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    last: dict[str, int] = {}
+    failed: set[str] = set()
+    latest = 0
+    for path in paths:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        latest = max(latest, rnd)
+        is_latest = path is paths[-1]
+        if is_latest:
+            failed = set()
         for name, row in rows.items():
-            if isinstance(row, dict) and _row_green(row):
+            if not isinstance(row, dict):
+                continue
+            if _row_green(row):
                 counts[name] = counts.get(name, 0) + 1
-    return counts
+                last[name] = rnd
+            elif is_latest:
+                failed.add(name)
+    return counts, last, failed, latest
+
+
+def _coverage_counts() -> dict[str, int]:
+    """Green driver-correctness rows per query across past rounds."""
+    return _artifact_scan()[0]
 
 
 def _last_green_round() -> dict[str, int]:
-    """Most recent round index (1-based over the sorted artifacts) in
-    which each query had a green row. Staleness tiebreak: among
-    queries with equal green-row counts, the one whose last green is
-    OLDEST re-gates first — a query last verified in r1 whose module
-    was since refactored needs fresh driver evidence more than one
-    verified last round (r9 VERDICT task #5)."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    last: dict[str, int] = {}
-    for i, path in enumerate(
-        sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))), start=1
-    ):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        for name, row in rows.items():
-            if isinstance(row, dict) and _row_green(row):
-                last[name] = i
-    return last
+    """Most recent round NUMBER in which each query had a green row."""
+    return _artifact_scan()[1]
 
 
 def _row_green(row: dict) -> bool:
@@ -93,30 +97,24 @@ def _failed_latest_round() -> set[str]:
     artifact. These must re-gate before anything else: a recorded
     failure with a fix in the tree is worth more than first coverage
     of a new query."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    if not paths:
-        return set()
-    try:
-        with open(paths[-1]) as f:
-            rows = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return set()
-    return {
-        name
-        for name, row in rows.items()
-        if isinstance(row, dict) and not _row_green(row)
-    }
+    return _artifact_scan()[2]
 
 
 def _rotated(names: list[str]) -> list[str]:
-    counts = _coverage_counts()
-    failed = _failed_latest_round()
-    last = _last_green_round()
-    # Failed-last-round first, then least-covered, then stalest last
-    # green; registry order breaks remaining ties (stable sort).
+    counts, last, failed, latest = _artifact_scan()
+    # Failed-last-round first, then stalest last-green (LRU: every
+    # query re-gates within ceil(N/50) rounds by construction), then
+    # least-covered; registry order breaks remaining ties (stable
+    # sort). Queries with NO driver row yet slot at pivot = latest-4:
+    # BEHIND genuinely stale re-gates, AHEAD of recently-verified
+    # ones — a query whose last driver evidence predates four rounds
+    # of shared-primitive churn needs a fresh row more than a
+    # newcomer already green in the full local sweep at HEAD
+    # (r10 VERDICT task #3). Stateless given the artifacts.
+    pivot = max(latest - 4, 1)
     return sorted(
-        names, key=lambda n: (n not in failed, counts.get(n, 0), last.get(n, 0))
+        names,
+        key=lambda n: (n not in failed, last.get(n, pivot), counts.get(n, 0)),
     )
 
 

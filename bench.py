@@ -162,7 +162,17 @@ def main() -> None:
         "runs": reps,
         "sf": out["sf"],
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    # Tail-window guard: HEADLINE grows ~2 queries/round (~70 bytes);
+    # if the compact line ever nears the driver's 2000-char capture,
+    # drop the per-query map (it survives in BENCH_LOCAL.json) so the
+    # suite total always parses instead of silently reintroducing the
+    # r8/r9 "parsed": null failure.
+    if len(line) >= 1900:
+        compact.pop("queries")
+        compact["queries_in"] = "BENCH_LOCAL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

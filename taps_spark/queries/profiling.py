@@ -5123,8 +5123,12 @@ def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ecdf.crossJoin(F.broadcast(totals))
         .agg(
-            F.first("n").alias("n"),
-            F.first("m").alias("m"),
+            # MAX, not FIRST: every row carries identical broadcast
+            # totals, but first() is contractually non-deterministic
+            # in Spark — max() makes the plan deterministic by
+            # construction, not by data shape (r11 ADVICE).
+            F.max("n").alias("n"),
+            F.max("m").alias("m"),
             F.sum(
                 (F.col("t").cast(d19) * d.cast(d19) * d.cast(d19)).cast(
                     "decimal(38,0)"

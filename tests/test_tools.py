@@ -11,6 +11,7 @@ strict checker against exactly that escape class.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from decimal import Decimal
@@ -134,20 +135,47 @@ def test_bench_compare_min_fallback(tmp_path, monkeypatch, capsys):
     assert "min-of-N holds" in out["dismissed_as_noise"][0]["basis"]
 
 
-def test_driver_rotation_orders_failures_then_least_covered():
+def test_driver_rotation_orders_failures_then_stalest():
     """The driver gates a bounded prefix of queries(); the contract is
     (1) queries with a non-green row in the LATEST driver artifact
-    re-gate first, (2) everything else sorts by ascending green-row
-    count so new queries get a hard-signal row next round. Asserted
-    against the invariant, not specific names, so the test survives
-    future rounds' artifacts."""
+    re-gate first, (2) everything else sorts LRU by last-green round
+    so every query re-gates within ceil(N/50) rounds, with queries
+    that have NO driver row yet slotted at pivot = latest-4 (behind
+    genuinely stale re-gates, ahead of recently-verified ones — r10
+    VERDICT task #3). Asserted against the invariant, not specific
+    names, so the test survives future rounds' artifacts."""
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
-    failed = e._failed_latest_round()
-    counts = e._coverage_counts()
+    counts, last, failed, latest = e._artifact_scan()
+    pivot = max(latest - 4, 1)
 
     n_failed = len([n for n in names if n in failed])
     assert set(names[:n_failed]) == failed & set(names)
-    rest = [counts.get(n, 0) for n in names[n_failed:]]
-    assert rest == sorted(rest), "non-failed queries must sort by ascending coverage"
+    rest = [last.get(n, pivot) for n in names[n_failed:]]
+    assert rest == sorted(rest), "non-failed queries must sort LRU by last green"
+    # Single-scan helpers agree with the combined scan.
+    assert e._coverage_counts() == counts
+    assert e._failed_latest_round() == failed
+    assert e._last_green_round() == last
+
+
+def test_artifact_scan_sorts_rounds_numerically(tmp_path, monkeypatch):
+    """r100 must sort AFTER r11, not between r10 and r11 (the
+    lexicographic trap) — latest-round failures and last-green rounds
+    both depend on numeric order."""
+    import __spark_entry__ as e
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "err": None, "spark_rows": 1}
+    bad = dict(green, hash_match=False)
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps({"qa": green}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"qa": bad}))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(
+        json.dumps({"qa": green, "qb": bad})
+    )
+    monkeypatch.setattr(e, "__file__", str(tmp_path / "__spark_entry__.py"))
+    counts, last, failed, latest = e._artifact_scan()
+    assert latest == 100
+    assert last["qa"] == 100 and counts["qa"] == 2
+    assert failed == {"qb"}

@@ -181,7 +181,23 @@ def main() -> int:
         at sf0.1 OOMed the sweep JVM at query ~208 and the remaining
         137 queries all recorded ConnectionRefusedError — bogus
         failures). Detect the death signature so the sweep restarts a
-        fresh JVM and retries instead of cascading."""
+        fresh JVM and retries instead of cascading.
+
+        Type-first classification (r11 ADVICE): a Py4JJavaError is an
+        app-level Java exception — the gateway was alive enough to
+        report it — so a genuine query failure whose Java traceback
+        merely CONTAINS "Connection refused" (e.g. a JDBC target
+        down) must NOT be misread as JVM death. Substring signatures
+        apply only to the remaining wrapper types (pyspark re-raises
+        gateway death through several of them)."""
+        try:
+            from py4j.protocol import Py4JJavaError, Py4JNetworkError
+        except ImportError:  # pragma: no cover - py4j ships with pyspark
+            Py4JJavaError = Py4JNetworkError = ()
+        if isinstance(ex, (Py4JNetworkError, ConnectionRefusedError)):
+            return True
+        if isinstance(ex, Py4JJavaError):
+            return False
         msg = f"{type(ex).__name__}: {ex}"
         return any(
             sig in msg
@@ -225,6 +241,14 @@ def main() -> int:
                 if not jvm_dead(ex):
                     raise
                 # Dead JVM: restart once and retry this query fresh.
+                # Log the swallowed exception first — if the death
+                # classification was ever wrong, the original
+                # traceback is the evidence (r11 ADVICE).
+                print(
+                    f"[{name}] JVM-death retry after "
+                    f"{type(ex).__name__}: {ex}",
+                    file=sys.stderr,
+                )
                 spark = fresh_session()
                 n_since_restart = 1
                 spdf = fn(spark, sf_dir).toPandas()
