@@ -252,6 +252,29 @@ def main() -> int:
               "customer", "part", "supplier"):
         c = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         print(f"{t}: {c} rows")
+
+    # FK self-check (r10 VERDICT task #2): the shared per-key-domain
+    # strides exist precisely so replica-k>0 cross-table joins stay
+    # intact; assert zero orphans on the WRITTEN fixture so a future
+    # edit (a new table, a per-table stride regression) fails here
+    # instead of silently poisoning every SCALE_CURVES artifact built
+    # on this tool.
+    def orphans(fact: str, fk: str, dim: str, pk: str) -> int:
+        f = spark.read.parquet(os.path.join(out, f"{fact}.parquet")).select(fk)
+        d = spark.read.parquet(os.path.join(out, f"{dim}.parquet")).select(pk)
+        return f.join(d, f[fk] == d[pk], "left_anti").count()
+
+    checks = {
+        "lineitem->orders": orphans("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        "lineitem->part": orphans("lineitem", "l_partkey", "part", "p_partkey"),
+        "lineitem->supplier": orphans("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        "orders->customer": orphans("orders", "o_custkey", "customer", "c_custkey"),
+    }
+    for label, n_orphan in checks.items():
+        print(f"fk {label}: {n_orphan} orphans")
+    bad = {k: v for k, v in checks.items() if v}
+    if bad:
+        raise SystemExit(f"FK self-check FAILED (fixture is corrupt): {bad}")
     return 0
 
 
