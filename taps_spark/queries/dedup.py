@@ -710,37 +710,35 @@ def _condensed_rollup(grp: DataFrame, comp: DataFrame) -> DataFrame:
 @query("dedup_connected_components", oracle=CC_ORACLE)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs as a graph,
-    verified at Jaccard ≥ 0.9, resolved to connected components by iterative min-label propagation
-    (operators/dedup.connected_components) — the step that turns
-    pairwise candidates into dedup groups (keep component id = min
-    doc, drop the rest). The DuckDB oracle computes the same
-    components via WITH RECURSIVE transitive closure — viable at
-    fixture scale, quadratic blowup at real scale, which is exactly
+    verified at Jaccard ≥ 0.9, resolved to connected components by
+    alternating large-star/small-star contraction
+    (operators/dedup.connected_components_star) — O(log² n) rounds
+    INDEPENDENT of graph diameter, the algorithm you actually run on a
+    web-scale duplicate graph where min-label propagation's
+    O(diameter) loop on chained near-dups would never finish. This is
+    the step that turns pairwise candidates into dedup groups (keep
+    component id = min doc, drop the rest). The DuckDB oracle computes
+    the same components via WITH RECURSIVE transitive closure — viable
+    at fixture scale, quadratic blowup at real scale, which is exactly
     why the Spark side iterates instead.
 
     Both the query and the oracle condense docs with identical token
     sets into group nodes first (_condensed_group_graph — exact, and
-    the propagation loop then runs on the far smaller group graph).
+    the contraction then runs on the far smaller group graph).
+
+    ROUTING (r10 VERDICT task #1): this query previously ran the
+    pedagogical min-label propagation variant and a separate
+    `dedup_connected_components_star` entry ran contraction — same
+    condensed graph, same rollup, same oracle, but propagation cost
+    45.3 s at sf0.1 (6% of the whole 352-query sweep) vs star's
+    10.0 s because its rounds scale with cluster diameter. One
+    registered query now rides the star machinery; propagation stays
+    in operators/dedup.connected_components as the baseline, with
+    star ≡ propagation pinned byte-identical in
+    tests/test_operators.py::test_connected_components_star_matches_propagation
+    and on the real fixture graph in
+    tests/test_operators.py::test_cc_query_equals_propagation_on_fixture.
     """
-    from taps_spark.io.tables import parallelize_cpu
-    from taps_spark.operators.dedup import connected_components
-
-    grp, gedges = _condensed_group_graph_cached(spark, sf_dir)
-    return _condensed_rollup(grp, connected_components(gedges))
-
-
-@query("dedup_connected_components_star", oracle=CC_ORACLE)
-def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same near-dup clusters as `dedup_connected_components`, but
-    resolved by alternating large-star/small-star contraction
-    (operators/dedup.connected_components_star) — O(log² n) rounds
-    independent of graph diameter, the algorithm you actually run on
-    a web-scale duplicate graph where propagation's O(diameter) loop
-    on chained near-dups would never finish. Both paths share one
-    oracle: the answers must be identical. Runs on the same condensed
-    group graph as the propagation variant.
-    """
-    from taps_spark.io.tables import parallelize_cpu
     from taps_spark.operators.dedup import connected_components_star
 
     grp, gedges = _condensed_group_graph_cached(spark, sf_dir)

@@ -539,6 +539,30 @@ def test_connected_components_star_matches_propagation(spark):
     assert comps == {0, 100, 200, 300}
 
 
+def test_cc_query_equals_propagation_on_fixture(spark, sf_dir):
+    """The registered dedup_connected_components query rides star
+    contraction (r10 VERDICT task #1: propagation cost 45.3 s at
+    sf0.1 — 4.5× star — on the same oracle); this pin proves the
+    retired propagation baseline still produces byte-identical
+    cluster rollups on the REAL fixture's condensed group graph, so
+    the routing swap can never silently change results."""
+    from taps_spark.operators.dedup import connected_components
+    from taps_spark.queries.dedup import (
+        _condensed_group_graph_cached,
+        _condensed_rollup,
+        dedup_connected_components,
+    )
+
+    registered = sorted(
+        map(tuple, dedup_connected_components(spark, sf_dir).collect())
+    )
+    grp, gedges = _condensed_group_graph_cached(spark, sf_dir)
+    baseline = sorted(
+        map(tuple, _condensed_rollup(grp, connected_components(gedges)).collect())
+    )
+    assert registered == baseline and len(registered) > 0
+
+
 def test_connected_components_star_converges_on_long_chain(spark):
     """The scale differentiator: a 120-node chain converges in
     O(log² n) star rounds — far under the 15-round cap that distance

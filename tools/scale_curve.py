@@ -28,7 +28,6 @@ DEFAULT_QUERIES = [
     "dedup_lsh_verified_pairs",
     "dedup_threshold_sweep",
     "dedup_connected_components",
-    "dedup_connected_components_star",
     "graph_pagerank_suppliers",
     "similarity_ann_pq",
     "pipeline_near_dup_purge",
