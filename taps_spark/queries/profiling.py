@@ -1924,28 +1924,36 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_total_order.py). The concordant/discordant counts are a
     2D dominance count over the (quantity, price) contingency cells,
     exploiting that l_quantity is a BOUNDED small dimension (50
-    distinct values), via a PER-LEVEL UNION: each cell fans out to the
-    levels at or below its own rank (mean fan-out ≈ R/2), tagged lower
-    (i = qr) or upper (i < qr); a single running-sum window over
-    (flag, level) partitions then yields, at each price, the
-    lower-level mass strictly below (lt) and in total (tot), so
-    C = Σ cu·lt and D = Σ cu·(tot − lt − cl) directly. The strict-past
-    ROWS frame puts p-ties across levels in the tie terms, not C/D.
-    The level count R is collected at plan time (one tiny job over the
-    distinct-q dim) and the operator refuses past 200 levels rather
-    than degrade; for a high-cardinality pair use the registered
-    quantile-grid fallback, stats_kendall_tau_bucketed.
+    distinct values), via a BIT-DECOMPOSITION UNION over the level
+    ranks: any two distinct 0-based ranks diverge at exactly one bit b
+    (their highest differing bit — prefixes above b equal, bit b
+    orders them), so each cell fans out to the B = ⌈log₂R⌉ bits of its
+    rank tagged (prefix = rank >> (b+1), side = bit b), and every
+    cross-level pair is counted exactly once, in the (flag, b, prefix)
+    group where its two ranks split. A single running-sum window per
+    such group then yields, at each price, the side-0 (lower-level)
+    mass strictly below (lt) and in total (tot), so C = Σ cu·lt and
+    D = Σ cu·(tot − lt − cl) directly. The strict-past ROWS frame puts
+    p-ties across levels in the tie terms, not C/D. The level count R
+    is collected at plan time (one tiny job over the distinct-q dim)
+    and the operator refuses past 200 levels rather than degrade; for
+    a high-cardinality pair use the registered quantile-grid fallback,
+    stats_kendall_tau_bucketed.
 
-    Memory note — this is the THIRD design, chosen by measurement:
-    a per-(flag, p) running-sum column per level (one window pass, no
-    fan-out) carries 2R longs per row through a sort with only
+    Memory note — this is the FOURTH design, chosen by measurement:
+    (1) a per-(flag, p) running-sum column per level (one window pass,
+    no fan-out) carries 2R longs per row through a sort with only
     |flags| = 3 partitions — ~475 MB of wide rows in 3 tasks, which
-    OOMed a 1 GiB-heap session under accumulated debris (the spill
-    path itself failed allocating its read-ahead buffer). The union
-    spreads the SAME total bytes over flag×R = 150 skinny-row window
-    partitions (~3 MB/task), trading a bounded explode for a peak
-    profile that survives small executors. An unrolled all-levels
-    column-prefix variant was worse still (O(R²) adds/row, 10.2 s).
+    OOMed a 1 GiB-heap session (the spill path itself failed
+    allocating its read-ahead buffer); (2) an unrolled all-levels
+    column-prefix variant was worse still (O(R²) adds/row, 10.2 s);
+    (3) the r9–r10 per-level union (each cell fans to every rank at or
+    below its own, mean fan-out ≈ R/2 ≈ 25 at R = 50) was the 10×
+    scale-curve's biggest constant: 233 s, dominated by shuffling and
+    aggregating the ~150M-row exploded union. The bit decomposition
+    emits the SAME exact C/D from a fan-out of B ≤ 8 instead of R/2 —
+    ~4× fewer union rows at R = 50 — through the identical window
+    machinery (r10 VERDICT task #5).
 
     tau-b = (C − D) / sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2,
     n1/n2 the q-/p-tie pair counts (t(t−1)/2 integer-exact). All pair
@@ -1957,10 +1965,10 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001 (exact C, D, and ppm match), since the DuckDB oracle
     shares this decomposition.
 
-    Scale: cell-grain shuffle, a ≤R-way map-side fan-out, one
-    (flag, level, p)-grain shuffle + window — linear in rows with the
-    small dimension as the constant; no driver-side data beyond the
-    scalar R.
+    Scale: cell-grain shuffle, a ≤⌈log₂R⌉-way map-side fan-out, one
+    (flag, bit, prefix, p)-grain shuffle + window — linear in rows
+    with log of the small dimension as the constant; no driver-side
+    data beyond the scalar R.
     """
     from pyspark.sql import Window
 
@@ -1985,41 +1993,55 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cr = cells.join(F.broadcast(qd), ["flag", "q"])
 
-    # PER-LEVEL UNION decomposition (the third design measured — see
-    # the docstring's memory note): each cell appears once per level
-    # i ≤ its own rank, tagged as the L(ower) side at i = qr and the
-    # U(pper) side at i < qr. Grouped to (flag, i, p) grain, ONE
-    # window spec (150 partitions at R=50) yields both the strict-past
-    # L-mass (lt) and the partition total — C = Σ cu·lt and
-    # D = Σ cu·(tot − lt − cl) fall out directly, no q-marginal join,
-    # no per-cell fold, no wide rows.
+    # BIT-DECOMPOSITION UNION (the fourth design measured — see the
+    # docstring's memory note): for 0-based ranks, an unordered pair
+    # of DISTINCT levels splits at exactly one bit b (the highest
+    # differing one): prefixes rank>>(b+1) agree, and bit b is 0 on
+    # the smaller rank, 1 on the larger. So each cell appears once
+    # per bit, tagged L(ower) when its bit is 0 and U(pper) when 1;
+    # grouped to (flag, b, g, p) grain, ONE window spec yields the
+    # strict-past L-mass (lt) and the partition total — C = Σ cu·lt
+    # and D = Σ cu·(tot − lt − cl) fall out directly, each pair
+    # counted exactly once. Fan-out B = ⌈log₂R⌉ ≤ 8 vs the per-level
+    # union's R/2 ≤ 100. Integer-exact, so the DuckDB oracle (its own
+    # per-level decomposition) and the sf0.001 NumPy brute-force pin
+    # are unchanged.
+    B = max((int(R) - 1).bit_length(), 1)
     zero = F.lit(0).cast("long")
-    ex = cr.select(
-        "flag",
-        "p",
-        "c",
-        "qr",
-        F.explode(F.sequence(F.lit(1), F.col("qr"))).alias("i"),
-    ).select(
-        "flag",
-        "i",
-        "p",
-        F.when(F.col("i") == F.col("qr"), F.col("c")).otherwise(zero).alias("cl"),
-        F.when(F.col("i") < F.col("qr"), F.col("c")).otherwise(zero).alias("cu"),
+    ex = (
+        cr.select(
+            "flag",
+            "p",
+            "c",
+            (F.col("qr") - 1).alias("qr0"),
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+        )
+        .select(
+            "flag",
+            "b",
+            F.expr("shiftright(qr0, b + 1)").alias("g"),
+            "p",
+            F.when(F.expr("(shiftright(qr0, b) & 1) = 0"), F.col("c"))
+            .otherwise(zero)
+            .alias("cl"),
+            F.when(F.expr("(shiftright(qr0, b) & 1) = 1"), F.col("c"))
+            .otherwise(zero)
+            .alias("cu"),
+        )
     )
     # Co-partition the exploded union on the aggregation grain at 64
-    # partitions BEFORE the hash agg: at sf0.1 the explode emits ~15M
-    # rows and a 16-partition session concentrates ~1M hash-map
-    # entries per task — enough to OOM a default-1g-heap JVM that
-    # already carries a long session's debris (measured: the r10
-    # sf0.1 sweep died here at query ~208). Catalyst recognizes the
-    # co-partitioning, so the groupBy adds no second shuffle; 64
-    # partitions cost ~4 task waves on 16 threads but cap per-task
-    # aggregation state at any session heap.
-    g2 = ex.repartition(64, "flag", "i", "p").groupBy("flag", "i", "p").agg(
-        F.sum("cl").alias("cl"), F.sum("cu").alias("cu")
-    )
-    wli = Window.partitionBy("flag", "i").orderBy("p")
+    # partitions BEFORE the hash agg: a 16-partition session
+    # concentrates enough hash-map entries per task to OOM a
+    # default-1g-heap JVM that already carries a long session's debris
+    # (measured: the r10 sf0.1 sweep died here at query ~208, on the
+    # old R/2 fan-out). Catalyst recognizes the co-partitioning, so
+    # the groupBy adds no second shuffle; 64 partitions cost ~4 task
+    # waves on 16 threads but cap per-task aggregation state at any
+    # session heap.
+    g2 = ex.repartition(64, "flag", "b", "g", "p").groupBy(
+        "flag", "b", "g", "p"
+    ).agg(F.sum("cl").alias("cl"), F.sum("cu").alias("cu"))
+    wli = Window.partitionBy("flag", "b", "g").orderBy("p")
     run = g2.select(
         "flag",
         "cu",
