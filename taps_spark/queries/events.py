@@ -3930,3 +3930,126 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+DIFF_IN_DIFF_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM events
+),
+bounds AS (
+  SELECT (MIN(day) + MAX(day) + 1) // 2 AS split FROM base
+),
+cells AS (
+  SELECT event_type,
+         CASE WHEN day < (SELECT split FROM bounds) THEN 0 ELSE 1 END AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(q) AS sq
+  FROM base GROUP BY 1, 2
+),
+pvt AS (
+  SELECT event_type,
+         MAX(CASE WHEN post = 0 THEN n END) AS n_pre,
+         MAX(CASE WHEN post = 1 THEN n END) AS n_post,
+         MAX(CASE WHEN post = 0 THEN
+           CAST(sq AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) END) AS m_pre,
+         MAX(CASE WHEN post = 1 THEN
+           CAST(sq AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) END) AS m_post
+  FROM cells GROUP BY event_type
+),
+ctrl AS (
+  SELECT m_pre AS c_pre, m_post AS c_post FROM pvt WHERE event_type = 'view'
+)
+SELECT p.event_type, p.n_pre, p.n_post,
+       CAST(FLOOR(p.m_pre * 1000000 + 0.5) AS BIGINT) AS mean_pre_ppm,
+       CAST(FLOOR(p.m_post * 1000000 + 0.5) AS BIGINT) AS mean_post_ppm,
+       CAST(FLOOR(((p.m_post - p.m_pre) - (c.c_post - c.c_pre)) * 1000000 + 0.5)
+            AS BIGINT) AS did_ppm
+FROM pvt p CROSS JOIN ctrl c
+WHERE p.event_type <> 'view'
+ORDER BY p.event_type
+"""
+
+
+@query("events_diff_in_diff", oracle=DIFF_IN_DIFF_ORACLE)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of each event type's mean
+    value shift across the corpus midpoint, against 'view' traffic as
+    the control — the workhorse quasi-experimental readout for "did
+    the release change this metric beyond what background drift
+    explains": DiD = (mean_post − mean_pre)_treated −
+    (mean_post − mean_pre)_control. The pre/post boundary is the
+    data-derived midpoint day ((min+max+1) div 2), so the query is
+    fixture-agnostic.
+
+    Exactness: per-(type, period) means fold from nano-quantized
+    DECIMAL sums with ONE double division each; the DiD combines four
+    such means in a fixed parse tree, ppm-rounded. The midpoint is an
+    integer computed identically (div vs //).
+
+    Scale: one map-side-combined (type, period) aggregate over the
+    scan (the 1-row bounds frame broadcasts), a 5-row pivot, a 1-row
+    control broadcast — event volume only touches the first pass.
+    """
+    from taps_spark.operators.numeric import quantize_nano
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        quantize_nano(F.col("value")).alias("q"),
+    )
+    bounds = base.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("split")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(F.col("day") < F.col("split"), 0).otherwise(1).alias("post"),
+            "q",
+        )
+        .groupBy("event_type", "post")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq"))
+    )
+    mean = F.col("sq").cast("double") / (F.col("n") * F.lit(1000000000)).cast(
+        "double"
+    )
+    pick = lambda flag, col: F.max(F.when(F.col("post") == flag, col))  # noqa: E731
+    pvt = cells.groupBy("event_type").agg(
+        pick(0, F.col("n")).alias("n_pre"),
+        pick(1, F.col("n")).alias("n_post"),
+        pick(0, mean).alias("m_pre"),
+        pick(1, mean).alias("m_post"),
+    )
+    ctrl = pvt.filter(F.col("event_type") == "view").select(
+        F.col("m_pre").alias("c_pre"), F.col("m_post").alias("c_post")
+    )
+    return (
+        pvt.filter(F.col("event_type") != "view")
+        .crossJoin(F.broadcast(ctrl))
+        .select(
+            "event_type",
+            "n_pre",
+            "n_post",
+            F.floor(F.col("m_pre") * 1000000 + 0.5).cast("long").alias(
+                "mean_pre_ppm"
+            ),
+            F.floor(F.col("m_post") * 1000000 + 0.5).cast("long").alias(
+                "mean_post_ppm"
+            ),
+            F.floor(
+                (
+                    (F.col("m_post") - F.col("m_pre"))
+                    - (F.col("c_post") - F.col("c_pre"))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("did_ppm"),
+        )
+        .orderBy("event_type")
+    )

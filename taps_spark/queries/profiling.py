@@ -5429,3 +5429,382 @@ def events_changepoint_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after_cents",
         )
     )
+
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 1000000000 + 0.5) AS DECIMAL(38,0))) AS sv
+  FROM events
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.sv > a.sv THEN 1 WHEN b.sv < a.sv THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+),
+s AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, sv, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, sv)
+  GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY event_type
+),
+m AS (
+  SELECT s.event_type, nd.n, s.s_stat,
+         nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term AS var18
+  FROM s JOIN nd ON s.event_type = nd.event_type
+         JOIN ties ON s.event_type = ties.event_type
+)
+SELECT event_type,
+       n AS n_days,
+       s_stat,
+       CAST(var18 AS BIGINT) AS var_s_x18,
+       CASE
+         WHEN var18 <= 0 OR s_stat = 0 THEN CAST(0 AS BIGINT)
+         WHEN s_stat > 0 THEN CAST(FLOOR(
+           (CAST(s_stat - 1 AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0))
+           * 1000000 + 0.5) AS BIGINT)
+         ELSE CAST(FLOOR(
+           (CAST(s_stat + 1 AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0))
+           * 1000000 + 0.5) AS BIGINT)
+       END AS z_ppm
+FROM m
+ORDER BY event_type
+"""
+
+
+@query("stats_mann_kendall_trend", oracle=MANN_KENDALL_ORACLE)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type over the daily
+    value series — the standard nonparametric "is this metric drifting
+    up or down" answer a monitoring profiler ships next to its
+    changepoint detectors (events_changepoint_pettitt uses the same
+    rank machinery for a single break; MK asks about the whole
+    series). S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected
+    normal approximation Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18
+    and the ±1 continuity correction in Z.
+
+    Exactness: daily values are nano-quantized exact DECIMAL sums, so
+    the pairwise sign — and therefore S and the tie census — is a pure
+    integer computation; Z's float chain starts from exactly-agreed
+    integers and follows one fixed parse tree (no POWER, one SQRT).
+
+    Scale: the pairwise stage runs on the DAY-GRAIN aggregate (n ≈ 30
+    rows per type after a map-side-combined shuffle), so the self-join
+    is |types|·C(n,2) ≈ 2k rows regardless of event volume — the raw
+    stream is touched exactly once. Lineage: generalizes the
+    reference's per-table profile (lib/taps/server.rb:160-169) to
+    temporal drift, like the Pettitt/CUSUM entries.
+    """
+    from taps_spark.operators.numeric import quantize_nano
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day"
+            ),
+            quantize_nano(F.col("value")).alias("q"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("q").alias("sv"))
+    )
+    a = daily.select(
+        F.col("event_type"), F.col("day").alias("da"), F.col("sv").alias("va")
+    )
+    b = daily.select(
+        F.col("event_type"), F.col("day").alias("db"), F.col("sv").alias("vb")
+    )
+    pairs = a.join(F.broadcast(b), "event_type").filter(F.col("db") > F.col("da"))
+    s = pairs.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("vb") > F.col("va"), 1)
+            .when(F.col("vb") < F.col("va"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("event_type", "sv")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("long")
+    m = s.join(nd, "event_type").join(ties, "event_type").select(
+        "event_type", "n", "s_stat", var18.alias("var18")
+    )
+    zden = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when((F.col("var18") <= 0) | (F.col("s_stat") == 0), F.lit(0).cast("long"))
+        .when(
+            F.col("s_stat") > 0,
+            F.floor((F.col("s_stat") - 1).cast("double") / zden * 1000000 + 0.5),
+        )
+        .otherwise(
+            F.floor((F.col("s_stat") + 1).cast("double") / zden * 1000000 + 0.5)
+        )
+        .cast("long")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.col("var18").alias("var_s_x18"),
+        z.alias("z_ppm"),
+    ).orderBy("event_type")
+
+
+SEN_SLOPE_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 1000000000 + 0.5) AS DECIMAL(38,0))) AS sv
+  FROM events
+  GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.sv - a.sv AS DOUBLE)
+           / CAST((b.day - a.day) * 1000000000 AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+),
+cnt AS (
+  SELECT event_type, slope, CAST(COUNT(*) AS BIGINT) AS c
+  FROM slopes GROUP BY event_type, slope
+),
+cum AS (
+  SELECT event_type, slope, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY slope) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n_pairs
+  FROM cnt
+),
+med AS (
+  SELECT event_type, MIN(slope) AS med_slope,
+         MAX(n_pairs) AS n_pairs
+  FROM cum
+  WHERE cum >= (n_pairs + 1) // 2
+  GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY event_type
+)
+SELECT med.event_type AS event_type, nd.n_days,
+       CAST(med.n_pairs AS BIGINT) AS n_pairs,
+       CAST(FLOOR(med.med_slope * 1000000 + 0.5) AS BIGINT) AS sen_slope_ppm
+FROM med JOIN nd ON med.event_type = nd.event_type
+ORDER BY med.event_type
+"""
+
+
+@query("stats_sen_slope", oracle=SEN_SLOPE_ORACLE)
+def stats_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope of the daily value series per event type — the
+    robust trend MAGNITUDE that pairs with stats_mann_kendall_trend's
+    direction test (and with the all-pairs-free stats_theil_sen regression):
+    the median of all C(n,2) pairwise slopes shrugs off outlier days
+    that wreck a least-squares fit.
+
+    Exactness: daily sums are nano-quantized DECIMALs; every pairwise
+    slope is ONE double division of exactly-agreed integers (numerator
+    DECIMAL difference, denominator integer day-gap × 1e9), identical
+    IEEE op both engines. The median is aggregation-selected (smallest
+    slope whose cumulative pair count reaches ⌈N/2⌉) over the distinct
+    slope values — a total order, no row_number (FIXTURES.md law).
+
+    Scale: like MK, the quadratic stage runs at day grain (≈30 rows
+    per type), so pair volume is independent of event volume.
+    """
+    from pyspark.sql import Window
+
+    from taps_spark.operators.numeric import quantize_nano
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day"
+            ),
+            quantize_nano(F.col("value")).alias("q"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("q").alias("sv"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("sv").alias("va")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("sv").alias("vb")
+    )
+    slopes = (
+        a.join(F.broadcast(b), "event_type")
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            "event_type",
+            (
+                (F.col("vb") - F.col("va")).cast("double")
+                / ((F.col("db") - F.col("da")) * F.lit(1000000000)).cast("double")
+            ).alias("slope"),
+        )
+    )
+    cnt = slopes.groupBy("event_type", "slope").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("slope")
+    cum = cnt.select(
+        "event_type",
+        "slope",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c")
+        .over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_pairs"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= (F.col("n_pairs") + 1) / 2)
+        .groupBy("event_type")
+        .agg(F.min("slope").alias("med_slope"), F.max("n_pairs").alias("n_pairs"))
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        med.join(nd, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.floor(F.col("med_slope") * 1000000 + 0.5)
+            .cast("long")
+            .alias("sen_slope_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+COHENS_D_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_a
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+g AS (
+  SELECT is_a,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         SUM(CAST(cents * cents AS DECIMAL(38,0))) AS q
+  FROM v GROUP BY is_a
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN is_a = 1 THEN n END) AS n1,
+    MAX(CASE WHEN is_a = 0 THEN n END) AS n2,
+    MAX(CASE WHEN is_a = 1 THEN CAST(n AS DOUBLE) END) AS n1d,
+    MAX(CASE WHEN is_a = 0 THEN CAST(n AS DOUBLE) END) AS n2d,
+    MAX(CASE WHEN is_a = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+    MAX(CASE WHEN is_a = 0 THEN CAST(s AS DOUBLE) END) AS s2,
+    MAX(CASE WHEN is_a = 1 THEN CAST(q AS DOUBLE) END) AS q1,
+    MAX(CASE WHEN is_a = 0 THEN CAST(q AS DOUBLE) END) AS q2
+  FROM g
+),
+t AS (
+  SELECT n1, n2, n1d, n2d, s1, s2,
+         (q1 - s1 * s1 / n1d) / (n1d - 1) AS v1,
+         (q2 - s2 * s2 / n2d) / (n2d - 1) AS v2
+  FROM w
+),
+d AS (
+  SELECT n1, n2, n1d, n2d, s1, s2,
+         (s1 / n1d - s2 / n2d)
+           / SQRT(((n1d - 1) * v1 + (n2d - 1) * v2) / (n1d + n2d - 2)) AS cd
+  FROM t
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       ROUND(s1 / n1d / 100.0, 4) AS mean_a,
+       ROUND(s2 / n2d / 100.0, 4) AS mean_b,
+       ROUND(cd, 6) AS cohens_d,
+       ROUND(cd * (1 - 3 / (4 * (n1d + n2d) - 9)), 6) AS hedges_g
+FROM d
+"""
+
+
+@query("stats_cohens_d", oracle=COHENS_D_ORACLE)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g standardized effect size between finished
+    and open orders on total price — the number a profiler reports
+    NEXT TO a significance test (stats_welch_ttest, stats_cvm):
+    at fixture row counts everything is "significant"; the effect size
+    says whether the difference is material. Hedges' g applies the
+    standard small-sample bias factor 1 − 3/(4N − 9).
+
+    EXACT cross-engine (welch recipe): integer cents moments
+    (Σx BIGINT, Σx² DECIMAL(38,0)), MAX-CASE pivot to one row, then
+    one fixed IEEE parse tree (pooled variance → SQRT → ratio).
+
+    Scale: one map-side-combined 2-group aggregate over the scan — no
+    shuffle beyond two partial rows per task, no window, no join.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_a"),
+    )
+    g = v.groupBy("is_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("q"),
+    )
+    pick = lambda flag, col: F.max(F.when(F.col("is_a") == flag, F.col(col)))  # noqa: E731
+    w = g.agg(
+        pick(1, "n").alias("n1"),
+        pick(0, "n").alias("n2"),
+        pick(1, "n").cast("double").alias("n1d"),
+        pick(0, "n").cast("double").alias("n2d"),
+        pick(1, "s").cast("double").alias("s1"),
+        pick(0, "s").cast("double").alias("s2"),
+        pick(1, "q").cast("double").alias("q1"),
+        pick(0, "q").cast("double").alias("q2"),
+    )
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1d")) / (
+        F.col("n1d") - 1
+    )
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2d")) / (
+        F.col("n2d") - 1
+    )
+    cd = (F.col("s1") / F.col("n1d") - F.col("s2") / F.col("n2d")) / F.sqrt(
+        ((F.col("n1d") - 1) * v1 + (F.col("n2d") - 1) * v2)
+        / (F.col("n1d") + F.col("n2d") - 2)
+    )
+    return w.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.round(F.col("s1") / F.col("n1d") / 100.0, 4).alias("mean_a"),
+        F.round(F.col("s2") / F.col("n2d") / 100.0, 4).alias("mean_b"),
+        F.round(cd, 6).alias("cohens_d"),
+        F.round(
+            cd * (1 - 3 / (4 * (F.col("n1d") + F.col("n2d")) - 9)), 6
+        ).alias("hedges_g"),
+    )

@@ -4867,3 +4867,130 @@ def text_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hapax_token_ppm"),
     ).orderBy("source")
+
+
+KN_BIGRAM_ORACLE = """
+WITH tokp AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+big AS MATERIALIZED (
+  SELECT a.doc_id, a.lang, a.tok AS w1, b.tok AS w2
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+model AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM model GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM model GROUP BY w2
+),
+btypes AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM model),
+scored AS (
+  SELECT g.doc_id, g.lang,
+         CAST(FLOOR((-LOG10(
+             (CAST(m.c12 AS DOUBLE) - 0.75) / CAST(c.c1 AS DOUBLE)
+             + (0.75 * CAST(c.n1f AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+               * (CAST(k.n1b AS DOUBLE) / b.bt)
+           ) / LOG10(2)) * 1000000000 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM big g
+  JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
+  JOIN ctx c ON c.w1 = g.w1
+  JOIN cont k ON k.w2 = g.w2
+  CROSS JOIN btypes b
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(FLOOR((CAST(SUM(q) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000000))
+                  * 1000 + 0.5) AS BIGINT) AS kn_bits_per_token_milli
+FROM scored
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
+@query("text_kn_bigram_bits", oracle=KN_BIGRAM_ORACLE)
+def text_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram cross-entropy per document
+    (absolute discount D = 0.75, bits per token) — the PRODUCTION
+    n-gram smoothing, one step past text_bigram_lm_bits' add-one: KN
+    discounts every observed bigram by a fixed D and redistributes the
+    held-out mass via CONTINUATION counts (in how many distinct
+    contexts does w appear?), so boilerplate tokens that occur often
+    in ONE context stop inflating unrelated documents' scores. The
+    perplexity-gate ranking this produces is the one KenLM-style
+    corpus filters actually use.
+
+    p(w₂|w₁) = (c₁₂ − D)/c₁ + (D·N₁₊(w₁·)/c₁) · N₁₊(·w₂)/|bigram
+    types| — every document is scored against the corpus-trained
+    model, so c₁₂ ≥ 1 and no zero/backoff path exists by
+    construction.
+
+    Scale: identical plan family to text_bigram_lm_bits — map-only
+    bigram zip per doc (the oracle uses the positional-join form,
+    same values), three vocabulary-grain model aggregates broadcast
+    back onto the stream, Python never touches the path. At 100 TB
+    the model tables are the classic "train once, broadcast to
+    score" artifacts; only the per-doc stream scales.
+
+    Determinism: counts are exact integers end-to-end; the per-bigram
+    probability is ONE fixed IEEE parse tree over exactly-agreed
+    integers, its −log₂ nano-quantized per term and summed exactly in
+    DECIMAL(38,0) (the unigram/bigram LM recipe, operators/numeric).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select("doc_id", "lang", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    model = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = model.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = model.groupBy("w2").agg(F.count("*").alias("n1b"))
+    btypes = model.agg(F.count("*").cast("double").alias("bt"))
+    from taps_spark.operators.numeric import exact_mean_scaled, quantize_nano
+
+    p = (F.col("c12").cast("double") - 0.75) / F.col("c1").cast("double") + (
+        0.75 * F.col("n1f").cast("double") / F.col("c1").cast("double")
+    ) * (F.col("n1b").cast("double") / F.col("bt"))
+    scored = (
+        big.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .join(F.broadcast(btypes))
+        .select(
+            "doc_id",
+            "lang",
+            quantize_nano(-F.log10(p) / F.log10(F.lit(2.0))).alias("q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("q").alias("sq"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            exact_mean_scaled(F.col("sq"), F.col("n_bigrams"), 1000).alias(
+                "kn_bits_per_token_milli"
+            ),
+        )
+        .orderBy("doc_id")
+    )
