@@ -4053,3 +4053,195 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CROSS_CORRELATION_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS DECIMAL(38,0)))
+              AS DECIMAL(19,0)) AS sv
+  FROM events
+  GROUP BY 1, 2
+),
+x AS (SELECT day, sv FROM daily WHERE event_type = 'error'),
+lags AS (SELECT unnest([0, 1, 2, 3, 7]) AS lag),
+joined AS (
+  SELECT y.event_type, l.lag,
+         x.sv AS vx, y.sv AS vy
+  FROM x
+  CROSS JOIN lags l
+  JOIN daily y ON y.day = x.day + l.lag AND y.event_type <> 'error'
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(vx) AS DOUBLE) AS sx,
+         CAST(SUM(vy) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(vx * vx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(vy * vy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(vx * vy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM joined GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+       CAST(FLOOR((n * sxy - sx * sy)
+                  / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+                  * 1000000 + 0.5) AS BIGINT) AS ccf_ppm
+FROM m
+ORDER BY event_type, lag
+"""
+
+
+@query("events_cross_correlation_lagged", oracle=CROSS_CORRELATION_ORACLE)
+def events_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily 'error' value series
+    and every other event type's series at lags 0/1/2/3/7 days — the
+    lead–lag detector behind "do error spikes foreshadow purchase
+    drops next day": events_type_minute_correlation answers the
+    contemporaneous question at minute grain; the CCF sweep finds the
+    offset where the relationship peaks (the same primitive behind
+    transfer-health alerting on the reference's lineage, generalized
+    cross-stream).
+
+    Exactness: daily values are micro-quantized exact DECIMAL(19,0)
+    sums (micro grid so the cross-products stay inside DECIMAL(38,0):
+    19 + 19 digits); each lag's Pearson folds from six exact sums in
+    one fixed IEEE tree (SQRT chains, no POWER).
+
+    Scale: the quadratic-ish stage is day grain × 5 lags per type
+    (≈150 joined rows per type), independent of event volume; the raw
+    stream is touched exactly once by the map-side-combined daily
+    aggregate.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day"
+            ),
+            F.floor(F.col("value") * 1000000 + 0.5).cast("decimal(38,0)").alias(
+                "q"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("q").cast("decimal(19,0)").alias("sv"))
+    )
+    x = daily.filter(F.col("event_type") == "error").select(
+        F.col("day").alias("xday"), F.col("sv").alias("vx")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (0, 1, 2, 3, 7)])).alias("lag")
+    )
+    joined = (
+        x.crossJoin(F.broadcast(lags))
+        .join(
+            daily.filter(F.col("event_type") != "error").select(
+                "event_type", F.col("day").alias("yday"), F.col("sv").alias("vy")
+            ),
+            F.col("yday") == F.col("xday") + F.col("lag"),
+        )
+        .select("event_type", "lag", "vx", "vy")
+    )
+    d38 = "decimal(38,0)"
+    m = joined.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("vx").cast("double").alias("sx"),
+        F.sum("vy").cast("double").alias("sy"),
+        F.sum((F.col("vx") * F.col("vx")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("vy") * F.col("vy")).cast(d38)).cast("double").alias("syy"),
+        F.sum((F.col("vx") * F.col("vy")).cast(d38)).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("ccf_ppm"),
+    ).orderBy("event_type", "lag")
+
+
+USER_STICKINESS_ORACLE = """
+WITH dau AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du
+  FROM events
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(du) AS BIGINT) AS sum_dau
+  FROM dau GROUP BY event_type
+),
+mau AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, a.n_days, mau.mau,
+       CAST(FLOOR(CAST(a.sum_dau AS DOUBLE)
+                  / CAST(a.n_days * mau.mau AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS stickiness_ppm
+FROM agg a JOIN mau ON a.event_type = mau.event_type
+ORDER BY a.event_type
+"""
+
+
+@query("events_user_stickiness", oracle=USER_STICKINESS_ORACLE)
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per event type — mean daily active users
+    over monthly active users, THE product-engagement ratio (a
+    stickiness of 1.0 means every monthly user shows up every day).
+    Complements events_active_users_rolling (the time series) with
+    the single per-type engagement number executives track.
+
+    Exactness: both numerator and denominator are exact integer
+    distinct-user counts; the ratio is ONE double division of
+    integers (numerator Σdau, denominator n_days·mau folded in
+    integer space first), ppm-rounded.
+
+    Scale: two distinct-aggregates — (type, day)-grain then type
+    grain — both map-side-partial; no window, no self-join. The
+    distinct shuffles user ids, never events.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    dau = (
+        ev.select("event_type", day.alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("du"))
+    )
+    agg = dau.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("du").cast("long").alias("sum_dau"),
+    )
+    mau = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        agg.join(mau, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "mau",
+            F.floor(
+                F.col("sum_dau").cast("double")
+                / (F.col("n_days") * F.col("mau")).cast("double")
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("stickiness_ppm"),
+        )
+        .orderBy("event_type")
+    )

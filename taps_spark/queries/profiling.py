@@ -5808,3 +5808,246 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             cd * (1 - 3 / (4 * (F.col("n1d") + F.col("n2d")) - 9)), 6
         ).alias("hedges_g"),
     )
+
+
+REGRESSION_TWO_FACTOR_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS sx1,
+         CAST(SUM(x2) AS DOUBLE) AS sx2,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS sx1x1,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS sx2x2,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS sx1x2,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS sx1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS sx2y,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM v
+),
+c AS (
+  SELECT n,
+         sx1x1 - sx1 * sx1 / n AS s11,
+         sx2x2 - sx2 * sx2 / n AS s22,
+         sx1x2 - sx1 * sx2 / n AS s12,
+         sx1y - sx1 * sy / n AS s1y,
+         sx2y - sx2 * sy / n AS s2y,
+         syy - sy * sy / n AS syy_c,
+         sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+  FROM m
+),
+b AS (
+  SELECT n, s1y, s2y, syy_c, mx1, mx2, my,
+         (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+         (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((my - b1 * mx1 - b2 * mx2) / 100.0, 4) AS intercept,
+       ROUND(b1 / 100.0, 6) AS beta_quantity,
+       ROUND(b2 / 100.0, 6) AS beta_discount_pct,
+       CAST(FLOOR((b1 * s1y + b2 * s2y) / syy_c * 1000000 + 0.5) AS BIGINT)
+         AS r2_ppm
+FROM b
+"""
+
+
+@query("stats_regression_two_factor", oracle=REGRESSION_TWO_FACTOR_ORACLE)
+def stats_regression_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS (extended price on quantity and discount) via
+    the closed-form normal equations — the multivariate step past
+    stats_regression_exact's simple fit, and the shape a profiler uses
+    to answer "does discount explain price AFTER controlling for
+    quantity": β = (XᵀX)⁻¹Xᵀy with the 2×2 inverse written out, plus
+    the in-sample R² = (β₁S₁y + β₂S₂y)/Syy.
+
+    EXACT cross-engine: all nine raw moments accumulate on integer
+    grids (quantity, discount-pct, price-cents; squares/products as
+    per-term BIGINT-safe ints summed in DECIMAL(38,0)); the float
+    chain from those exact integers is one fixed IEEE parse tree —
+    centered moments, shared determinant, two betas (welch recipe, no
+    matrix library on either engine).
+
+    Scale: ONE map-side-combined aggregate over the scan — nine
+    partial sums per task, no shuffle of rows, no window, no join;
+    the classic single-pass sufficient-statistics regression that
+    holds at any row count.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = v.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(d38)).cast("double").alias("sx1x1"),
+        F.sum((F.col("x2") * F.col("x2")).cast(d38)).cast("double").alias("sx2x2"),
+        F.sum((F.col("x1") * F.col("x2")).cast(d38)).cast("double").alias("sx1x2"),
+        F.sum((F.col("x1") * F.col("y")).cast(d38)).cast("double").alias("sx1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(d38)).cast("double").alias("sx2y"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast("double").alias("syy"),
+    )
+    c = m.select(
+        "n",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / F.col("n")).alias("s11"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / F.col("n")).alias("s22"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / F.col("n")).alias("s12"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / F.col("n")).alias("s1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / F.col("n")).alias("s2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("syy_c"),
+        (F.col("sx1") / F.col("n")).alias("mx1"),
+        (F.col("sx2") / F.col("n")).alias("mx2"),
+        (F.col("sy") / F.col("n")).alias("my"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b = c.select(
+        "n",
+        "s1y",
+        "s2y",
+        "syy_c",
+        "mx1",
+        "mx2",
+        "my",
+        ((F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias(
+            "b1"
+        ),
+        ((F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias(
+            "b2"
+        ),
+    )
+    return b.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("my") - F.col("b1") * F.col("mx1") - F.col("b2") * F.col("mx2"))
+            / 100.0,
+            4,
+        ).alias("intercept"),
+        F.round(F.col("b1") / 100.0, 6).alias("beta_quantity"),
+        F.round(F.col("b2") / 100.0, 6).alias("beta_discount_pct"),
+        F.floor(
+            (F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y"))
+            / F.col("syy_c")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("r2_ppm"),
+    )
+
+
+PARTIAL_CORR_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(z) AS DOUBLE) AS sz,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(z * z AS DECIMAL(38,0))) AS DOUBLE) AS szz,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * z AS DECIMAL(38,0))) AS DOUBLE) AS sxz,
+         CAST(SUM(CAST(y * z AS DECIMAL(38,0))) AS DOUBLE) AS syz
+  FROM v
+),
+r AS (
+  SELECT n,
+         (n * sxy - sx * sy)
+           / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz)
+           / (SQRT(n * sxx - sx * sx) * SQRT(n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz)
+           / (SQRT(n * syy - sy * sy) * SQRT(n * szz - sz * sz)) AS ryz
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(rxy * 1000000 + 0.5) AS BIGINT) AS r_xy_ppm,
+       CAST(FLOOR(rxz * 1000000 + 0.5) AS BIGINT) AS r_xz_ppm,
+       CAST(FLOOR(ryz * 1000000 + 0.5) AS BIGINT) AS r_yz_ppm,
+       CAST(FLOOR((rxy - rxz * ryz)
+                  / (SQRT(1 - rxz * rxz) * SQRT(1 - ryz * ryz))
+                  * 1000000 + 0.5) AS BIGINT) AS r_xy_given_z_ppm
+FROM r
+"""
+
+
+@query("stats_partial_correlation", oracle=PARTIAL_CORR_ORACLE)
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of quantity and extended price
+    CONTROLLING for discount — the confounder-aware companion to
+    stats_corr_matrix: r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1 − r_xz²)(1 − r_yz²)) answers whether the raw association
+    survives once the third variable is held fixed, which is the
+    question a data profiler is actually asked when two columns
+    "correlate".
+
+    EXACT: all nine moments on integer grids summed in DECIMAL(38,0);
+    the three Pearson r's and the partial fold are one fixed IEEE
+    tree from those integers (no POWER — squares by multiplication,
+    SQRT chains only).
+
+    Scale: one map-side-combined single-row aggregate over the scan.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
+    )
+    d38 = "decimal(38,0)"
+    m = v.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast("double").alias("syy"),
+        F.sum((F.col("z") * F.col("z")).cast(d38)).cast("double").alias("szz"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("z")).cast(d38)).cast("double").alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast(d38)).cast("double").alias("syz"),
+    )
+    rxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rxz = (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    ryz = (F.col("n") * F.col("syz") - F.col("sy") * F.col("sz")) / (
+        F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        * F.sqrt(F.col("n") * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    r = m.select("n", rxy.alias("rxy"), rxz.alias("rxz"), ryz.alias("ryz"))
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("rxy") * 1000000 + 0.5).cast("long").alias("r_xy_ppm"),
+        F.floor(F.col("rxz") * 1000000 + 0.5).cast("long").alias("r_xz_ppm"),
+        F.floor(F.col("ryz") * 1000000 + 0.5).cast("long").alias("r_yz_ppm"),
+        F.floor(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / (
+                F.sqrt(1 - F.col("rxz") * F.col("rxz"))
+                * F.sqrt(1 - F.col("ryz") * F.col("ryz"))
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("r_xy_given_z_ppm"),
+    )
