@@ -1153,3 +1153,99 @@ def governance_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("released_milli"),
         F.lit(1000000).alias("epsilon_micro"),
     ).orderBy("priority")
+
+
+ERASURE_IMPACT_ORACLE = """
+WITH ev AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS affected,
+         CAST(COUNT(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+              AS BIGINT) AS subjects
+  FROM events
+),
+cu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS affected,
+         CAST(COUNT(DISTINCT CASE WHEN c_custkey % 97 = 0 THEN c_custkey END)
+              AS BIGINT) AS subjects
+  FROM customer
+),
+od AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS affected,
+         CAST(COUNT(DISTINCT CASE WHEN o_custkey % 97 = 0 THEN o_custkey END)
+              AS BIGINT) AS subjects
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'events' AS table_name, total, affected, subjects,
+         CAST(FLOOR(CAST(affected AS DOUBLE) / CAST(total AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS share_ppm
+  FROM ev
+  UNION ALL
+  SELECT 'customer', total, affected, subjects,
+         CAST(FLOOR(CAST(affected AS DOUBLE) / CAST(total AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT)
+  FROM cu
+  UNION ALL
+  SELECT 'orders', total, affected, subjects,
+         CAST(FLOOR(CAST(affected AS DOUBLE) / CAST(total AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT)
+  FROM od
+)
+ORDER BY table_name
+"""
+
+
+@query("governance_erasure_impact", oracle=ERASURE_IMPACT_ORACLE)
+def governance_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) impact sizing: given a
+    deterministic erasure cohort (subject id ≡ 0 mod 97, ≈1% — the
+    stand-in for a DSR批 batch list), report per table how many rows
+    and distinct subjects a deletion touches and the affected share —
+    the number a data-governance owner needs BEFORE running the
+    tombstone cascade (transfer_tombstone_cascade is the execution
+    half; this is its dry-run sizing, the same dry-run-then-apply
+    split as transfer_dryrun_plan).
+
+    Exactness: pure integer counts per table plus one ppm fold each.
+
+    Scale: three independent map-side-combined single-row aggregates
+    (conditional aggregation, no joins); at 100 TB each is a
+    column-pruned scan of one id column, and a real subject LIST
+    would broadcast into the same CASE/semi-join shape.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cu = load_tables(spark, sf_dir, ("customer",))["customer"]
+    od = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    def impact(df: DataFrame, idcol: str, name: str) -> DataFrame:
+        hit = F.col(idcol) % 97 == 0
+        return df.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("affected"),
+            F.countDistinct(F.when(hit, F.col(idcol))).alias("subjects"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "total",
+            "affected",
+            "subjects",
+            F.floor(
+                F.col("affected").cast("double")
+                / F.col("total").cast("double")
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+
+    return (
+        impact(ev, "user_id", "events")
+        .unionByName(impact(cu, "c_custkey", "customer"))
+        .unionByName(impact(od, "o_custkey", "orders"))
+        .orderBy("table_name")
+    )

@@ -6051,3 +6051,128 @@ def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r_xy_given_z_ppm"),
     )
+
+
+CRONBACH_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS x3
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(x3) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x3 * x3 AS DECIMAL(38,0))) AS DOUBLE) AS s33,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x1 * x3 AS DECIMAL(38,0))) AS DOUBLE) AS s13,
+         CAST(SUM(CAST(x2 * x3 AS DECIMAL(38,0))) AS DOUBLE) AS s23
+  FROM v
+),
+c AS (
+  SELECT n,
+         (s11 - s1 * s1 / n) / (n - 1) AS v1,
+         (s22 - s2 * s2 / n) / (n - 1) AS v2,
+         (s33 - s3 * s3 / n) / (n - 1) AS v3,
+         (s12 - s1 * s2 / n) / (n - 1) AS c12,
+         (s13 - s1 * s3 / n) / (n - 1) AS c13,
+         (s23 - s2 * s3 / n) / (n - 1) AS c23
+  FROM m
+),
+r AS (
+  SELECT n, v1, v2, v3, c12, c13, c23,
+         (c12 / (SQRT(v1) * SQRT(v2))
+          + c13 / (SQRT(v1) * SQRT(v3))
+          + c23 / (SQRT(v2) * SQRT(v3))) / 3 AS rbar
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(FLOOR((3.0 / 2.0)
+                  * (1 - (v1 + v2 + v3)
+                         / (v1 + v2 + v3 + 2 * (c12 + c13 + c23)))
+                  * 1000000 + 0.5) AS BIGINT) AS alpha_raw_ppm,
+       CAST(FLOOR((3 * rbar) / (1 + 2 * rbar) * 1000000 + 0.5) AS BIGINT)
+         AS alpha_std_ppm,
+       CAST(FLOOR(rbar * 1000000 + 0.5) AS BIGINT) AS mean_inter_item_r_ppm
+FROM r
+"""
+
+
+@query("stats_cronbach_alpha", oracle=CRONBACH_ORACLE)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient over the three
+    lineitem rate columns (quantity, discount, tax as a k = 3 item
+    battery) — the reliability number a feature-quality audit reports
+    when several columns claim to measure the same construct: raw α
+    from the covariance decomposition k/(k−1)·(1 − Σσᵢ²/σ_total²)
+    with σ_total² expanded as Σσᵢ² + 2ΣΣcov, and standardized α from
+    the mean inter-item correlation k·r̄/(1 + (k−1)·r̄). Near-zero
+    values on this battery are themselves the finding (the columns
+    are independent by construction — a leakage check in reverse).
+
+    EXACT: the nine sufficient moments on integer grids in
+    DECIMAL(38,0); variances/covariances/correlations and both α
+    folds are one fixed IEEE tree (SQRT chains, no POWER).
+
+    Scale: ONE map-side-combined single-row aggregate over the scan.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("x3"),
+    )
+    d38 = "decimal(38,0)"
+    m = v.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("x3").cast("double").alias("s3"),
+        F.sum((F.col("x1") * F.col("x1")).cast(d38)).cast("double").alias("s11"),
+        F.sum((F.col("x2") * F.col("x2")).cast(d38)).cast("double").alias("s22"),
+        F.sum((F.col("x3") * F.col("x3")).cast(d38)).cast("double").alias("s33"),
+        F.sum((F.col("x1") * F.col("x2")).cast(d38)).cast("double").alias("s12"),
+        F.sum((F.col("x1") * F.col("x3")).cast(d38)).cast("double").alias("s13"),
+        F.sum((F.col("x2") * F.col("x3")).cast(d38)).cast("double").alias("s23"),
+    )
+    nm1 = F.col("n") - 1
+    c = m.select(
+        "n",
+        ((F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")) / nm1).alias("v1"),
+        ((F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")) / nm1).alias("v2"),
+        ((F.col("s33") - F.col("s3") * F.col("s3") / F.col("n")) / nm1).alias("v3"),
+        ((F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")) / nm1).alias("c12"),
+        ((F.col("s13") - F.col("s1") * F.col("s3") / F.col("n")) / nm1).alias("c13"),
+        ((F.col("s23") - F.col("s2") * F.col("s3") / F.col("n")) / nm1).alias("c23"),
+    )
+    rbar = (
+        F.col("c12") / (F.sqrt(F.col("v1")) * F.sqrt(F.col("v2")))
+        + F.col("c13") / (F.sqrt(F.col("v1")) * F.sqrt(F.col("v3")))
+        + F.col("c23") / (F.sqrt(F.col("v2")) * F.sqrt(F.col("v3")))
+    ) / 3
+    r = c.select("n", "v1", "v2", "v3", "c12", "c13", "c23", rbar.alias("rbar"))
+    vtot = F.col("v1") + F.col("v2") + F.col("v3")
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            (F.lit(3.0) / F.lit(2.0))
+            * (
+                1
+                - vtot
+                / (vtot + 2 * (F.col("c12") + F.col("c13") + F.col("c23")))
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("alpha_raw_ppm"),
+        F.floor((3 * F.col("rbar")) / (1 + 2 * F.col("rbar")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("alpha_std_ppm"),
+        F.floor(F.col("rbar") * 1000000 + 0.5)
+        .cast("long")
+        .alias("mean_inter_item_r_ppm"),
+    )

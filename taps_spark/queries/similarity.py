@@ -2267,3 +2267,100 @@ def similarity_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_sil_milli"),
     ).orderBy("centroid_id")
+
+
+HAMMING_TOPK_ORACLE = """
+WITH bits AS (
+  SELECT vec_id, val > 0 AS b, dim
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings)
+),
+codes AS (
+  SELECT vec_id,
+         SUM(CASE WHEN b AND dim <= 32 THEN (1::BIGINT << (dim - 1))
+                  ELSE 0 END)::BIGINT AS lo,
+         SUM(CASE WHEN b AND dim > 32 THEN (1::BIGINT << (dim - 33))
+                  ELSE 0 END)::BIGINT AS hi
+  FROM bits GROUP BY vec_id
+),
+q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, c.vec_id,
+         bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi)) AS hamming
+  FROM q CROSS JOIN codes c
+  WHERE c.vec_id <> q.q_id
+)
+SELECT q_id, vec_id AS neighbor_id, CAST(hamming AS INT) AS hamming,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
+  FROM s
+)
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+@query("similarity_hamming_topk", oracle=HAMMING_TOPK_ORACLE)
+def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors under HAMMING distance over sign-binarized
+    embeddings (64 dims → two 32-bit codes packed in BIGINTs) — the
+    production memory trick for first-stage retrieval: binary codes
+    cut vector storage 32× and distance to two XOR+popcounts, so a
+    100 TB float corpus becomes ~3 TB of codes that scan at memory
+    bandwidth; survivors get exact float rerank (the
+    similarity_ann_pq pattern). Sign binarization is the 1-bit
+    LSH family's deterministic limit — Hamming distance between sign
+    codes is a concentration-tight proxy for angular distance.
+
+    Exactness: the statistic is a pure INTEGER (bit_count of XOR on
+    exactly-agreed codes; a float only appears in the > 0 sign test,
+    identical both engines). Rank ties break on vec_id — a total
+    order (FIXTURES.md law).
+
+    Scale: codes build map-only; the scoring join is broadcast(8
+    queries) × code scan with the top-k cut inside the window
+    shuffle (WindowGroupLimit partial top-k, like the float
+    brute-force) — corpus-linear with a 16-byte row payload.
+    """
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    lo = F.expr(
+        "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+        "CASE WHEN element_at(embedding, i + 1) > 0 THEN shiftleft(1L, i) "
+        "ELSE 0L END)"
+    )
+    hi = F.expr(
+        "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + "
+        "CASE WHEN element_at(embedding, i + 1) > 0 THEN shiftleft(1L, i - 32) "
+        "ELSE 0L END)"
+    )
+    codes = emb.select("vec_id", lo.alias("lo"), hi.alias("hi"))
+    q = codes.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    s = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.expr("bit_count(qlo ^ lo)") + F.expr("bit_count(qhi ^ hi)")
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (
+        s.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("hamming").cast("int").alias("hamming"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    )
