@@ -487,3 +487,50 @@ def events_stream_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taps_spark.streaming.jobs import stream_hourly_topk
 
     return stream_hourly_topk(spark, sf_dir, k=3)
+
+
+BASELINE_ALERT_ORACLE = """
+WITH nd AS (
+  SELECT CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days
+  FROM events
+),
+baseline AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS tot
+  FROM events GROUP BY 1, 2
+),
+hourly AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+           AS window_start,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT h.window_start, h.event_type, h.n_events,
+       (b.tot * 1000) // nd.n_days AS expected_milli,
+       (h.n_events * nd.n_days * 1000000) // b.tot AS ratio_ppm
+FROM hourly h
+JOIN baseline b ON b.event_type = h.event_type AND b.hod = h.hod
+CROSS JOIN nd
+WHERE 10 * h.n_events * nd.n_days > 13 * b.tot
+ORDER BY h.window_start, h.event_type
+"""
+
+
+@query("events_stream_baseline_alert", oracle=BASELINE_ALERT_ORACLE)
+def events_stream_baseline_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly anomaly alerts against a batch-trained
+    (event_type, hour-of-day) baseline — the train-offline /
+    score-online alerting topology: static baseline broadcast-joined
+    into the stream BEFORE the windowed aggregation (the
+    restriction-free stream-static shape), alert = window >30% above
+    its slot's expectation, all-integer predicate so the batch DuckDB
+    oracle gates the streaming path bit-for-bit.
+    """
+    from taps_spark.streaming.jobs import stream_baseline_anomaly_alert
+
+    return stream_baseline_anomaly_alert(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )

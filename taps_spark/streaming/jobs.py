@@ -507,3 +507,69 @@ def stream_hourly_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFram
         .filter(F.col("rank") <= k)
         .orderBy("hour_start", "rank")
     )
+
+
+def stream_baseline_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly anomaly alerts against a STATIC cyclical
+    baseline: the batch side trains expected traffic per (event_type,
+    hour-of-day) over the whole corpus (tot events / n_days); the
+    stream buckets live events into 1-hour tumbling windows and emits
+    a row whenever a window runs >30% above its slot's expectation —
+    the alerting topology every on-call pipeline runs (train offline,
+    score online).
+
+    The static baseline joins the stream BEFORE aggregation (per-row
+    broadcast hash join on (event_type, hod)) — the shape Structured
+    Streaming supports without restriction; the baseline columns are
+    functionally determined by the group key, so MAX() carries them
+    through the windowed aggregate unchanged.
+
+    Exactness: the alert predicate and both reported expectations are
+    pure integer arithmetic (10·n·n_days > 13·tot; integer div folds),
+    so the batch DuckDB oracle matches bit-for-bit.
+
+    Scale: baseline is |types|×24 rows (broadcast); stream state is
+    one window per (hour, type) within the watermark horizon. The
+    alert filter runs post-aggregation on window-grain rows.
+    """
+    from taps_spark.io.tables import load_tables
+
+    ev_batch = load_tables(spark, sf_dir, ("events",))["events"]
+    hod = (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24).cast(
+        "int"
+    )
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    n_days = ev_batch.select(day.alias("d")).distinct().count()
+    baseline = (
+        ev_batch.select("event_type", hod.alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("tot"))
+        .withColumn("n_days", F.lit(int(n_days)).cast("long"))
+    )
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    enriched = ev.select(
+        "ts",
+        "event_type",
+        (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24)
+        .cast("int")
+        .alias("hod"),
+    ).join(F.broadcast(baseline), ["event_type", "hod"])
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("tot").alias("tot"),
+            F.max("n_days").alias("nd"),
+        )
+        .filter(
+            F.lit(10) * F.col("n_events") * F.col("nd") > F.lit(13) * F.col("tot")
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.expr("(tot * 1000) div nd").alias("expected_milli"),
+            F.expr("(n_events * nd * 1000000) div tot").alias("ratio_ppm"),
+        )
+    )
+    return run_to_memory(agg, "complete")
