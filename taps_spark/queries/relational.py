@@ -1171,3 +1171,49 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BOOLEAN_AGG_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_100,
+       BOOL_AND(value > 0)   AS all_positive,
+       BOOL_OR(value > 450)  AS any_over_450,
+       BOOL_AND(value <= 490.02) AS none_over_max,
+       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         = CAST(COUNT(*) AS BIGINT) AS all_over_100
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("agg_boolean_funcs", oracle=BOOLEAN_AGG_ORACLE)
+def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate surface (count_if / every / any — the ANSI
+    bool_and/bool_or family) per event type — the predicate-census
+    aggregates a data-quality gate is written in ("did EVERY row pass",
+    "did ANY row trip the alarm", "how many exceeded the threshold"),
+    completing the aggregation surface next to the bitwise and
+    exact-mode entries (SURVEY §2b aggregations).
+
+    Exactness: boolean and integer outputs only; the threshold
+    comparisons are identical double literals both engines.
+
+    Scale: one map-side-combined grouped aggregate over the scan —
+    every one of these folds to a partial per task.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("count_if(value > 100)").alias("n_over_100"),
+            F.expr("every(value > 0)").alias("all_positive"),
+            F.expr("any(value > 450)").alias("any_over_450"),
+            F.expr("bool_and(value <= 490.02)").alias("none_over_max"),
+            F.expr("every(value > 100)").alias("all_over_100"),
+        )
+        .orderBy("event_type")
+    )

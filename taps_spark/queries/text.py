@@ -4994,3 +4994,160 @@ def text_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+NGRAM_ENTROPY_ORACLE = """
+WITH tokp AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+big AS MATERIALIZED (
+  SELECT a.lang, a.tok AS w1, b.tok AS w2
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+model AS MATERIALIZED (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM big GROUP BY lang, w1, w2
+),
+ctx AS (
+  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM model GROUP BY lang, w1
+),
+nb AS (SELECT lang, CAST(SUM(c12) AS BIGINT) AS n FROM model GROUP BY lang),
+uni AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tokp GROUP BY lang, tok
+),
+nu AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM uni GROUP BY lang),
+hu AS (
+  SELECT uni.lang,
+         SUM(CAST(FLOOR((CAST(uni.c AS DOUBLE) / CAST(nu.n AS DOUBLE))
+                        * (LOG10(CAST(nu.n AS DOUBLE) / CAST(uni.c AS DOUBLE))
+                           / LOG10(2))
+                        * 1000000000 + 0.5) AS DECIMAL(38,0))) AS q
+  FROM uni JOIN nu ON uni.lang = nu.lang
+  GROUP BY uni.lang
+),
+hb AS (
+  SELECT m.lang,
+         SUM(CAST(FLOOR((CAST(m.c12 AS DOUBLE) / CAST(nb.n AS DOUBLE))
+                        * (LOG10(CAST(c.c1 AS DOUBLE) / CAST(m.c12 AS DOUBLE))
+                           / LOG10(2))
+                        * 1000000000 + 0.5) AS DECIMAL(38,0))) AS q
+  FROM model m
+  JOIN ctx c ON c.lang = m.lang AND c.w1 = m.w1
+  JOIN nb ON nb.lang = m.lang
+  GROUP BY m.lang
+)
+SELECT hu.lang,
+       nu.n AS n_tokens,
+       CAST(FLOOR(CAST(hu.q AS DOUBLE) / 1000000000 * 1000 + 0.5) AS BIGINT)
+         AS h_unigram_milli_bits,
+       CAST(FLOOR(CAST(hb.q AS DOUBLE) / 1000000000 * 1000 + 0.5) AS BIGINT)
+         AS h_bigram_cond_milli_bits
+FROM hu
+JOIN hb ON hb.lang = hu.lang
+JOIN nu ON nu.lang = hu.lang
+ORDER BY hu.lang
+"""
+
+
+@query("text_ngram_entropy_rate", oracle=NGRAM_ENTROPY_ORACLE)
+def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy rate per language: unigram entropy H(W) and the
+    bigram CONDITIONAL entropy H(W₂|W₁) = Σ p(w₁w₂)·log₂(c₁/c₁₂) —
+    the pair whose gap (mutual information between adjacent tokens)
+    measures how much sequential structure a corpus has, the signal
+    that separates natural prose from shuffled-token keyword soup at
+    CORPUS grain (text_bigram_lm_bits scores individual docs; this
+    scores the language slice itself, the number a mixture designer
+    compares across sources before weighting them).
+
+    Exactness: both entropies fold vocabulary-grain terms — exact
+    integer counts through one fixed log₁₀-ratio tree — nano-quantized
+    per TERM and summed in DECIMAL(38,0) (the LM recipe); the term
+    grain is (lang, w₁, w₂), so the sum has one addend per bigram
+    TYPE, not per token.
+
+    Scale: after the map-only bigram zip, everything is
+    vocabulary-grain (model/ctx aggregates with map-side combine);
+    the corpus stream is read once, and the entropy fold touches
+    |bigram types| rows — the classic sufficient-statistics shape.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from taps_spark.operators.numeric import quantize_nano
+
+    toks = docs.select("doc_id", "lang", tokens("text").alias("t"))
+    uni = (
+        toks.select("lang", F.explode("t").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    nu = uni.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    hu = (
+        uni.join(F.broadcast(nu), "lang")
+        .select(
+            "lang",
+            quantize_nano(
+                (F.col("c").cast("double") / F.col("n").cast("double"))
+                * (
+                    F.log10(F.col("n").cast("double") / F.col("c").cast("double"))
+                    / F.log10(F.lit(2.0))
+                )
+            ).alias("q"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("q").alias("q"))
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("lang", "bg.w1", "bg.w2")
+    )
+    model = big.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = model.groupBy("lang", "w1").agg(F.sum("c12").cast("long").alias("c1"))
+    nb = model.groupBy("lang").agg(F.sum("c12").cast("long").alias("n"))
+    hb = (
+        model.join(F.broadcast(ctx), ["lang", "w1"])
+        .join(F.broadcast(nb), "lang")
+        .select(
+            "lang",
+            quantize_nano(
+                (F.col("c12").cast("double") / F.col("n").cast("double"))
+                * (
+                    F.log10(
+                        F.col("c1").cast("double") / F.col("c12").cast("double")
+                    )
+                    / F.log10(F.lit(2.0))
+                )
+            ).alias("q"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("q").alias("q"))
+    )
+    fold = lambda col: F.floor(  # noqa: E731
+        col.cast("double") / 1000000000 * 1000 + 0.5
+    ).cast("long")
+    return (
+        hu.select("lang", fold(F.col("q")).alias("h_unigram_milli_bits"))
+        .join(
+            hb.select("lang", fold(F.col("q")).alias("h_bigram_cond_milli_bits")),
+            "lang",
+        )
+        .join(nu.select("lang", F.col("n").alias("n_tokens")), "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "h_unigram_milli_bits",
+            "h_bigram_cond_milli_bits",
+        )
+        .orderBy("lang")
+    )
