@@ -6176,3 +6176,164 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_inter_item_r_ppm"),
     )
+
+
+ANOVA_TWO_WAY_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS a, l_linestatus AS b,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+cell AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM v GROUP BY a, b
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(y) AS DOUBLE) AS s,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS q
+  FROM v
+),
+ssa AS (
+  SELECT SUM(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) AS t
+  FROM (SELECT a, CAST(SUM(s) AS BIGINT) AS sa, CAST(SUM(n) AS BIGINT) AS na
+        FROM cell GROUP BY a)
+),
+ssb AS (
+  SELECT SUM(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) AS t
+  FROM (SELECT b, CAST(SUM(s) AS BIGINT) AS sb, CAST(SUM(n) AS BIGINT) AS nb
+        FROM cell GROUP BY b)
+),
+ssc AS (
+  SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cell
+),
+na AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS ka FROM cell),
+nb2 AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM cell),
+d AS (
+  SELECT tot.n, ssc.n_cells, na.ka, nb2.kb,
+         tot.s * tot.s / tot.n AS ct,
+         tot.q - tot.s * tot.s / tot.n AS ss_total,
+         ssa.t - tot.s * tot.s / tot.n AS ss_a,
+         ssb.t - tot.s * tot.s / tot.n AS ss_b,
+         ssc.t - tot.s * tot.s / tot.n AS ss_cells,
+         tot.q - ssc.t AS ss_within
+  FROM tot CROSS JOIN ssa CROSS JOIN ssb CROSS JOIN ssc
+           CROSS JOIN na CROSS JOIN nb2
+)
+SELECT CAST(n AS BIGINT) AS n, n_cells,
+       CAST(FLOOR(ss_a / ss_total * 1000000 + 0.5) AS BIGINT) AS eta2_a_ppm,
+       CAST(FLOOR(ss_b / ss_total * 1000000 + 0.5) AS BIGINT) AS eta2_b_ppm,
+       CAST(FLOOR((ss_cells - ss_a - ss_b) / ss_total * 1000000 + 0.5)
+            AS BIGINT) AS eta2_interaction_ppm,
+       ROUND((ss_cells / (CAST(n_cells AS DOUBLE) - 1))
+             / (ss_within / (n - CAST(n_cells AS DOUBLE))), 4) AS f_cells
+FROM d
+"""
+
+
+@query("stats_anova_two_way", oracle=ANOVA_TWO_WAY_ORACLE)
+def stats_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor ANOVA decomposition of extended price over
+    return-flag × line-status: per-factor and interaction effect
+    sizes (η² shares of total SS) plus the omnibus cell-means F —
+    the screen a profiler runs before trusting either one-way result
+    (stats_anova_oneway) when a second factor could explain the same
+    variance.
+
+    Decomposition note (deliberate, oracle-pinned): SS_A/SS_B are the
+    unadjusted (Type I first-position) main-effect sums; on unbalanced
+    data their sum can differ from SS_cells, and the interaction line
+    reports SS_cells − SS_A − SS_B — the balanced-design identity,
+    approximate under imbalance (the fixture's 6 cells are near-
+    balanced by construction). SS_within = SS_total − SS_cells is
+    exact regardless, so the omnibus F is always well-defined.
+
+    EXACT: cell sums/counts are integers (cents grid, Σy² in
+    DECIMAL(38,0)); every SS folds from those integers in one fixed
+    IEEE tree; the only aggregation of doubles (Σ s²/n over cells)
+    runs over ≤6 cells — pivoted through a broadcast single-partition
+    fold, deterministic addend order via sorted cell keys.
+
+    Scale: one (a, b)-grain map-side-combined aggregate over the
+    scan; everything after is ≤6 rows.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.col("l_returnflag").alias("a"),
+        F.col("l_linestatus").alias("b"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    cell = v.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    tot = v.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q"),
+    )
+    # Sorted-key folds: Σ s²/n over ≤6 cells (and ≤3/≤2 marginals) is
+    # a sum of DOUBLES, so addend order must be fixed — sort_array
+    # over collected (key, s, n) structs makes the fold order the key
+    # order on both engines (DuckDB's scalar SUM over the tiny CTE is
+    # order-stable for the same reason: one partition, key-grouped
+    # input). n/s stay exact integers until the division.
+    def marg_fold(df: DataFrame, key: str) -> DataFrame:
+        g = df.groupBy(key).agg(
+            F.sum("s").cast("long").alias("ms"), F.sum("n").cast("long").alias("mn")
+        )
+        return g.agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(key), F.col("ms"), F.col("mn")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["ms"].cast("double")
+                * x["ms"].cast("double")
+                / x["mn"].cast("double"),
+            ).alias("t")
+        )
+
+    ssa = marg_fold(cell, "a")
+    ssb = marg_fold(cell, "b")
+    ssc = cell.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("a", "b", F.col("s"), F.col("n")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["s"].cast("double") * x["s"].cast("double") / x["n"].cast("double"),
+        ).alias("t"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    d = (
+        tot.crossJoin(F.broadcast(ssa.select(F.col("t").alias("ta"))))
+        .crossJoin(F.broadcast(ssb.select(F.col("t").alias("tb"))))
+        .crossJoin(F.broadcast(ssc))
+    )
+    ct = F.col("s") * F.col("s") / F.col("n")
+    ss_total = F.col("q") - ct
+    ss_a = F.col("ta") - ct
+    ss_b = F.col("tb") - ct
+    ss_cells = F.col("t") - ct
+    ss_within = F.col("q") - F.col("t")
+    ncd = F.col("n_cells").cast("double")
+    return d.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells"),
+        F.floor(ss_a / ss_total * 1000000 + 0.5).cast("long").alias("eta2_a_ppm"),
+        F.floor(ss_b / ss_total * 1000000 + 0.5).cast("long").alias("eta2_b_ppm"),
+        F.floor((ss_cells - ss_a - ss_b) / ss_total * 1000000 + 0.5)
+        .cast("long")
+        .alias("eta2_interaction_ppm"),
+        F.round(
+            (ss_cells / (ncd - 1)) / (ss_within / (F.col("n") - ncd)), 4
+        ).alias("f_cells"),
+    )

@@ -1217,3 +1217,59 @@ def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+REGEX_FUNCS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(LEN(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+         AS n_number_runs,
+       CAST(SUM(CASE WHEN regexp_matches(props, '"k": [0-9]+')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_k_shape,
+       CAST(SUM(LENGTH(regexp_replace(props, '[0-9]', '#', 'g'))) AS BIGINT)
+         AS redacted_chars,
+       MIN(regexp_extract(props, '"([a-z_]+)"', 1)) AS first_key
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("scalar_regex_funcs", oracle=REGEX_FUNCS_ORACLE)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface over the events props payload —
+    regexp_extract_all (count of digit runs), rlike shape test,
+    global regexp_replace (redaction length), and group-capturing
+    regexp_extract — rolled up per event type so the output is
+    small while every row exercises the functions (completes the
+    scalar-function coverage next to string/date/array/map/json/try;
+    SURVEY §2b scalar row). The redaction pattern is the scalar half
+    of pii_redact_digits.
+
+    Exactness: counts/lengths are integers; the regex dialects agree
+    on these patterns (character classes, capture groups — no
+    lookaround, no engine-specific syntax). Spark's regexp_replace
+    is global by default, matched by DuckDB's 'g' flag.
+
+    Scale: map-only scalar work folded by one grouped aggregate.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)")))
+            .cast("long")
+            .alias("n_number_runs"),
+            F.sum(
+                F.when(F.col("props").rlike('"k": [0-9]+'), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_k_shape"),
+            F.sum(F.length(F.regexp_replace("props", "[0-9]", "#")))
+            .cast("long")
+            .alias("redacted_chars"),
+            F.min(F.regexp_extract("props", '"([a-z_]+)"', 1)).alias("first_key"),
+        )
+        .orderBy("event_type")
+    )

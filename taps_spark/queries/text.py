@@ -5151,3 +5151,105 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+MIX_TEMPERATURE_ORACLE = """
+WITH src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM src),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                    * 1000000000 + 0.5) AS DECIMAL(38,0)) AS wq,
+         tot.t AS t
+  FROM src CROSS JOIN tot
+),
+sw AS (SELECT SUM(wq) AS swq FROM w)
+SELECT w.source, w.n_docs, w.n_tokens,
+       CAST(FLOOR(CAST(w.n_tokens AS DOUBLE) / CAST(w.t AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS share_ppm,
+       CAST(FLOOR(CAST(w.wq AS DOUBLE) / CAST(sw.swq AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS temp_share_ppm,
+       CAST(FLOOR((CAST(w.wq AS DOUBLE) / CAST(sw.swq AS DOUBLE))
+                  / (CAST(w.n_tokens AS DOUBLE) / CAST(w.t AS DOUBLE))
+                  * 1000 + 0.5) AS BIGINT) AS rate_x1000
+FROM w CROSS JOIN sw
+ORDER BY w.source
+"""
+
+
+@query("pipeline_mix_temperature", oracle=MIX_TEMPERATURE_ORACLE)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing at τ = 0.5: target share
+    qᵢ ∝ pᵢ^τ — the standard multilingual/multisource rebalancing
+    (mBERT/mT5 exponent-sampling) that upweights small sources without
+    letting them dominate; τ = 0.5 makes the exponent an exact SQRT
+    (the determinism laws ban POWER, and τ = 0.5 is in the range
+    actually used, 0.3–0.7). Complements pipeline_mix_plan (explicit
+    target shares) with the parameterized closed-form policy; the
+    rate_x1000 column is the per-source sampling multiplier a
+    dataloader applies.
+
+    Exactness: token shares are single divisions of exact integers;
+    each √pᵢ is nano-quantized to DECIMAL(38,0) BEFORE the
+    normalization sum, so Σwᵢ is order-independent (the unordered-
+    double-sum law — 20 sources would otherwise fold in engine order).
+
+    Scale: one source-grain aggregate (map-side combined) over a
+    map-only token count; everything after is |sources| rows.
+    """
+    from taps_spark.operators.numeric import quantize_nano
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    src = docs.select("source", F.size(tokens("text")).alias("nt")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    tot = src.agg(F.sum("n_tokens").cast("long").alias("t"))
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "t",
+        quantize_nano(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("t").cast("double"))
+        ).alias("wq"),
+    )
+    sw = w.agg(F.sum("wq").alias("swq"))
+    return (
+        w.crossJoin(F.broadcast(sw))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.col("n_tokens").cast("double") / F.col("t").cast("double")
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(
+                F.col("wq").cast("double") / F.col("swq").cast("double") * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("temp_share_ppm"),
+            F.floor(
+                (F.col("wq").cast("double") / F.col("swq").cast("double"))
+                / (F.col("n_tokens").cast("double") / F.col("t").cast("double"))
+                * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("rate_x1000"),
+        )
+        .orderBy("source")
+    )
