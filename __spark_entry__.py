@@ -35,16 +35,21 @@ def _artifact_scan() -> tuple[dict[str, int], dict[str, int], set[str], int]:
     lexicographic order would file r100 between r10 and r11.
     Deterministic given the committed artifacts."""
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(
-        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
+    # fullmatch-filter BEFORE sorting: a stray glob hit with no round
+    # number (e.g. CORRECTNESS_retry.json) must be ignored, not crash
+    # the rotation at import time (r11 ADVICE).
+    matched = [
+        (p, re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p)))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ]
+    rounds = {p: int(m.group(1)) for p, m in matched if m}
+    paths = sorted(rounds, key=rounds.get)
     counts: dict[str, int] = {}
     last: dict[str, int] = {}
     failed: set[str] = set()
     latest = 0
     for path in paths:
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rnd = rounds[path]
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -102,19 +107,22 @@ def _failed_latest_round() -> set[str]:
 
 def _rotated(names: list[str]) -> list[str]:
     counts, last, failed, latest = _artifact_scan()
-    # Failed-last-round first, then stalest last-green (LRU: every
-    # query re-gates within ceil(N/50) rounds by construction), then
-    # least-covered; registry order breaks remaining ties (stable
-    # sort). Queries with NO driver row yet slot at pivot = latest-4:
-    # BEHIND genuinely stale re-gates, AHEAD of recently-verified
-    # ones — a query whose last driver evidence predates four rounds
-    # of shared-primitive churn needs a fresh row more than a
-    # newcomer already green in the full local sweep at HEAD
-    # (r10 VERDICT task #3). Stateless given the artifacts.
-    pivot = max(latest - 4, 1)
+    # Priority: (1) failed-last-round, (2) queries with NO driver row
+    # at all — zero hard signal outranks old-but-green signal plus
+    # fresh local sweeps, so newcomers gate in their FIRST round and
+    # a second zero-evidence backlog can never form (r11 VERDICT
+    # task #1; supersedes the r10 latest-4 pivot) — then (3) stalest
+    # last-green (LRU: every query re-gates within ceil(N/50) rounds
+    # by construction), then (4) least-covered; registry order breaks
+    # remaining ties (stable sort). Stateless given the artifacts.
     return sorted(
         names,
-        key=lambda n: (n not in failed, last.get(n, pivot), counts.get(n, 0)),
+        key=lambda n: (
+            n not in failed,
+            n in last,
+            last.get(n, 0),
+            counts.get(n, 0),
+        ),
     )
 
 

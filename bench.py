@@ -153,6 +153,18 @@ def main() -> None:
     # both recorded "parsed": null because the full line above
     # overflows that window. min-of-N is the contention-robust point
     # statistic (see comment above); medians stay in BENCH_LOCAL.json.
+    print(compact_line(mins, reps, out["sf"]))
+
+
+def compact_line(mins: dict, reps: int, sf) -> str:
+    """The LAST stdout line the driver tail-captures, as a string.
+
+    Tail-window guard: HEADLINE grows ~2 queries/round (~70 bytes);
+    if the compact line ever nears the driver's 2000-char capture,
+    drop the per-query map (it survives in BENCH_LOCAL.json) so the
+    suite total always parses instead of silently reintroducing the
+    r8/r9 "parsed": null failure. Pure function so the guard is
+    regression-testable (tests/test_bench_contract.py)."""
     compact = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(mins.values()), 3),
@@ -160,19 +172,14 @@ def main() -> None:
         "queries": mins,
         "stat": "min",
         "runs": reps,
-        "sf": out["sf"],
+        "sf": sf,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    # Tail-window guard: HEADLINE grows ~2 queries/round (~70 bytes);
-    # if the compact line ever nears the driver's 2000-char capture,
-    # drop the per-query map (it survives in BENCH_LOCAL.json) so the
-    # suite total always parses instead of silently reintroducing the
-    # r8/r9 "parsed": null failure.
     if len(line) >= 1900:
         compact.pop("queries")
         compact["queries_in"] = "BENCH_LOCAL.json"
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -151,7 +151,10 @@ def band_bucket_scalars(
     bint = bands.join(bmin, ["band", "band_sig"]).select(
         F.col(id_col), band_ok.alias("band"), F.col("_bmin").alias("bid")
     )
-    wide = bint.groupBy(id_col).pivot("band", list(range(n_bands))).agg(F.first("bid"))
+    # MAX, not FIRST: each (id, band) group is a single row (one
+    # bucket id per band), but first() is contractually
+    # non-deterministic — max() is deterministic by construction.
+    wide = bint.groupBy(id_col).pivot("band", list(range(n_bands))).agg(F.max("bid"))
     return (
         bint.join(wide, id_col)
         .select(

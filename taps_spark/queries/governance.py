@@ -1204,7 +1204,7 @@ ORDER BY table_name
 def governance_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-erasure (GDPR art. 17) impact sizing: given a
     deterministic erasure cohort (subject id ≡ 0 mod 97, ≈1% — the
-    stand-in for a DSR批 batch list), report per table how many rows
+    stand-in for a DSR batch list), report per table how many rows
     and distinct subjects a deletion touches and the affected share —
     the number a data-governance owner needs BEFORE running the
     tombstone cascade (transfer_tombstone_cascade is the execution

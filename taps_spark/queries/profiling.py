@@ -674,15 +674,19 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ecdf.crossJoin(F.broadcast(totals))
         .agg(
-            F.first("n").alias("n_a"),
-            F.first("m").alias("n_b"),
+            # MAX, not FIRST: every row carries identical broadcast
+            # totals, but first() is contractually non-deterministic
+            # in Spark — max() is deterministic by construction
+            # (cvm precedent, r11 ADVICE).
+            F.max("n").alias("n_a"),
+            F.max("m").alias("n_b"),
             F.max(F.abs(F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n")))
             .cast("long")
             .alias("d_numerator"),
             F.round(
                 F.max(F.abs(F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n")))
                 .cast("double")
-                / (F.first("n") * F.first("m")),
+                / (F.max("n") * F.max("m")),
                 6,
             ).alias("ks_stat"),
         )
@@ -1045,7 +1049,9 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
     ci = ranked.agg(
-        F.first("n").cast("int").alias("n_replicates"),
+        # MAX, not FIRST: n is the same window count on every row;
+        # max() keeps the plan deterministic by construction.
+        F.max("n").cast("int").alias("n_replicates"),
         F.max(F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"), F.col("m"))).alias("ci_lo"),
         F.max(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"), F.col("m"))).alias("ci_hi"),
     )
@@ -5686,7 +5692,10 @@ def stats_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pairs"),
     )
     med = (
-        cum.filter(F.col("cum") >= (F.col("n_pairs") + 1) / 2)
+        # Integer median cutoff to match the oracle's (n_pairs+1)//2
+        # exactly: DOUBLE division would demand the UPPER median for
+        # even n_pairs while the oracle takes the lower (r11 ADVICE).
+        cum.filter(F.col("cum") >= F.expr("(n_pairs + 1) div 2"))
         .groupBy("event_type")
         .agg(F.min("slope").alias("med_slope"), F.max("n_pairs").alias("n_pairs"))
     )
@@ -6194,18 +6203,25 @@ tot AS (
          CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS q
   FROM v
 ),
+-- ORDER BY inside each SUM pins the double-fold addend order to the
+-- key order, mirroring the Spark side's sorted-struct fold — the
+-- repo's no-unordered-double-sum law applies to the oracle too
+-- (r11 ADVICE).
 ssa AS (
-  SELECT SUM(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) AS t
+  SELECT SUM(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             ORDER BY a) AS t
   FROM (SELECT a, CAST(SUM(s) AS BIGINT) AS sa, CAST(SUM(n) AS BIGINT) AS na
         FROM cell GROUP BY a)
 ),
 ssb AS (
-  SELECT SUM(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) AS t
+  SELECT SUM(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+             ORDER BY b) AS t
   FROM (SELECT b, CAST(SUM(s) AS BIGINT) AS sb, CAST(SUM(n) AS BIGINT) AS nb
         FROM cell GROUP BY b)
 ),
 ssc AS (
-  SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS t,
+  SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             ORDER BY a, b) AS t,
          CAST(COUNT(*) AS BIGINT) AS n_cells
   FROM cell
 ),

@@ -1975,8 +1975,11 @@ def pipeline_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         tc.join(F.broadcast(plan), "source")
         .groupBy("source")
         .agg(
-            F.first("toks").alias("toks_before"),
-            F.first("total").alias("total"),
+            # MAX, not FIRST: toks/total are functionally determined
+            # by the group key (joined from the per-source plan);
+            # max() is deterministic by construction (r11 ADVICE).
+            F.max("toks").alias("toks_before"),
+            F.max("total").alias("total"),
             F.sum(F.when(F.col("bucket") < F.col("keep_bp"), F.col("n_tok")).otherwise(0))
             .cast("long")
             .alias("toks_after"),

@@ -283,6 +283,30 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf_dir):
     assert not violations, violations
 
 
+def test_no_first_in_non_windowed_aggregates():
+    """Source-level hygiene gate (r11 VERDICT #3): `F.first` is
+    contractually non-deterministic in Spark outside an ordered
+    window, even when every row in the group carries identical
+    values — a shuffle-order change can silently flip results. The
+    only sanctioned shape is `F.first(...).over(ordered window)`;
+    everything else must use F.max / a post-aggregate 1-row join
+    (the cvm precedent, queries/profiling.py)."""
+    import pathlib
+    import re as _re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "taps_spark"
+    violations = []
+    for path in sorted(root.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "F.first(" not in line:
+                continue
+            window = "\n".join(lines[i : i + 3])
+            if not _re.search(r"\.over\(", window):
+                violations.append(f"{path.name}:{i + 1}: {line.strip()}")
+    assert not violations, violations
+
+
 def test_cross_source_overlap_has_no_self_join(spark, sf_dir):
     """dedup_cross_source_overlap must expand source pairs JVM-side
     from each gram's collected source set — a gram-keyed SELF-JOIN

@@ -138,21 +138,24 @@ def test_bench_compare_min_fallback(tmp_path, monkeypatch, capsys):
 def test_driver_rotation_orders_failures_then_stalest():
     """The driver gates a bounded prefix of queries(); the contract is
     (1) queries with a non-green row in the LATEST driver artifact
-    re-gate first, (2) everything else sorts LRU by last-green round
-    so every query re-gates within ceil(N/50) rounds, with queries
-    that have NO driver row yet slotted at pivot = latest-4 (behind
-    genuinely stale re-gates, ahead of recently-verified ones — r10
-    VERDICT task #3). Asserted against the invariant, not specific
-    names, so the test survives future rounds' artifacts."""
+    re-gate first, (2) queries with NO driver row at all gate next —
+    zero hard signal outranks old-but-green signal (r11 VERDICT
+    task #1), (3) everything else sorts LRU by last-green round so
+    every query re-gates within ceil(N/50) rounds. Asserted against
+    the invariant, not specific names, so the test survives future
+    rounds' artifacts."""
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
     counts, last, failed, latest = e._artifact_scan()
-    pivot = max(latest - 4, 1)
 
     n_failed = len([n for n in names if n in failed])
     assert set(names[:n_failed]) == failed & set(names)
-    rest = [last.get(n, pivot) for n in names[n_failed:]]
+    n_norow = len([n for n in names if n not in failed and n not in last])
+    assert all(
+        n not in last for n in names[n_failed : n_failed + n_norow]
+    ), "zero-evidence queries must gate immediately after failures"
+    rest = [last[n] for n in names[n_failed + n_norow :]]
     assert rest == sorted(rest), "non-failed queries must sort LRU by last green"
     # Single-scan helpers agree with the combined scan.
     assert e._coverage_counts() == counts
