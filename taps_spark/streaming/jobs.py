@@ -88,18 +88,60 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", ts)
 
 
+# State-store partition count for the local harness's streaming
+# queries. A stateful operator opens/commits one state store PER
+# shuffle partition PER micro-batch (a stream-stream join opens
+# four), so inheriting the batch shuffle sizing (32 in the sweep)
+# multiplies fixed store-commit overhead over streams whose entire
+# state is a few thousand keys — measured at sf0.1: the four heaviest
+# streaming queries drop from ~56 s to ~22 s combined at 8 vs 32
+# partitions, identical results (state partitioning is invisible to
+# the oracle-gated output). In production the same decision is
+# explicit and PERMANENT per checkpoint: spark.sql.shuffle.partitions
+# at first start fixes the state layout for the query's lifetime, so
+# size it to projected state volume (keys × bytes / executor memory),
+# never inherit whatever the batch jobs use.
+STREAM_STATE_PARTITIONS = 8
+
+
+class _state_partitions:
+    """Scope `spark.sql.shuffle.partitions` down to the streaming
+    state sizing for the duration of a stream start→termination, then
+    restore the session's batch value (streams capture the conf at
+    .start(); sweeps run queries sequentially, so the temporary
+    session-level set cannot leak into a concurrent batch plan)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            current = int(self.saved)
+        except (TypeError, ValueError):
+            current = 1 << 30  # AQE "auto" etc. — just apply the cap
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(current, STREAM_STATE_PARTITIONS)),
+        )
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion on the available
     data and return the materialized result (local harness path)."""
     name = f"taps_stream_sink_{next(_SINK_IDS)}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -213,13 +255,14 @@ def stream_foreach_batch_idempotent(spark: SparkSession, sf_dir: str) -> DataFra
                 "sum_value",
             )
         )
-        q = (
-            agg.writeStream.outputMode("complete")
-            .foreachBatch(write_epoch)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .foreachBatch(write_epoch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     return spark.read.parquet(target)
 
 
@@ -345,13 +388,14 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast(DECIMAL_T)).alias("sum_v"),
         )
-        q = (
-            hourly.writeStream.outputMode("complete")
-            .foreachBatch(upsert_partials)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark):
+            q = (
+                hourly.writeStream.outputMode("complete")
+                .foreachBatch(upsert_partials)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     import os
 
