@@ -698,3 +698,196 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: KMV (theta-style) sketch set operations + data-derived
+# recursive hierarchy rollup.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_M = 1 << 48  # hash domain: first 12 hex chars of md5
+
+KMV_INTERSECTION_ORACLE = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+hv AS (
+  SELECT DISTINCT event_type,
+         ('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM du
+),
+sk AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hv)
+  WHERE rn <= {_KMV_K}
+),
+th AS (SELECT event_type, MAX(h) AS theta FROM sk GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         LEAST(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.event_type < b.event_type
+),
+rho AS (
+  SELECT p.type_a, p.type_b, CAST(COUNT(*) AS BIGINT) AS rho
+  FROM pairs p
+  JOIN sk sa ON sa.event_type = p.type_a
+  JOIN sk sb ON sb.event_type = p.type_b AND sb.h = sa.h
+  WHERE sa.h <= p.theta
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.theta,
+       CAST(COALESCE(r.rho, 0) AS BIGINT) AS rho,
+       CAST(COALESCE(r.rho, 0) * {_KMV_M} // p.theta AS BIGINT) AS est_intersection,
+       CAST(COALESCE(e.exact_intersection, 0) AS BIGINT) AS exact_intersection
+FROM pairs p
+LEFT JOIN rho r ON r.type_a = p.type_a AND r.type_b = p.type_b
+LEFT JOIN ex e ON e.type_a = p.type_a AND e.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+@query("agg_kmv_set_intersection", oracle=KMV_INTERSECTION_ORACLE)
+def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-style sketch set algebra: per event type, the K=64
+    smallest md5(user) hash values form a mergeable distinct-count
+    sketch; for every type pair the sketches alone estimate audience
+    overlap (ρ retained intersection hashes below the pair's θ,
+    scaled by the hash domain), reported NEXT TO the exact
+    intersection so the estimate is auditable in one result.
+
+    Unlike approx_count_distinct (HLL — union-only, engine-opaque),
+    KMV sketches support INTERSECTION estimates and are bit-exact
+    reproducible cross-engine: md5 is the repo's only cross-engine
+    hash, and every step after it is integer order statistics.
+
+    Determinism: distinct h per type before ranking (ROW_NUMBER ties
+    on duplicate h would be unstable; distinct h values make the
+    ordering key unique), integer floor division for the estimate.
+
+    Scale: the per-type K-smallest filter is a rank-≤-K window Spark
+    executes as WindowGroupLimit (map-side partial top-K per
+    partition — the Hamming top-k precedent); all sketch joins touch
+    K·|types| rows. The exact-intersection audit column is the only
+    data-sized join, and production drops it — the sketches ARE the
+    product (stored per partition, merged at read).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    du = ev.select("event_type", "user_id").distinct()
+    hv = du.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    sk = hv.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K).drop("rn")
+    th = sk.groupBy("event_type").agg(F.max("h").alias("theta"))
+    a, b = th.alias("a"), th.alias("b")
+    pairs = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.least(F.col("a.theta"), F.col("b.theta")).alias("theta"),
+        )
+    )
+    sa, sb = sk.alias("sa"), sk.alias("sb")
+    rho = (
+        pairs.alias("p")
+        .join(F.broadcast(sa), F.col("sa.event_type") == F.col("p.type_a"))
+        .join(
+            F.broadcast(sb),
+            (F.col("sb.event_type") == F.col("p.type_b"))
+            & (F.col("sb.h") == F.col("sa.h")),
+        )
+        .filter(F.col("sa.h") <= F.col("p.theta"))
+        .groupBy("p.type_a", "p.type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("rho"))
+    )
+    da, db = du.alias("da"), du.alias("db")
+    ex = (
+        da.join(
+            db,
+            (F.col("da.user_id") == F.col("db.user_id"))
+            & (F.col("da.event_type") < F.col("db.event_type")),
+        )
+        .groupBy(
+            F.col("da.event_type").alias("type_a"),
+            F.col("db.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return (
+        pairs.join(F.broadcast(rho), ["type_a", "type_b"], "left")
+        .join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            F.coalesce(F.col("rho"), F.lit(0)).cast("long").alias("rho"),
+            F.expr(
+                f"CAST(COALESCE(rho, 0) * {_KMV_M} div theta AS BIGINT)"
+            ).alias("est_intersection"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+#: Data-derived recursive hierarchy (next to sql_recursive_week_spine's
+#: generated spine): part keys form a decimal tree (parent = key div
+#: 10), and WITH RECURSIVE walks it from the single-digit roots,
+#: rolling up subtree size / depth / price. Executed VERBATIM by Spark
+#: SQL and DuckDB — FLOOR(x / 10.0) is the dialect-portable integral
+#: parent (Spark `div` vs DuckDB `//` differ in spelling).
+SQL_PART_HIERARCHY_STMT = """
+WITH RECURSIVE tree AS (
+  SELECT p_partkey AS node, p_partkey AS root, 0 AS depth, p_retailprice AS price
+  FROM part WHERE p_partkey <= 9  -- roots: single-digit keys (0-based fixture)
+  UNION ALL
+  SELECT p.p_partkey, t.root, t.depth + 1, p.p_retailprice
+  FROM part p JOIN tree t ON p.p_partkey >= 10
+   AND CAST(FLOOR(p.p_partkey / 10.0) AS BIGINT) = t.node
+)
+SELECT root,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(depth) AS INT) AS max_depth,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(27,6))), 2) AS DOUBLE) AS subtree_price
+FROM tree
+GROUP BY root
+ORDER BY root
+"""
+
+
+@query("sql_recursive_part_hierarchy", oracle=SQL_PART_HIERARCHY_STMT)
+def sql_recursive_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy rollup over DATA (the week spine
+    recursion iterates a constant; this one joins the part table each
+    step): parts form a decimal-digit tree, and the recursion labels
+    every node with its root for subtree aggregates — org charts /
+    BOM explosions / category trees without an iterative driver loop.
+
+    Scale: recursion depth is the tree height (⌈log₁₀ N⌉ — 7 levels
+    at a billion parts); each step is one equi-join of the frontier
+    against the table, exactly the frontier-BFS shape of
+    graph_bfs_hops but expressed in pure SQL. Termination is
+    STRUCTURAL, not a level cap: the `p_partkey >= 10` guard makes
+    every recursive child's parent strictly smaller than itself
+    (fixture keys are 0-based, and key 0 is otherwise its own parent
+    — an instant infinite recursion). Determinism: the price rollup
+    is the DECIMAL(27,6) exact-sum law.
+    """
+    tables = load_tables(spark, sf_dir, ("part",))
+    tables["part"].createOrReplaceTempView("part")
+    return spark.sql(SQL_PART_HIERARCHY_STMT)

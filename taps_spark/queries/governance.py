@@ -1249,3 +1249,110 @@ def governance_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(impact(od, "o_custkey", "orders"))
         .orderBy("table_name")
     )
+
+
+PII_REDACT_ORACLE = """
+WITH t AS (
+  SELECT c_mktsegment AS segment,
+         c_name || ' call ' ||
+         CAST(c_nationkey + 10 AS VARCHAR) || '-' ||
+         LPAD(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         LPAD(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+         LPAD(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') AS ticket
+  FROM customer
+),
+r AS (
+  SELECT segment, ticket,
+         CAST(LENGTH(regexp_extract_all(ticket,
+              '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS phone_hits,
+         regexp_replace(ticket, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                        '[PHONE]', 'g') AS p1
+  FROM t
+),
+r2 AS (
+  SELECT segment, phone_hits,
+         CAST(LENGTH(regexp_extract_all(p1, '[0-9]{4,}')) AS BIGINT) AS num_hits,
+         regexp_replace(p1, '[0-9]{4,}', '[NUM]', 'g') AS redacted
+  FROM r
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_tickets,
+       CAST(SUM(phone_hits) AS BIGINT) AS phone_hits,
+       CAST(SUM(num_hits) AS BIGINT) AS num_hits,
+       CAST(SUM(CASE WHEN NOT regexp_matches(redacted, '[0-9]{4,}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_no_long_digit_runs,
+       MIN(MD5(redacted)) AS min_redacted_md5,
+       MAX(MD5(redacted)) AS max_redacted_md5
+FROM r2
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@query("governance_pii_redact", oracle=PII_REDACT_ORACLE)
+def governance_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction TRANSFORM (the acting half next to
+    governance_pii_pattern_census's counting half): support-ticket
+    text — customer name plus a TPC-H-format phone derived
+    deterministically from the keys (the truncated fixture schema
+    drops c_phone/c_comment) — gets phone numbers, then residual
+    long digit runs (the 9-digit customer ids inside c_name),
+    replaced by typed placeholders. Per-segment hit counts, a
+    zero-leak assertion column, and MD5 witnesses of the redacted
+    text itself, so the oracle gates the actual output strings, not
+    just the counts (MD5 is the repo's only cross-engine hash).
+
+    Regex surface is digit classes/quantifiers only (identical in
+    Java regex and RE2); DuckDB's regexp_replace needs the 'g' flag
+    to match Spark's replace-all default.
+
+    Scale: map-only per-row regex work (JVM, no UDF) folding into a
+    |segments|-row aggregate; the raw text never shuffles.
+    """
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    phone_pat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    t = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.concat(
+            F.col("c_name"),
+            F.lit(" call "),
+            (F.col("c_nationkey") + 10).cast("string"),
+            F.lit("-"),
+            F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("c_custkey") * 13) % 10000).cast("string"), 4, "0"),
+        ).alias("ticket"),
+    )
+    r = t.select(
+        "segment",
+        F.size(F.expr(f"regexp_extract_all(ticket, '{phone_pat}', 0)"))
+        .cast("long")
+        .alias("phone_hits"),
+        F.regexp_replace("ticket", phone_pat, "[PHONE]").alias("p1"),
+    )
+    r2 = r.select(
+        "segment",
+        "phone_hits",
+        F.size(F.expr("regexp_extract_all(p1, '[0-9]{4,}', 0)"))
+        .cast("long")
+        .alias("num_hits"),
+        F.regexp_replace("p1", "[0-9]{4,}", "[NUM]").alias("redacted"),
+    )
+    return (
+        r2.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tickets"),
+            F.sum("phone_hits").cast("long").alias("phone_hits"),
+            F.sum("num_hits").cast("long").alias("num_hits"),
+            F.sum(
+                F.when(F.col("redacted").rlike("[0-9]{4,}"), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias("n_no_long_digit_runs"),
+            F.min(F.md5("redacted")).alias("min_redacted_md5"),
+            F.max(F.md5("redacted")).alias("max_redacted_md5"),
+        )
+        .orderBy("segment")
+    )

@@ -6353,3 +6353,452 @@ def stats_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ss_cells / (ncd - 1)) / (ss_within / (F.col("n") - ncd)), 4
         ).alias("f_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: model-evaluation battery (ROC/AUC, confusion metrics,
+# calibration) + Friedman rank test + Cohen's kappa. The reference has
+# no statistics surface at all (lib/taps/operation.rb is a table
+# copier); these are the §2c eval primitives a training-data pipeline
+# runs on its labeled subsets.
+# ---------------------------------------------------------------------------
+
+_SCORED_USERS_SQL = """
+scored AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+"""
+
+
+def _scored_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) (score, label) frame shared by the eval
+    battery: the 'model' is that day's view count, the label is
+    whether the user purchased that day — a deterministic
+    fixture-derived scorer, not a fitted model (the battery evaluates
+    rankers; it does not train one). Day grain keeps BOTH classes
+    populated (over a whole month nearly every user purchases at
+    least once, which degenerates user-grain AUC)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("label"),
+    )
+
+
+ROC_AUC_ORACLE = f"""
+WITH {_SCORED_USERS_SQL},
+g AS (
+  SELECT score,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(label) AS BIGINT) AS pos
+  FROM scored GROUP BY score
+),
+w AS (
+  SELECT score, c, pos,
+         SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM g
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c - pos) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * cum_c - c + 1)) AS BIGINT) AS r2
+  FROM w
+)
+SELECT n_pos, n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST((CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) * 1000000 + n_pos * n_neg)
+            // NULLIF(2 * n_pos * n_neg, 0) AS BIGINT) AS auc_ppm
+FROM tot
+"""
+
+
+@query("stats_roc_auc", oracle=ROC_AUC_ORACLE)
+def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the view-count ranker for purchase via the
+    rank statistic (AUC = U/(n₁n₀), Mann–Whitney identity), with
+    average ranks for ties — the ranking-eval primitive for scored
+    corpora (quality scores vs human labels).
+
+    Determinism: ranks are kept in DOUBLED integers (2·avg_rank =
+    2·cum_before + c + 1 is always integral), so U and the AUC
+    numerator are exact BIGINTs end-to-end; auc_ppm is half-up
+    integer division. No float enters the statistic.
+
+    Scale: the grid is |distinct scores| after a map-side combined
+    groupBy; running totals come from the distributed prefix-sum
+    primitive (operators/keys.prefix_sums — no global window), and
+    the finale is a 1-row partial agg. Ranker evaluation at any
+    corpus size is two shuffles on a bounded grid.
+    """
+    from taps_spark.operators.keys import prefix_sums
+
+    g = (
+        _scored_users(spark, sf_dir)
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    w = prefix_sums(g, "score", ("c",))
+    tot = w.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cum_c") - F.col("c") + 1))
+        .cast("long")
+        .alias("r2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        F.expr(
+            "CAST(((r2 - n_pos * (n_pos + 1)) * 1000000 + n_pos * n_neg) "
+            "div NULLIF(2 * n_pos * n_neg, 0) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+CONFUSION_METRICS_ORACLE = f"""
+WITH {_SCORED_USERS_SQL},
+thresholds(t) AS (SELECT 1 UNION ALL SELECT 5 UNION ALL SELECT 10),
+cm AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN score >= t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN score >= t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN score <  t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN score <  t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored CROSS JOIN thresholds
+  GROUP BY t
+)
+SELECT t AS threshold, tp, fp, fn, tn,
+       CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm,
+       CAST(2 * tp * 1000000 // NULLIF(2 * tp + fp + fn, 0) AS BIGINT) AS f1_ppm,
+       CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT) AS accuracy_ppm,
+       ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+             / NULLIF(SQRT(((CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE))
+                            * CAST(tn + fp AS DOUBLE)) * CAST(tn + fn AS DOUBLE)), 0),
+             6) AS mcc
+FROM cm
+ORDER BY threshold
+"""
+
+
+@query("stats_confusion_metrics", oracle=CONFUSION_METRICS_ORACLE)
+def stats_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix battery (precision / recall / F1 / accuracy /
+    MCC) for the view-count→purchase classifier at three operating
+    thresholds — the threshold-selection readout next to
+    stats_roc_auc's threshold-free AUC.
+
+    Determinism: counts are exact; the ratio metrics are floor ppm
+    integer divisions; MCC's sqrt runs on exact-integer-valued
+    doubles with a PINNED association shape ((a·b)·c)·d replicated
+    verbatim in the oracle, so both engines evaluate the identical
+    IEEE expression tree.
+
+    Scale: one map-side-combined aggregation over users × 3
+    broadcast threshold rows; output is 3 rows.
+    """
+    scored = _scored_users(spark, sf_dir)
+    thresholds = F.array(*[F.lit(t) for t in (1, 5, 10)])
+    cm = (
+        scored.select("score", "label", F.explode(thresholds).alias("t"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("t")) & (F.col("label") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("t")) & (F.col("label") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when((F.col("score") < F.col("t")) & (F.col("label") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when((F.col("score") < F.col("t")) & (F.col("label") == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    return cm.select(
+        F.col("t").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(tp * 1000000 div NULLIF(tp + fp, 0) AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(tp * 1000000 div NULLIF(tp + fn, 0) AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(2 * tp * 1000000 div NULLIF(2 * tp + fp + fn, 0) AS BIGINT)").alias("f1_ppm"),
+        F.expr("CAST((tp + tn) * 1000000 div (tp + fp + fn + tn) AS BIGINT)").alias("accuracy_ppm"),
+        F.round(
+            (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("double")
+            / F.nullif(
+                F.sqrt(
+                    (
+                        (F.col("tp") + F.col("fp")).cast("double")
+                        * (F.col("tp") + F.col("fn")).cast("double")
+                        * (F.col("tn") + F.col("fp")).cast("double")
+                    )
+                    * (F.col("tn") + F.col("fn")).cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mcc"),
+    ).orderBy("threshold")
+
+
+CALIBRATION_ECE_ORACLE = f"""
+WITH {_SCORED_USERS_SQL},
+p AS (
+  SELECT CAST((2 * score * 1000000 + (score + 10)) // (2 * (score + 10)) AS BIGINT) AS p_ppm,
+         label
+  FROM scored
+),
+b AS (
+  SELECT LEAST(p_ppm // 100000, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS pos,
+         CAST(SUM(p_ppm) AS BIGINT) AS sp
+  FROM p GROUP BY 1
+),
+m AS (
+  SELECT bin, n,
+         CAST(sp // n AS BIGINT) AS mean_p_ppm,
+         CAST(pos * 1000000 // n AS BIGINT) AS obs_ppm
+  FROM b
+),
+g AS (SELECT *, ABS(mean_p_ppm - obs_ppm) AS gap_ppm FROM m),
+e AS (SELECT CAST(SUM(n * gap_ppm) // SUM(n) AS BIGINT) AS ece_ppm FROM g)
+SELECT CAST(bin AS INT) AS bin, n, mean_p_ppm, obs_ppm, gap_ppm, ece_ppm
+FROM g CROSS JOIN e
+ORDER BY bin
+"""
+
+
+@query("stats_calibration_ece", oracle=CALIBRATION_ECE_ORACLE)
+def stats_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    squashed view-count score p̂ = s/(s+10) against same-day purchase:
+    10 equal-width probability bins, per-bin mean prediction vs
+    observed rate, and the n-weighted ECE — the calibration readout
+    for any scored corpus (quality classifiers before thresholding).
+
+    Determinism: p̂ is rounded half-up to ppm IN INTEGERS
+    ((2s·10⁶ + (s+10)) div 2(s+10)) so no float exists anywhere;
+    bin means / observed rates / ECE are floor ppm divisions of
+    exact BIGINT sums.
+
+    Scale: one groupBy to (user, day), one to 10 bins (map-side
+    combined), a 1-row ECE agg broadcast back. Nothing exceeds the
+    bin grid after the first shuffle.
+    """
+    scored = _scored_users(spark, sf_dir)
+    p = scored.select(
+        F.expr(
+            "CAST((2 * score * 1000000 + (score + 10)) div (2 * (score + 10)) AS BIGINT)"
+        ).alias("p_ppm"),
+        "label",
+    )
+    b = (
+        p.groupBy(
+            F.least(F.expr("p_ppm div 100000"), F.lit(9)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+            F.sum("p_ppm").cast("long").alias("sp"),
+        )
+    )
+    g = b.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        F.expr("CAST(sp div n AS BIGINT)").alias("mean_p_ppm"),
+        F.expr("CAST(pos * 1000000 div n AS BIGINT)").alias("obs_ppm"),
+    ).withColumn("gap_ppm", F.abs(F.col("mean_p_ppm") - F.col("obs_ppm")))
+    e = g.agg(
+        F.expr("CAST(SUM(n * gap_ppm) div SUM(n) AS BIGINT)").alias("ece_ppm")
+    )
+    return g.crossJoin(F.broadcast(e)).orderBy("bin")
+
+
+COHENS_KAPPA_ORACLE = """
+WITH r AS (
+  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pa,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pb
+  FROM orders
+),
+cm AS (
+  SELECT CAST(SUM(pa * pb) AS BIGINT)             AS a,
+         CAST(SUM(pa * (1 - pb)) AS BIGINT)       AS b,
+         CAST(SUM((1 - pa) * pb) AS BIGINT)       AS c,
+         CAST(SUM((1 - pa) * (1 - pb)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT)                 AS n
+  FROM r
+),
+m AS (
+  SELECT a, b, c, d, n,
+         CAST((a + d) * 1000000 // n AS BIGINT) AS po_ppm,
+         CAST((CAST(a + b AS HUGEINT) * (a + c) + CAST(c + d AS HUGEINT) * (b + d))
+              * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+  FROM cm
+)
+SELECT a, b, c, d, n, po_ppm, pe_ppm,
+       ROUND(CAST(po_ppm - pe_ppm AS DOUBLE) / (1000000 - pe_ppm), 6) AS kappa
+FROM m
+"""
+
+
+@query("stats_cohens_kappa", oracle=COHENS_KAPPA_ORACLE)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic labelers of orders
+    (price-based 'high-value' vs priority-based 'high-urgency') —
+    chance-corrected inter-annotator agreement, the first number any
+    labeling pipeline reports before trusting its raters.
+
+    Determinism: the 2×2 table is exact; po/pe round half-down to ppm
+    via integer division with DECIMAL(38,0)/HUGEINT intermediates
+    (n² · 10⁶ overflows BIGINT past ~3 G rows — sized for the 100 TB
+    row counts, not the fixture); kappa is one double division of
+    those identical integers, rounded at 6 dp.
+
+    Scale: a single map-side-combined 1-row aggregation; no shuffle
+    carries more than the five counters.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    r = orders.select(
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("pa"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("pb"),
+    )
+    cm = r.agg(
+        F.sum(F.col("pa") * F.col("pb")).cast("long").alias("a"),
+        F.sum(F.col("pa") * (1 - F.col("pb"))).cast("long").alias("b"),
+        F.sum((1 - F.col("pa")) * F.col("pb")).cast("long").alias("c"),
+        F.sum((1 - F.col("pa")) * (1 - F.col("pb"))).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    m = cm.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        "n",
+        F.expr("CAST((a + d) * 1000000 div n AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            "CAST((CAST(a + b AS DECIMAL(38,0)) * (a + c) "
+            "      + CAST(c + d AS DECIMAL(38,0)) * (b + d)) * 1000000 "
+            "     div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+    )
+    return m.select(
+        "*",
+        F.round(
+            (F.col("po_ppm") - F.col("pe_ppm")).cast("double")
+            / (F.lit(1000000) - F.col("pe_ppm")),
+            6,
+        ).alias("kappa"),
+    )
+
+
+FRIEDMAN_ORACLE = """
+WITH cnt AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, t.event_type, COALESCE(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT day FROM cnt) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t
+  LEFT JOIN cnt ON cnt.day = d.day AND cnt.event_type = t.event_type
+),
+rk AS (
+  SELECT day, event_type,
+         2 * RANK() OVER (PARTITION BY day ORDER BY c)
+           + COUNT(*) OVER (PARTITION BY day, c) - 1 AS rank2
+  FROM grid
+),
+rj AS (
+  SELECT event_type, CAST(SUM(rank2) AS BIGINT) AS rank2_sum
+  FROM rk GROUP BY 1
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_blocks,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+  FROM grid
+),
+stat AS (
+  SELECT CAST(3 * (SELECT SUM(rank2_sum * rank2_sum) FROM rj) * 1000000
+              // (n_blocks * k * (k + 1)) AS BIGINT)
+         - 3 * n_blocks * (k + 1) * 1000000 AS chi2_ppm,
+         n_blocks, k
+  FROM dims
+)
+SELECT rj.event_type, rj.rank2_sum, stat.chi2_ppm, stat.n_blocks, stat.k
+FROM rj CROSS JOIN stat
+ORDER BY rj.event_type
+"""
+
+
+@query("stats_friedman_test", oracle=FRIEDMAN_ORACLE)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for consistent ordering of event-type
+    volumes across day blocks (the repeated-measures sibling of
+    stats_kruskal_wallis: does the daily type ranking hold every
+    day?), with zero-filled cells so absent (day, type) pairs rank
+    lowest instead of vanishing.
+
+    Determinism: within-day ranks use the doubled-integer average-
+    rank identity (2·avg_rank = 2·RANK + |ties| − 1, always
+    integral); χ² = 3·ΣR₂ⱼ²·10⁶ div (n·k·(k+1)) − 3n(k+1)·10⁶ stays
+    in BIGINTs (the ΣRⱼ² identity keeps the uncorrected statistic
+    exactly ≥ 0 even under ties).
+
+    Scale: one count shuffle to the (day, type) grid; ranking windows
+    partition BY DAY (k rows per partition — no global window); the
+    statistic is a k-row fold broadcast back onto k output rows.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cnt = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    days = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cnt, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    rk = grid.select(
+        "day",
+        "event_type",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("c"))
+            + F.count(F.lit(1)).over(Window.partitionBy("day", "c"))
+            - 1
+        )
+        .cast("long")
+        .alias("rank2"),
+    )
+    rj = rk.groupBy("event_type").agg(F.sum("rank2").cast("long").alias("rank2_sum"))
+    dims = grid.agg(
+        F.countDistinct("day").cast("long").alias("n_blocks"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    s = rj.agg(F.sum(F.col("rank2_sum") * F.col("rank2_sum")).cast("long").alias("s2"))
+    stat = (
+        dims.crossJoin(F.broadcast(s))
+        .select(
+            (
+                F.expr("CAST(3 * s2 * 1000000 div (n_blocks * k * (k + 1)) AS BIGINT)")
+                - 3 * F.col("n_blocks") * (F.col("k") + 1) * 1000000
+            ).alias("chi2_ppm"),
+            "n_blocks",
+            "k",
+        )
+    )
+    return rj.crossJoin(F.broadcast(stat)).orderBy("event_type")

@@ -5256,3 +5256,198 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: readability scoring + shuffle-salt planning.
+# ---------------------------------------------------------------------------
+
+READABILITY_ORACLE = """
+WITH m AS (
+  SELECT lang,
+         CAST(LENGTH(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS w,
+         CAST(GREATEST(LENGTH(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+         CAST(GREATEST(LENGTH(regexp_extract_all(LOWER(text), '[aeiouy]+')), 1) AS BIGINT) AS syl
+  FROM documents
+),
+d AS (
+  SELECT lang, w, s, syl,
+         206835000 - (1015000 * w) // s - (84600000 * syl) // w AS ease_ppm,
+         (390000 * w) // s + (11800000 * syl) // w - 15590000 AS grade_ppm
+  FROM m
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_words,
+       CAST(SUM(syl) * 1000000 // SUM(w) AS BIGINT) AS syllables_per_word_ppm,
+       CAST(SUM(ease_ppm) // COUNT(*) AS BIGINT) AS mean_ease_ppm,
+       CAST(SUM(grade_ppm) // COUNT(*) AS BIGINT) AS mean_grade_ppm,
+       CAST(MIN(ease_ppm) AS BIGINT) AS min_ease_ppm,
+       CAST(MAX(ease_ppm) AS BIGINT) AS max_ease_ppm
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("text_readability", oracle=READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / Flesch–Kincaid grade per language —
+    the classic readability gate next to the repo's length/stopword
+    quality features (a corpus whose mean grade drifts is changing
+    register, not just vocabulary).
+
+    Syllables are approximated by vowel-group runs ([aeiouy]+), the
+    standard portable proxy; sentences by terminal-punctuation runs
+    (floored at 1 — the fixture's word-salad docs have none).
+
+    Determinism: both scores are evaluated PER DOC in scaled ppm
+    integers (the Flesch constants 206.835 / 1.015 / 84.6 and FK's
+    0.39 / 11.8 / 15.59 become exact integer coefficients), so every
+    mean is a floor division of exact BIGINT sums — no float
+    anywhere. Regex surface is character classes only (identical
+    semantics in Java regex and RE2).
+
+    Scale: map-only per-doc feature extraction (JVM regex, no UDF)
+    into a map-side-combined per-lang fold; nothing shuffles but the
+    |langs|-row grid.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    m = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("w"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        )
+        .cast("long")
+        .alias("s"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("syl"),
+    )
+    d = m.select(
+        "lang",
+        "w",
+        "s",
+        "syl",
+        F.expr(
+            "206835000 - (1015000 * w) div s - (84600000 * syl) div w"
+        ).alias("ease_ppm"),
+        F.expr(
+            "(390000 * w) div s + (11800000 * syl) div w - 15590000"
+        ).alias("grade_ppm"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("total_words"),
+            F.expr("CAST(SUM(syl) * 1000000 div SUM(w) AS BIGINT)").alias(
+                "syllables_per_word_ppm"
+            ),
+            F.expr("CAST(SUM(ease_ppm) div COUNT(*) AS BIGINT)").alias("mean_ease_ppm"),
+            F.expr("CAST(SUM(grade_ppm) div COUNT(*) AS BIGINT)").alias(
+                "mean_grade_ppm"
+            ),
+            F.min("ease_ppm").cast("long").alias("min_ease_ppm"),
+            F.max("ease_ppm").cast("long").alias("max_ease_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+SALT_PLAN_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST((SUM(n) + 199) // 200 AS BIGINT) AS target
+  FROM f
+),
+hot AS (
+  SELECT f.user_id, f.n,
+         CAST((f.n + t.target - 1) // t.target AS BIGINT) AS salt_factor,
+         CAST((f.n + (f.n + t.target - 1) // t.target - 1)
+              // ((f.n + t.target - 1) // t.target) AS BIGINT) AS post_salt_chunk
+  FROM f CROSS JOIN tot t
+  WHERE f.n > t.target
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_salted_keys,
+         CAST(COALESCE(MAX(post_salt_chunk), 0) AS BIGINT) AS max_post_salt_chunk,
+         CAST(COALESCE(SUM(salt_factor), 0) AS BIGINT) AS total_salt_tasks
+  FROM hot
+)
+SELECT h.user_id, h.n, h.salt_factor, h.post_salt_chunk,
+       t.total, t.target, s.n_salted_keys, s.max_post_salt_chunk, s.total_salt_tasks
+FROM hot h CROSS JOIN tot t CROSS JOIN s
+ORDER BY h.n DESC, h.user_id
+"""
+
+
+@query("pipeline_salt_plan", oracle=SALT_PLAN_ORACLE)
+def pipeline_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-salt planning from the key histogram: given a target
+    partition load (total/200 — one ideal task's share), every key
+    exceeding it gets a salt factor ⌈n/target⌉ and the plan reports
+    the resulting worst post-salt chunk — the *planning* half of the
+    hot-key defense that join_salted_skew *executes* with a fixed 8×
+    factor. At 100 TB this plan is computed from a cheap count pass
+    (or sampled statistics) and drives per-key explode factors, so
+    uniform keys pay no replication at all.
+
+    Determinism: ceilings via (a + b − 1) div b in BIGINTs.
+
+    Scale: one map-side-combined count by key; the hot-key filter is
+    broadcast-joined against the 1-row total; output is |hot keys|.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    f = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = f.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.expr("CAST((SUM(n) + 199) div 200 AS BIGINT)").alias("target"),
+    )
+    hot = (
+        f.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > F.col("target"))
+        .select(
+            "user_id",
+            "n",
+            F.expr("CAST((n + target - 1) div target AS BIGINT)").alias("salt_factor"),
+            F.expr(
+                "CAST((n + (n + target - 1) div target - 1) "
+                "div ((n + target - 1) div target) AS BIGINT)"
+            ).alias("post_salt_chunk"),
+            "total",
+            "target",
+        )
+    )
+    s = hot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_salted_keys"),
+        F.coalesce(F.max("post_salt_chunk"), F.lit(0)).cast("long").alias(
+            "max_post_salt_chunk"
+        ),
+        F.coalesce(F.sum("salt_factor"), F.lit(0)).cast("long").alias(
+            "total_salt_tasks"
+        ),
+    )
+    return (
+        hot.crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "n",
+            "salt_factor",
+            "post_salt_chunk",
+            "total",
+            "target",
+            "n_salted_keys",
+            "max_post_salt_chunk",
+            "total_salt_tasks",
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+    )
