@@ -28,25 +28,35 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.ui.enabled", "false")
-        # One session profiles all ~300 registered queries; by the
-        # alphabetical tail the default 1 GiB heap holds hundreds of
-        # queries' debris (localCheckpoint blocks, codegen caches,
-        # broadcast remnants) and the next large shuffle OOMs — the
-        # spill path itself fails allocating its read-ahead buffer
-        # (measured: the stats_* tail died 3x at 1 GiB regardless of
-        # which query shape got there first). Offline tooling may size
-        # itself, same as scale_curve; the driver-contract plain-1g
-        # rule binds the correctness harness, which runs ~50 queries
-        # per session at sf0.01, not 300 at sf0.1.
-        .config("spark.driver.memory", "8g")
-        .appName("time_profile")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        s = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            # One session otherwise profiles all ~380 registered
+            # queries; by the alphabetical tail the heap holds
+            # hundreds of queries' debris (localCheckpoint blocks,
+            # codegen caches, broadcast remnants, streaming state
+            # providers) and timings go position-dependent — r12
+            # measured events_stream_outer_join at 20-33 s mid-sweep
+            # vs 5.1 s isolated. 8 GiB guards the OOM class
+            # (the stats_* tail died 3x at 1 GiB), and the 120-query
+            # renewal below (same cadence as local_correctness)
+            # bounds the debris so profile entries approximate their
+            # isolated costs. Offline tooling may size itself; the
+            # driver-contract plain-1g rule binds the correctness
+            # harness, not this profiler.
+            .config("spark.driver.memory", "8g")
+            .appName("time_profile")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_session()
 
     from taps_spark.queries import all_queries
 
@@ -57,8 +67,16 @@ def main() -> int:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     jsonl = out_path + ".jsonl"  # incremental log: survives a killed run
+    n_since_restart = 0
     with open(jsonl, "w") as log:
         for name, fn in sorted(qs.items()):
+            # Proactive renewal (untimed): session debris makes late
+            # entries read 3-6x their isolated cost; the restart cost
+            # lands between queries, not inside any measurement.
+            if n_since_restart >= 120:
+                spark = fresh_session()
+                n_since_restart = 0
+            n_since_restart += 1
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
