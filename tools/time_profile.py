@@ -54,6 +54,15 @@ def main() -> int:
             .getOrCreate()
         )
         s.sparkContext.setLogLevel("ERROR")
+        # Untimed warm-up (scale_curve precedent): JVM/codegen/parquet
+        # machinery otherwise lands on the first TIMED query after
+        # every (re)start — r12 measured the alphabetically-first
+        # query at 6.9 s in-profile vs 1.0-2.5 s isolated-warm.
+        s.range(1_000_000).selectExpr("sum(id)").collect()
+        warm = os.path.join(sf_dir, "region.parquet")
+        if not os.path.exists(warm):  # synth scale dirs ship no region
+            warm = os.path.join(sf_dir, "events.parquet")
+        s.read.parquet(warm).limit(1).collect()
         return s
 
     spark = fresh_session()
