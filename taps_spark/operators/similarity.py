@@ -134,22 +134,34 @@ def train_ivf_centroids(
     iteration is minutes, then assign the full corpus ONCE. Returns
     DataFrame[centroid_id int, cv array<double>].
     """
-    # Materialize the training vectors once: every Lloyd iteration
-    # (and the seed scan) re-reads them, and at scale this frame is a
-    # SAMPLE (docstring) — caching the training set is the standard
-    # shape, not a memory risk.
+    # Materialize the training vectors only when more than one Lloyd
+    # iteration will re-read them (at scale this frame is a SAMPLE —
+    # docstring — and caching it across iterations is the standard
+    # shape). At iters=1 the frame is read exactly twice (seed scan +
+    # one assign), and an eager checkpoint is a full extra
+    # materialize-the-corpus pass that costs more than the second
+    # column-pruned parquet scan it saves (guide §5: cache only when
+    # recompute exceeds the caching cost; measured in the r12 bench on
+    # similarity_ann_ivf).
     dv = emb.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v")
-    ).localCheckpoint(eager=True)
+    )
+    if iters > 1:
+        dv = dv.localCheckpoint(eager=True)
     # Rank the nlist seed vectors WITHOUT a global unpartitioned
     # window (that pattern serializes on one reducer as nlist grows):
-    # sort the nlist ids into one broadcast array and take each row's
-    # 1-based position in it.
-    seeds = dv.orderBy("_id").limit(nlist)
-    seed_ids = seeds.agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-    cents = seeds.join(F.broadcast(seed_ids)).select(
-        F.array_position(F.col("_ids"), F.col("_id")).cast("int").alias("centroid_id"),
-        F.col("v").alias("cv"),
+    # ONE TakeOrdered job collects the nlist lowest-id rows to the
+    # driver (the codebook is driver-resident in every k-means
+    # implementation — MLlib keeps its centers exactly like this) and
+    # the 1-based rank falls out of the already-sorted order. The
+    # previous spelling (seed-id collect_list agg + broadcast join
+    # back onto the orderBy/limit subtree) re-executed the corpus
+    # TakeOrdered once per consumer — two extra scans per training
+    # run (guide §1.2).
+    seed_rows = dv.orderBy("_id").limit(nlist).collect()
+    cents = dv.sparkSession.createDataFrame(
+        [(i + 1, list(r["v"])) for i, r in enumerate(seed_rows)],
+        "centroid_id int, cv array<double>",
     )
     for _ in range(iters):
         assigned = assign_nearest_centroid(dv, cents, vec_col="v")

@@ -452,7 +452,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         levels.append(nxt)
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # visited stays a LAZY union of the (already checkpointed)
+        # level frames: re-checkpointing the union each round was an
+        # extra eager job copying the whole visited set per hop —
+        # O(V) duplicated materialization for data the level
+        # checkpoints already hold (guide §1.2: don't recompute what
+        # you already materialized). The anti-join right side is now a
+        # ≤5-way union of checkpointed frames, identical rows.
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     out = levels[0]
     for lv in levels[1:]:

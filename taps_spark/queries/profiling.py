@@ -1984,6 +1984,17 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("q"),
         F.col("l_extendedprice").alias("p"),
     )
+    # The cell grain is consumed by FIVE branches (rank dim + R probe,
+    # dominance union, n_f, t1, t2). Catalyst's aggregate merging
+    # collapses the derived branches into direct narrow aggregations
+    # off the (column-pruned) scan — e.g. t1 becomes a (flag, q) count
+    # reading only two columns — which is cheaper than materializing
+    # the cell grain once and re-reading it (an eager barrier here
+    # measured neutral-to-worse at sf0.1/32 cores: the extra
+    # materialization sits on the critical path while the collapsed
+    # branch scans run in parallel off the page cache). So: derive,
+    # don't cache (guide §1.2; §5 "cache only when recompute exceeds
+    # the caching cost").
     cells = base.groupBy("flag", "q", "p").agg(F.count("*").alias("c"))
 
     qd = cells.select("flag", "q").distinct()
@@ -2035,18 +2046,20 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cu"),
         )
     )
-    # Co-partition the exploded union on the aggregation grain at 64
-    # partitions BEFORE the hash agg: a 16-partition session
-    # concentrates enough hash-map entries per task to OOM a
-    # default-1g-heap JVM that already carries a long session's debris
-    # (measured: the r10 sf0.1 sweep died here at query ~208, on the
-    # old R/2 fan-out). Catalyst recognizes the co-partitioning, so
-    # the groupBy adds no second shuffle; 64 partitions cost ~4 task
-    # waves on 16 threads but cap per-task aggregation state at any
-    # session heap.
-    g2 = ex.repartition(64, "flag", "b", "g", "p").groupBy(
-        "flag", "b", "g", "p"
-    ).agg(F.sum("cl").alias("cl"), F.sum("cu").alias("cu"))
+    # Plain groupBy with map-side partial aggregation — the explicit
+    # repartition(64) that used to sit here was an OOM guard for the
+    # r9/r10 per-level union (fan-out R/2 ≈ 25, ~150M exploded rows at
+    # sf0.1, where a 16-partition 1g-heap session died in the hash
+    # agg). The bit decomposition cut the fan-out to B = ⌈log₂R⌉ ≤ 8
+    # (~3.6M rows at sf0.1), so per-task aggregation state is now
+    # ~4 MB even at 16 partitions — and the repartition was not free:
+    # it exchanged the RAW exploded union before any combine (no
+    # map-side partials cross a REPARTITION_BY_NUM), measured +0.5 s
+    # at sf0.1/32 cores vs letting the groupBy plan its own exchange
+    # (guide §2.3 "aggregate before you shuffle").
+    g2 = ex.groupBy("flag", "b", "g", "p").agg(
+        F.sum("cl").alias("cl"), F.sum("cu").alias("cu")
+    )
     wli = Window.partitionBy("flag", "b", "g").orderBy("p")
     run = g2.select(
         "flag",
@@ -2074,7 +2087,15 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nd"),
     )
 
-    n_f = base.groupBy("flag").agg(F.count("*").alias("n"))
+    # Totals and tie counts derive FROM the cells grain, not from base:
+    # n = Σc per flag, t(q) = Σc per (flag, q), t(p) = Σc per (flag, p)
+    # — identical integers, but all three branches now share the ONE
+    # (flag, q, p) aggregation exchange with the dominance branch, so
+    # ReuseExchange executes the lineitem scan + cell aggregation once
+    # for the whole plan instead of four times (r12 plan audit: 10
+    # lineitem scan references → 2; guide §1.2/§2.4 — don't recompute
+    # what a cheaper grain already holds).
+    n_f = cells.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
     tie_pairs = (
         (
             F.col("t").cast("decimal(19,0)")
@@ -2083,14 +2104,14 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(38,0)")
     )
     t1 = (
-        base.groupBy("flag", "q")
-        .agg(F.count("*").alias("t"))
+        cells.groupBy("flag", "q")
+        .agg(F.sum("c").alias("t"))
         .groupBy("flag")
         .agg(F.sum(tie_pairs).alias("n1"))
     )
     t2 = (
-        base.groupBy("flag", "p")
-        .agg(F.count("*").alias("t"))
+        cells.groupBy("flag", "p")
+        .agg(F.sum("c").alias("t"))
         .groupBy("flag")
         .agg(F.sum(tie_pairs).alias("n2"))
     )
@@ -2243,13 +2264,31 @@ def stats_kendall_tau_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("y"),
         )
     )
-    nf = base.groupBy("flag").agg(F.count("*").alias("n"))
+    # ONE (flag, x, y) value-grain aggregate of the join output,
+    # MATERIALIZED once; every downstream branch (both bucket maps,
+    # the per-flag totals, the grid cells) reads the checkpointed
+    # blocks, so the lineitem⋈orders join executes ONCE for the whole
+    # query where the previous formulation (nf/bucket_map×2/cells each
+    # re-deriving from `base`) replayed it seven times (r12 plan
+    # audit: 64 parquet scan references in the executed plan → 2; an
+    # explicit barrier because Catalyst's aggregate merging rewrites
+    # the branches into non-identical subtrees — ReusedExchange never
+    # fires here; guide §1.2/§2.4). All derived counts are exact
+    # integer sums of `c`, so every bucket id, tie count, and grid
+    # cell is bit-identical to the row-grain form.
+    v = (
+        base.groupBy("flag", "x", "y")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    xv = v.groupBy("flag", "x").agg(F.sum("c").alias("c"))
+    yv = v.groupBy("flag", "y").agg(F.sum("c").alias("c"))
+    nf = v.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
 
-    def bucket_map(col: str, alias: str):
-        v = base.groupBy("flag", col).agg(F.count("*").alias("c"))
+    def bucket_map(vals, col: str, alias: str):
         w = Window.partitionBy("flag").orderBy(col)
         return (
-            v.select("flag", col, F.sum("c").over(w).alias("cum"))
+            vals.select("flag", col, F.sum("c").over(w).alias("cum"))
             .join(F.broadcast(nf), "flag")
             .select(
                 "flag",
@@ -2259,10 +2298,10 @@ def stats_kendall_tau_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cells = (
-        base.join(bucket_map("x", "xb"), ["flag", "x"])
-        .join(bucket_map("y", "yb"), ["flag", "y"])
+        v.join(bucket_map(xv, "x", "xb"), ["flag", "x"])
+        .join(bucket_map(yv, "y", "yb"), ["flag", "y"])
         .groupBy("flag", "xb", "yb")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
 
     # Dominance count on the bounded grid — same per-level union as

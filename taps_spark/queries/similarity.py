@@ -1198,101 +1198,90 @@ def similarity_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_pca_top_component")  # rows-only: iterative power method
 def similarity_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding block via DISTRIBUTED
-    power iteration over the exact integer covariance
-    (similarity_covariance_matrix): 8 matvec rounds, each one
-    join + grouped sum, lineage-truncated like PageRank — the
-    whitening/PCA primitive at the scale where the corpus can't
-    leave the cluster but the matrix (dim²) is tiny. Sign convention:
-    the largest-|component| coordinate is made positive.
+    """Top principal component of the embedding block: the exact
+    integer covariance (similarity_covariance_matrix — the only
+    corpus-scale stage, distributed and oracle-gated) collected as a
+    dim×dim grid, then 8 power-iteration rounds from the all-ones
+    start on the driver — the MLlib PCA shape
+    (RowMatrix.computePrincipalComponents likewise aggregates the
+    Gramian and eigensolves driver-side), because the matrix is dim²
+    plan-time-bounded metadata, not data. Sign convention: the
+    largest-|component| coordinate is made positive.
+
+    Until r12 the 8 matvec rounds ran as DISTRIBUTED joins over the
+    64-row matrix frame; the rounds were pure driver-coordination
+    overhead (dozens of ~0.2 s jobs moving 64 rows each) and the two
+    PCA queries cost 18.8 s of the sf0.1 sweep. The driver matvec is
+    the same float64 math in the same order (tests pin equality to
+    the NumPy replay), and the covariance stage is unchanged.
 
     Rows-only (the normalization chain is iterative IEEE, not
     ANSI-SQL); tests/test_operators.py pins the result against a
     dense NumPy power-iteration replay at 1e-6 and checks unit norm.
     """
-    cov = similarity_covariance_matrix(spark, sf_dir).select(
-        "i", "j", F.col("cov_grid").cast("double").alias("c")
-    )
-    full = cov.unionByName(
-        cov.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
-    ).localCheckpoint(eager=True)
-    x, _ = _pca_power_rounds(full)
-    return _signed_component(x, 1).select("dim", "component").orderBy("dim")
+    C = _cov_dense(spark, sf_dir)
+    x = _pca_power_numpy(C, ())
+    return _component_frame(spark, [x]).select("dim", "component").orderBy("dim")
 
 
-def _pca_power_rounds(full, prior=(), n_iter: int = 8):
-    """8 distributed power-iteration matvecs over a (i, j, c) matrix
-    frame from the all-ones start; each round's matvec result is
-    orthogonalized against every frame in `prior` (y −= (vᵀy)·v —
-    projection deflation, numerically exact orthogonality regardless
-    of eigengap, where subtract-λvvᵀ deflation needs O(log ε /
-    log(λ₂/λ₁)) rounds to converge first). Returns (x, lam): the
-    normalized eigenvector frame (j, xv), checkpointed, and a 1-row
-    (lam) frame — the final pre-normalization ‖(I−P)Cx‖, the dominant
-    eigenvalue estimate in the complement of `prior` (covariance is
-    PSD). Shared by the top-1 and top-k PCA queries."""
-    x = full.select("i").distinct().select(
-        F.col("i").alias("j"), F.lit(1.0).alias("xv")
-    )
-    lam = None
-    for it in range(n_iter):
-        y = (
-            full.join(F.broadcast(x), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("xv")).alias("yv"))
-        )
-        # Deflation re-reads y TWICE per prior (the dp scalar and the
-        # update), and dp's plan EMBEDS y's whole plan — without a
-        # barrier the per-round plan multiplies ~(1 + 2·|prior|)× and
-        # three un-checkpointed rounds at k=3 put the optimizer into
-        # the minutes (measured 120 s at sf0.1, with enough driver
-        # heap pressure to take down the context for the next query).
-        # The frames are dim-sized (64 rows), so a per-round barrier
-        # costs ~ms and bounds every plan at one round's depth.
-        if prior:
-            y = y.localCheckpoint(eager=True)
+def _cov_dense(spark, sf_dir: str):
+    """The integer covariance grid as a dense symmetric NumPy float64
+    matrix — a dim²-bounded driver collect (≤ 2080 rows at dim=64),
+    the same bounded-metadata class as the engine's other plan-time
+    collects; cells are exact BIGINTs, cast to double exactly as the
+    former distributed matvec did."""
+    import numpy as np
+
+    rows = similarity_covariance_matrix(spark, sf_dir).collect()
+    dim = max(r["j"] for r in rows)
+    C = np.zeros((dim, dim))
+    for r in rows:
+        c = float(r["cov_grid"])
+        C[r["i"] - 1, r["j"] - 1] = c
+        C[r["j"] - 1, r["i"] - 1] = c
+    return C
+
+
+def _pca_power_numpy(C, prior, n_iter: int = 8):
+    """8 power-iteration matvecs from the all-ones start; each matvec
+    result is orthogonalized against every vector in `prior`
+    (y −= (vᵀy)·v — projection deflation, numerically exact
+    orthogonality regardless of eigengap, where subtract-λvvᵀ
+    deflation needs O(log ε / log(λ₂/λ₁)) rounds to converge first).
+    Identical operation order to the pinned NumPy replay in
+    tests/test_operators.py."""
+    import math
+
+    import numpy as np
+
+    x = np.ones(C.shape[0])
+    for _ in range(n_iter):
+        y = C @ x
         for v in prior:
-            vb = F.broadcast(
-                v.select(F.col("j").alias("i"), F.col("xv").alias("pv"))
-            )
-            dp = (
-                y.join(vb, "i")
-                .agg(F.sum(F.col("yv") * F.col("pv")).alias("dp"))
-            )
-            y = (
-                y.join(vb, "i")
-                .crossJoin(F.broadcast(dp))
-                .select(
-                    "i",
-                    (F.col("yv") - F.col("dp") * F.col("pv")).alias("yv"),
-                )
-            )
-        if it == n_iter - 1:
-            y = y.localCheckpoint(eager=True)
-        nrm = y.agg(F.sqrt(F.sum(F.col("yv") * F.col("yv"))).alias("nrm"))
-        x = (
-            y.crossJoin(F.broadcast(nrm))
-            .select(F.col("i").alias("j"), (F.col("yv") / F.col("nrm")).alias("xv"))
-        )
-        if it % 3 == 2 or it == n_iter - 1 or prior:
-            x = x.localCheckpoint(eager=True)
-        lam = nrm.select(F.col("nrm").alias("lam"))
-    return x, lam
+            y = y - float(np.dot(v, y)) * v
+        x = y / math.sqrt(float((y * y).sum()))
+    return x
 
 
-def _signed_component(x, pc: int):
+def _component_frame(spark, comps):
     """Apply the largest-|coordinate|-positive sign convention and
-    emit (pc, dim, component) rows."""
-    sign_src = x.orderBy(F.abs(F.col("xv")).desc(), F.col("j")).limit(1).select(
-        F.when(F.col("xv") < 0, -1.0).otherwise(1.0).alias("sgn")
-    )
-    return x.crossJoin(F.broadcast(sign_src)).select(
-        F.lit(pc).alias("pc"),
-        F.col("j").alias("dim"),
-        F.round(F.col("xv") * F.col("sgn"), 6).alias("component"),
-    )
+    emit (pc, dim, component) rows; rounding is HALF_UP on the
+    shortest decimal repr — exactly what Spark's round(double, 6)
+    computes (BigDecimal.valueOf → setScale HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    data = []
+    for k, x in enumerate(comps, start=1):
+        if x[int(np.argmax(np.abs(x)))] < 0:
+            x = -x
+        for d, v in enumerate(x, start=1):
+            q = Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            data.append((k, d, float(q)))
+    return spark.createDataFrame(data, "pc int, dim int, component double")
 
 
 @query("similarity_pca_components")  # rows-only: iterative deflated power method
@@ -1300,38 +1289,29 @@ def similarity_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 principal components via power iteration with PROJECTION
     deflation (VERDICT r7 task #4): component k's matvec results are
     orthogonalized against components 1..k−1 inside every round
-    (y −= (vᵀy)v, two broadcast joins on the dim-sized vector) —
-    whitening at scale needs more than the single top direction.
-    Projection deflation is chosen over subtract-λvvᵀ deflation
-    because this fixture's eigengap is tiny (λ₂/λ₁ ≈ 0.93): explicit
-    deflation inherits the λ/v estimation error of whatever rounds
-    preceded it, while projection keeps the components EXACTLY
+    (y −= (vᵀy)v) — whitening at scale needs more than the single top
+    direction. Projection deflation is chosen over subtract-λvvᵀ
+    deflation because this fixture's eigengap is tiny (λ₂/λ₁ ≈ 0.93):
+    explicit deflation inherits the λ/v estimation error of whatever
+    rounds preceded it, while projection keeps the components EXACTLY
     pairwise orthogonal at any round budget.
 
     The only corpus-scale stage is the (oracle-gated) integer
-    covariance build; the three 8-round power loops run entirely on
-    the 64×64 matrix frame, lineage-checkpointed.
+    covariance build — distributed, unchanged; the three 8-round
+    power loops run on the collected dim×dim grid on the driver (the
+    MLlib computePrincipalComponents shape — see
+    similarity_pca_top_component's docstring for the r12 measurement
+    that retired the distributed 64-row matvec rounds).
 
     Rows-only (iterative IEEE); tests/test_operators.py pins all
     three components against a dense NumPy replay of the identical
     algorithm and checks unit norms + pairwise orthogonality.
     """
-    cov = similarity_covariance_matrix(spark, sf_dir).select(
-        "i", "j", F.col("cov_grid").cast("double").alias("c")
-    )
-    full = cov.unionByName(
-        cov.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
-    ).localCheckpoint(eager=True)
-    out = None
-    prior: list = []
-    for k in range(1, 4):
-        x, _ = _pca_power_rounds(full, prior=tuple(prior))
-        comp = _signed_component(x, k)
-        out = comp if out is None else out.unionByName(comp)
-        prior.append(x)
-    return out.orderBy("pc", "dim")
+    C = _cov_dense(spark, sf_dir)
+    comps = []
+    for _ in range(3):
+        comps.append(_pca_power_numpy(C, tuple(comps)))
+    return _component_frame(spark, comps).orderBy("pc", "dim")
 
 
 KNN_EVAL_ORACLE = """
