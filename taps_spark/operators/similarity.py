@@ -370,9 +370,14 @@ def train_pq_codebooks(
         )
     )
     for _ in range(iters):
-        assigned = _assign_pq_codes(subs, cents)
+        # keep_sv: the recompute needs the subvectors, and the
+        # map-side assign can just carry them through — the previous
+        # shape joined the code assignments BACK onto subs, a second
+        # corpus×m-row shuffle join per Lloyd iteration on top of the
+        # one the old groupBy-argmin already paid (guide §2.4).
+        assigned = _assign_pq_codes(subs, cents, keep_sv=True)
         cents = (
-            assigned.join(subs, ["_id", "s"])
+            assigned
             .select("s", "centroid_id", F.posexplode("sv").alias("pos", "x"))
             .groupBy("s", "centroid_id", "pos")
             .agg(F.avg("x").alias("x"))
@@ -390,21 +395,39 @@ def train_pq_codebooks(
     return cents
 
 
-def _assign_pq_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Per (vector, subspace) nearest codeword: broadcast the m×ksub
-    codebook table, argmin L2 via min(struct) with map-side partial
-    agg — the shuffle carries one row per (vector, subspace)."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+def _assign_pq_codes(
+    subs: DataFrame, cents: DataFrame, keep_sv: bool = False
+) -> DataFrame:
+    """Per (vector, subspace) nearest codeword — ZERO-shuffle: the
+    m×ksub codebook collapses to one broadcast row of per-subspace
+    codeword lists, and the argmin is a per-row array_min over
+    (dist, centroid_id) structs — the same map-side shape as
+    assign_nearest_centroid. The previous spelling fanned subs×ksub
+    rows through a broadcast join and reduced them with a
+    groupBy(_id, s) min(struct), i.e. a full corpus×m-row exchange
+    per assignment pass (3 passes per PQ build at iters=2: train ×2
+    + final encode) — guide §2.4 'remove shuffles outright'.
+    min(struct) and array_min order structs identically
+    (lexicographic: distance, then centroid id), so ties and codes
+    are bit-identical."""
+    cents_row = cents.groupBy("s").agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("_cw")
+    )
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("sv"), c["cv"], lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    best = F.array_min(
+        F.transform(
+            F.col("_cw"),
+            lambda c: F.struct(d2(c).alias("d"), c["centroid_id"].alias("c")),
+        )
+    )
+    out = ["_id", "s"] + (["sv"] if keep_sv else [])
     return (
-        subs.join(F.broadcast(cents), "s")
-        .select("_id", "s", F.struct(d2.alias("d"), F.col("centroid_id").alias("c")).alias("_dc"))
-        .groupBy("_id", "s")
-        .agg(F.min("_dc").alias("_m"))
-        .select("_id", "s", F.col("_m.c").alias("centroid_id"))
+        subs.join(F.broadcast(cents_row), "s")
+        .select(*out, best.getField("c").alias("centroid_id"))
     )
 
 

@@ -96,12 +96,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state is a few thousand keys — measured at sf0.1: the four heaviest
 # streaming queries drop from ~56 s to ~22 s combined at 8 vs 32
 # partitions, identical results (state partitioning is invisible to
-# the oracle-gated output). In production the same decision is
-# explicit and PERMANENT per checkpoint: spark.sql.shuffle.partitions
-# at first start fixes the state layout for the query's lifetime, so
-# size it to projected state volume (keys × bytes / executor memory),
-# never inherit whatever the batch jobs use.
-STREAM_STATE_PARTITIONS = 8
+# the oracle-gated output). r12 re-tuned by interleaved A/B at
+# sf0.1: 4 beats 8 for every JVM-stateful stream (stream-stream join
+# 2.8 vs 3.9 s median, outer join 3.0 vs 3.9, continuous rollup 3.9
+# vs 4.8, watermark dedup 1.9 vs 2.4; 2 is within noise of 4, so 4
+# keeps headroom for state growth). In production the same decision
+# is explicit and PERMANENT per checkpoint: spark.sql.shuffle.
+# partitions at first start fixes the state layout for the query's
+# lifetime, so size it to projected state volume (keys × bytes /
+# executor memory), never inherit whatever the batch jobs use.
+STREAM_STATE_PARTITIONS = 4
+
+# applyInPandasWithState streams are the exception: their cost is the
+# per-(key × micro-batch) Python group calls, and the partition count
+# bounds how many Python workers run them concurrently — the store-
+# commit overhead that argues for FEWER partitions above is amortized
+# by real per-group work here. Measured (same A/B harness, sf0.1):
+# the TTL twin runs 5.5 s at 16 partitions vs 7.0 s at 8 and 7.4 s
+# at 4. In production: size to (group calls per batch × per-call
+# cost) / target batch latency, capped by executor Python workers.
+STREAM_PYTHON_STATE_PARTITIONS = 16
 
 
 class _state_partitions:
@@ -111,8 +125,9 @@ class _state_partitions:
     .start(); sweeps run queries sequentially, so the temporary
     session-level set cannot leak into a concurrent batch plan)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark
+        self.n = n if n is not None else STREAM_STATE_PARTITIONS
 
     def __enter__(self) -> None:
         self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
@@ -122,18 +137,25 @@ class _state_partitions:
             current = 1 << 30  # AQE "auto" etc. — just apply the cap
         self.spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(min(current, STREAM_STATE_PARTITIONS)),
+            str(min(current, self.n)),
         )
 
     def __exit__(self, *exc) -> None:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming aggregation to completion on the available
-    data and return the materialized result (local harness path)."""
+    data and return the materialized result (local harness path).
+    `state_partitions` overrides the JVM-stateful default — the
+    applyInPandasWithState operators pass
+    STREAM_PYTHON_STATE_PARTITIONS (see the constants above)."""
     name = f"taps_stream_sink_{next(_SINK_IDS)}"
-    with _state_partitions(stream_df.sparkSession):
+    with _state_partitions(stream_df.sparkSession, state_partitions):
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")

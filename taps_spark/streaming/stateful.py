@@ -43,6 +43,8 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event count + value total maintained as custom
     streaming state; with the fixture's single AvailableNow batch the
     emitted rows are the final totals (== the batch aggregation)."""
+    from taps_spark.streaming.jobs import STREAM_PYTHON_STATE_PARTITIONS
+
     ev = read_events_stream(spark, sf_dir).select("user_id", "value")
     stats = ev.groupBy("user_id").applyInPandasWithState(
         _update_user_stats,
@@ -51,7 +53,9 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(stats, "update")
+    return run_to_memory(
+        stats, "update", state_partitions=STREAM_PYTHON_STATE_PARTITIONS
+    )
 
 
 def stream_user_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,12 +170,21 @@ def _ttl_twin_update(
     days, ns, vs, seq = state.get if state.exists else ([], [], [], 0)
     acc = {int(d): (int(n), int(v)) for d, n, v in zip(days, ns, vs)}
     for pdf in pdfs:
-        for d, sub in pdf.groupby("day"):
-            n0, v0 = acc.get(int(d), (0, 0))
-            acc[int(d)] = (
-                n0 + len(sub),
-                v0 + int(sub["q"].fillna(0).astype("int64").sum()),
-            )
+        # A group's batch slice is a handful of rows (events/users/
+        # n_files ≈ 13 at sf0.1), but this function runs once per
+        # (user × micro-batch) — 7,500 calls at sf0.1 — so per-call
+        # pandas machinery IS the operator's cost. A plain zip loop
+        # over the two columns replaces pdf.groupby + per-day
+        # fillna/astype/sum chains (~4 pandas object constructions
+        # per day bucket) with dict arithmetic (guide §4.2 inverted:
+        # when frames are this small, the vectorization fixed cost
+        # exceeds the loop it saves).
+        for d, q in zip(
+            pdf["day"].astype("int64").to_numpy().tolist(),
+            pdf["q"].fillna(0).astype("int64").to_numpy().tolist(),
+        ):
+            n0, v0 = acc.get(d, (0, 0))
+            acc[d] = (n0 + 1, v0 + q)
     seq += 1
     days = sorted(acc)
     state.update(
@@ -189,18 +202,18 @@ def _ttl_twin_update(
         prev = d
     gens.append((gen, g_n, g_v))
     last = gens[-1][0]
+    # dict-of-columns beats one dict per row: pandas builds each
+    # column in one shot instead of inferring per-row (same 7,500
+    # calls/sf0.1 argument as the accumulator loop above).
     yield pd.DataFrame(
-        [
-            {
-                "user_id": key[0],
-                "generation": g,
-                "n_events": n,
-                "sum_value_micros": v,
-                "expired": g < last,
-                "seq": seq,
-            }
-            for g, n, v in gens
-        ]
+        {
+            "user_id": [key[0]] * len(gens),
+            "generation": [g for g, _, _ in gens],
+            "n_events": [n for _, n, _ in gens],
+            "sum_value_micros": [v for _, _, v in gens],
+            "expired": [g < last for g, _, _ in gens],
+            "seq": [seq] * len(gens),
+        }
     )
 
 
@@ -274,7 +287,11 @@ def stream_state_ttl_twin(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    tbl = run_to_memory(updates, "update")
+    from taps_spark.streaming.jobs import STREAM_PYTHON_STATE_PARTITIONS
+
+    tbl = run_to_memory(
+        updates, "update", state_partitions=STREAM_PYTHON_STATE_PARTITIONS
+    )
     w = Window.partitionBy("user_id")
     return (
         tbl.withColumn("_m", F.max("seq").over(w))
