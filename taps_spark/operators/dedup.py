@@ -219,37 +219,71 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(da) + F.size(db) - inter)
 
 
+def _hash_bit_votes(hashed: DataFrame, id_col: str, nbits: int) -> DataFrame:
+    """(id, h) → per-(id, pos) SimHash majority votes (2·popcountᵦ − n)
+    via an Arrow-batched NumPy kernel: unpackbits turns each batch's
+    64-bit hashes into a bit matrix and a C-speed groupby sums per-id
+    partials, so the JVM never materializes the nbits× (id, pos, bit)
+    row explosion the previous posexplode shape pushed through a hash
+    aggregate (~250M rows at sf0.1 for 63 bits; guide §4.2 — batch
+    native vectorization beats row-granular JVM work for bulk bit
+    math). Partial votes are exact integers (2·Σbit − n per batch
+    slice, additive across batches), summed per (id, pos) JVM-side —
+    bit-identical to the exploded form (equivalence checked in the
+    r12 A/B and pinned by the portable-simhash DuckDB oracle).
+    The little-endian uint8 view matches SQL shiftright semantics for
+    bits 0..62 (two's-complement raw bits; & 1 discards sign fill)."""
+    import numpy as np
+    import pandas as pd_
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            h = pdf["h"].to_numpy().astype(np.int64, copy=False)
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )[:, :nbits]
+            g = pd_.DataFrame(bits).groupby(ids, sort=False)
+            s = g.sum()
+            cnt = g.size().to_numpy()
+            v = (2 * s.to_numpy() - cnt[:, None]).astype(np.int64)
+            yield pd_.DataFrame(
+                {
+                    id_col: np.repeat(s.index.to_numpy(), nbits),
+                    "pos": np.tile(np.arange(nbits, dtype=np.int32), v.shape[0]),
+                    "v": v.ravel(),
+                }
+            )
+
+    part = hashed.mapInPandas(kernel, f"{id_col} long, pos int, v long")
+    return part.groupBy(id_col, "pos").agg(F.sum("v").alias("vote"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document from xxhash64 token hashes.
 
     For each bit position b, sum ±1 votes across the doc's distinct
     tokens (+1 if the token hash has bit b set); the fingerprint sets
-    bit b when the vote is positive. All 64 per-bit sums are one wide
-    aggregation — map-side combined, single shuffle on id.
+    bit b when the vote is positive. Per-bit vote partials come from
+    the Arrow/NumPy kernel (_hash_bit_votes), so one (id, pos)-grain
+    shuffle of 63 rows per doc is all that moves.
 
     Spark-only (xxhash64 is engine-specific) → rows-only correctness
     check; near-dup candidates come from matching any of the four
     16-bit sub-bands (hamming-distance recall trick).
     """
-    # Shape: hash each distinct token ONCE, posexplode its 63 bits to
-    # (id, pos, bit) rows, per-(id, pos) vote = 2*popcount - n, then
-    # reassemble the fingerprint with one shifted sum. A 63-column-wide
-    # aggregate computes the same thing but its plan is ~400 expression
-    # nodes — measured 3.5× slower end-to-end (analysis + codegen of
-    # the wide plan dominates; it also exceeds codegen maxFields).
+    # Shape: hash each distinct token ONCE (JVM xxhash64), count the
+    # per-bit votes through the NumPy kernel (_hash_bit_votes — the
+    # JVM never materializes the nbits× (id, pos, bit) explosion),
+    # then reassemble the fingerprint with one shifted sum.
     # 63 bits, not 64: bit 63 of a SQL BIGINT is the sign bit and
     # shiftleft(1L, 63) overflows it; one bit costs nothing for recall.
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
-    bits = toks.select(
-        F.col(id_col),
-        F.posexplode(F.expr("transform(sequence(0,62), i -> (shiftright(h, i) & 1))")).alias(
-            "pos", "bit"
-        ),
-    )
-    # Map-side combine shrinks the (id, pos) shuffle to 63 rows per doc.
-    votes = bits.groupBy(id_col, "pos").agg((F.sum("bit") * 2 - F.count("*")).alias("vote"))
+    votes = _hash_bit_votes(toks, id_col, 63)
     out = votes.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("vote") > 0, F.expr("shiftleft(1L, pos)")).otherwise(
@@ -480,8 +514,10 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     simhash64 (xxhash64 is ~5× cheaper than md5); this variant exists
     to correctness-gate the SimHash math itself.
 
-    Same scale shape: distinct tokens hashed once, posexplode to
-    (id, pos, bit), map-side-combined vote shuffle, one shifted sum.
+    Same scale shape: distinct tokens hashed once, per-bit votes via
+    the shared Arrow/NumPy kernel (_hash_bit_votes), one shifted sum —
+    and the DuckDB oracle reproducing every fingerprint bit-for-bit is
+    what pins the kernel's exactness for the fast variant too.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
@@ -489,13 +525,7 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    bits = toks.select(
-        F.col(id_col),
-        F.posexplode(F.expr("transform(sequence(0,59), i -> (shiftright(h, i) & 1))")).alias(
-            "pos", "bit"
-        ),
-    )
-    votes = bits.groupBy(id_col, "pos").agg((F.sum("bit") * 2 - F.count("*")).alias("vote"))
+    votes = _hash_bit_votes(toks, id_col, 60)
     out = votes.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("vote") > 0, F.expr("shiftleft(1L, pos)")).otherwise(
