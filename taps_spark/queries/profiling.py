@@ -2089,12 +2089,13 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Totals and tie counts derive FROM the cells grain, not from base:
     # n = Σc per flag, t(q) = Σc per (flag, q), t(p) = Σc per (flag, p)
-    # — identical integers, but all three branches now share the ONE
-    # (flag, q, p) aggregation exchange with the dominance branch, so
-    # ReuseExchange executes the lineitem scan + cell aggregation once
-    # for the whole plan instead of four times (r12 plan audit: 10
-    # lineitem scan references → 2; guide §1.2/§2.4 — don't recompute
-    # what a cheaper grain already holds).
+    # — identical integers derived from the cell grain. NOTE (r12
+    # executed-plan audit): ReuseExchange does NOT unify these
+    # branches — Catalyst's aggregate merging collapses each into a
+    # direct narrow aggregation off the column-pruned scan (t1 reads
+    # just l_returnflag + l_quantity), which is exactly the cheap
+    # shape we want per branch; see the cells comment above for why
+    # an explicit barrier was tried and rejected.
     n_f = cells.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
     tie_pairs = (
         (
