@@ -1984,17 +1984,16 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("q"),
         F.col("l_extendedprice").alias("p"),
     )
-    # The cell grain is consumed by FIVE branches (rank dim + R probe,
-    # dominance union, n_f, t1, t2). Catalyst's aggregate merging
-    # collapses the derived branches into direct narrow aggregations
-    # off the (column-pruned) scan — e.g. t1 becomes a (flag, q) count
-    # reading only two columns — which is cheaper than materializing
-    # the cell grain once and re-reading it (an eager barrier here
-    # measured neutral-to-worse at sf0.1/32 cores: the extra
-    # materialization sits on the critical path while the collapsed
-    # branch scans run in parallel off the page cache). So: derive,
-    # don't cache (guide §1.2; §5 "cache only when recompute exceeds
-    # the caching cost").
+    # The cell grain feeds the rank dim (+ R probe) and the dominance
+    # union; n_f/t1/t2 aggregate from base directly (see below — r12
+    # tried deriving them from cells and the executed plan kept the
+    # full cell-grain Exchange per branch instead of collapsing it).
+    # An eager barrier on cells was tried and rejected in r12
+    # (neutral-to-worse at sf0.1/32 cores: the extra materialization
+    # sits on the critical path while the collapsed branch scans run
+    # in parallel off the page cache). So: derive, don't cache
+    # (guide §1.2; §5 "cache only when recompute exceeds the caching
+    # cost").
     cells = base.groupBy("flag", "q", "p").agg(F.count("*").alias("c"))
 
     qd = cells.select("flag", "q").distinct()
@@ -2087,16 +2086,19 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nd"),
     )
 
-    # Totals and tie counts derive FROM the cells grain, not from base:
-    # n = Σc per flag, t(q) = Σc per (flag, q), t(p) = Σc per (flag, p)
-    # — identical integers derived from the cell grain. NOTE (r12
-    # executed-plan audit): ReuseExchange does NOT unify these
-    # branches — Catalyst's aggregate merging collapses each into a
-    # direct narrow aggregation off the column-pruned scan (t1 reads
-    # just l_returnflag + l_quantity), which is exactly the cheap
-    # shape we want per branch; see the cells comment above for why
-    # an explicit barrier was tried and rejected.
-    n_f = cells.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    # Totals and tie counts aggregate DIRECTLY from base — each is a
+    # narrow column-pruned scan (t1 reads just l_returnflag +
+    # l_quantity) with map-side partial aggregation, the cheapest
+    # possible shape per branch. r12 derived these from the `cells`
+    # grain expecting Catalyst to collapse the intermediate
+    # aggregate; the r12 executed plan proved it does NOT (each
+    # branch kept a full (flag, q, p)-grain Exchange — near
+    # row-cardinality, since p is high-cardinality — stacked under
+    # the narrow one: 3 extra full-grain shuffles), and the driver
+    # bench regressed 6.0 → 7.3 s. Reverted r13 (guide §2.3:
+    # aggregate before you shuffle — at the narrowest grain that
+    # answers the question).
+    n_f = base.groupBy("flag").agg(F.count("*").alias("n"))
     tie_pairs = (
         (
             F.col("t").cast("decimal(19,0)")
@@ -2105,14 +2107,14 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(38,0)")
     )
     t1 = (
-        cells.groupBy("flag", "q")
-        .agg(F.sum("c").alias("t"))
+        base.groupBy("flag", "q")
+        .agg(F.count("*").alias("t"))
         .groupBy("flag")
         .agg(F.sum(tie_pairs).alias("n1"))
     )
     t2 = (
-        cells.groupBy("flag", "p")
-        .agg(F.sum("c").alias("t"))
+        base.groupBy("flag", "p")
+        .agg(F.count("*").alias("t"))
         .groupBy("flag")
         .agg(F.sum(tie_pairs).alias("n2"))
     )
@@ -2265,26 +2267,31 @@ def stats_kendall_tau_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("y"),
         )
     )
-    # ONE (flag, x, y) value-grain aggregate of the join output,
-    # MATERIALIZED once; every downstream branch (both bucket maps,
-    # the per-flag totals, the grid cells) reads the checkpointed
-    # blocks, so the lineitem⋈orders join executes ONCE for the whole
-    # query where the previous formulation (nf/bucket_map×2/cells each
-    # re-deriving from `base`) replayed it seven times (r12 plan
-    # audit: 64 parquet scan references in the executed plan → 2; an
-    # explicit barrier because Catalyst's aggregate merging rewrites
-    # the branches into non-identical subtrees — ReusedExchange never
-    # fires here; guide §1.2/§2.4). All derived counts are exact
-    # integer sums of `c`, so every bucket id, tie count, and grid
-    # cell is bit-identical to the row-grain form.
-    v = (
-        base.groupBy("flag", "x", "y")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    xv = v.groupBy("flag", "x").agg(F.sum("c").alias("c"))
-    yv = v.groupBy("flag", "y").agg(F.sum("c").alias("c"))
-    nf = v.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    # Materialization strategy (r13, adjudicated by interleaved A/B —
+    # tools/ab_kendall_r13.py): checkpoint the GRID, not the value
+    # grain. The r12 shape (eager (flag, x, y) value-grain checkpoint)
+    # executed the lineitem⋈orders join once but serialized the whole
+    # query behind a multi-hundred-k-row materialization, and the
+    # driver bench regressed 4.8 → 5.8 s; its plan ALSO still replayed
+    # the bucket-tagging machinery (2 cumulative windows + 2
+    # value-grain sort-merge joins) three times — once per downstream
+    # branch (s / t1 / t2; 14 Window nodes in the r12 executed plan).
+    # This shape instead lets the four pre-grid branches (nf, xv, yv,
+    # the grid build) each aggregate straight off the join as
+    # INDEPENDENT, COLUMN-PRUNED, CONCURRENT stages of one job — the
+    # replays carry fewer total columns than one full-width pass and
+    # overlap on idle cores — and cuts the plan at the ≤ 3·64·64-cell
+    # grid, which every post-grid branch reads as an in-memory block
+    # scan. The grid is bounded metadata at ANY corpus size (its
+    # dimensions are fixed by the 64-bucket contract), so the barrier
+    # is always cheap and never a durability concern (§1.2; A/B table
+    # in OPTIMIZATION_r13.md: grid-only min 3.90–3.94 s vs 4.6–5.4 s
+    # for the value-grain shape, vs 3.9–4.6 s for no barrier at all —
+    # and without the barrier the window machinery replays 3×, which
+    # is the 100 TB-relevant waste).
+    nf = base.groupBy("flag").agg(F.count("*").alias("n"))
+    xv = base.groupBy("flag", "x").agg(F.count("*").alias("c"))
+    yv = base.groupBy("flag", "y").agg(F.count("*").alias("c"))
 
     def bucket_map(vals, col: str, alias: str):
         w = Window.partitionBy("flag").orderBy(col)
@@ -2299,10 +2306,11 @@ def stats_kendall_tau_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cells = (
-        v.join(bucket_map(xv, "x", "xb"), ["flag", "x"])
+        base.join(bucket_map(xv, "x", "xb"), ["flag", "x"])
         .join(bucket_map(yv, "y", "yb"), ["flag", "y"])
         .groupBy("flag", "xb", "yb")
-        .agg(F.sum("c").alias("c"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
 
     # Dominance count on the bounded grid — same per-level union as
