@@ -162,7 +162,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ out_deg² with out-degrees capped by orientation — the whole
     point of the degree ordering.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    # r13: materialize the support-thresholded edge list — tiny output
+    # (~3.5k rows at every SF by construction, see the docstring) with
+    # an EXPENSIVE lineage (the per-order co-purchase self-join).
+    # Without the barrier every downstream consumer (deg via the
+    # two-way union, the two degree joins, the wedge sides, the
+    # closure probe) replays that self-join: differential column
+    # pruning rewrites each branch's scan so ReusedExchange never
+    # unifies them. Same §1.2 shape as graph_kcore's edges0
+    # checkpoint; the oracle needs the same MATERIALIZED hint for the
+    # same reason. `oriented` (same edge-grain size) is checkpointed
+    # too: it feeds three consumers, each of which would replay the
+    # degree joins.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -181,6 +193,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
+        .localCheckpoint(eager=True)
     )
     a = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
     bb = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
@@ -256,7 +269,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     op, never a per-pair shuffle. The final top-20 is
     TakeOrderedAndProject.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    # r13: edge-list barrier (see graph_triangle_count) — sym feeds
+    # the wedge self-join twice plus nbr, and edges additionally backs
+    # the adjacency anti-join; un-checkpointed, each reference
+    # replayed the co-purchase self-join (§1.2).
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -321,8 +338,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges0 = _copurchase_edges(spark, sf_dir).localCheckpoint()
     out = None
+    edges = edges0
     for k in (2, 3, 4):
-        edges = edges0
+        # Warm start (r13): the k-core of G equals the k-core of the
+        # (k−1)-core (standard nesting — peeling to degree ≥ k can
+        # only remove MORE of what degree ≥ k−1 already removed), so
+        # each k peels the previous core instead of restarting from
+        # the full edge list: smaller frames AND fewer rounds, with
+        # bit-identical cores (the property test pins the nesting).
         n_prev = -1
         for _ in range(50):
             deg = (
@@ -331,7 +354,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("d"))
             )
-            keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
+            # LAZY checkpoints (r13): the eager keep-checkpoint +
+            # count + eager edges-checkpoint sequence ran THREE jobs
+            # per round; marking both lazily lets keep.count()
+            # materialize keep (and the previous round's edges, whose
+            # first consumer is this deg) in ONE job per round —
+            # §1.2 tiny-job churn, same class as the BFS fix.
+            keep = (
+                deg.filter(F.col("d") >= k)
+                .select("node")
+                .localCheckpoint(eager=False)
+            )
             n_now = keep.count()
             if n_now == n_prev:
                 break
@@ -342,7 +375,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
                 .select("u", "v")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         stats = edges.agg(
             F.count(F.lit(1)).alias("n_core_edges"),
@@ -429,9 +462,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same four rounds as CTEs.
     """
     edges = _copurchase_edges(spark, sf_dir)
-    sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
-        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint()
+    # Symmetrize in ONE pass: the former two-branch union replayed the
+    # co-purchase self-join once per branch inside the checkpoint job
+    # (no subtree reuse across Union branches); exploding both
+    # orientations from a single scan emits the identical row set for
+    # one self-join execution (r13, §1.2).
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b")).localCheckpoint()
     seeds = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -550,7 +593,19 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree left-join shuffle on node id. Top-20 compiles to
     TakeOrderedAndProject — no global sort materializes.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    # r13: materialize the support-thresholded edge list — tiny output
+    # (~3.5k rows at every SF by construction, see the docstring) with
+    # an EXPENSIVE lineage (the per-order co-purchase self-join).
+    # Without the barrier every downstream consumer (deg via the
+    # two-way union, the two degree joins, the wedge sides, the
+    # closure probe) replays that self-join: differential column
+    # pruning rewrites each branch's scan so ReusedExchange never
+    # unifies them. Same §1.2 shape as graph_kcore's edges0
+    # checkpoint; the oracle needs the same MATERIALIZED hint for the
+    # same reason. `oriented` (same edge-grain size) is checkpointed
+    # too: it feeds three consumers, each of which would replay the
+    # degree joins.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -569,6 +624,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
+        .localCheckpoint(eager=True)
     )
     a = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
     bb = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
@@ -662,7 +718,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-thresholded edge list, then ONE scalar aggregate. No
     window, nothing quadratic.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    # r13: same edge-list barrier as the triangle family — 5 lineage
+    # references (deg union x2, the degree-tagged join, nn) otherwise
+    # each replay the co-purchase self-join (§1.2).
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -671,7 +730,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dxu"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dyv"))
-    both = edges.join(du, "u").join(dv, "v")
+    # `both` feeds the symmetrized union twice; checkpoint so the two
+    # degree joins execute once (edge-grain rows, bounded by the
+    # thresholded edge list).
+    both = edges.join(du, "u").join(dv, "v").localCheckpoint(eager=True)
     de = both.select(
         F.col("dxu").alias("dx"), F.col("dyv").alias("dy")
     ).unionAll(both.select(F.col("dyv").alias("dx"), F.col("dxu").alias("dy")))
