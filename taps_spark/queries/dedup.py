@@ -1443,11 +1443,19 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = fp.filter(F.col("doc_id") % 2 == 1)
 
     bloom = bloom_build(existing, "fp")
-    # persist: the two union branches below both read the probed
-    # frame, and Spark does not common-subexpression-eliminate across
-    # Union branches — without the cache the bitmap build would run
-    # once per branch.
-    probed = bloom_probe(incoming, bloom, "fp").persist()
+    # localCheckpoint, NOT persist: the two union branches below both
+    # read the probed frame, and Spark does not common-subexpression-
+    # eliminate across Union branches — without a materialization the
+    # bitmap build would run once per branch. persist() is the wrong
+    # tool here (r13): Spark's CacheManager substitutes cached data
+    # into ANY later plan that canonically matches, and this subtree
+    # is a deterministic function of the parquet inputs — so a second
+    # invocation of the query in the same session (bench reps 2..N)
+    # would silently read the first invocation's cache instead of
+    # computing. A checkpoint is backed by a fresh RDD per invocation,
+    # so every run pays its own compute (measured honestly) while the
+    # within-run dedup is preserved.
+    probed = bloom_probe(incoming, bloom, "fp").localCheckpoint(eager=True)
     misses = probed.filter(~F.col("bloom_maybe")).withColumn("is_dup", F.lit(False))
     # One LEFT join verifies candidates: present → dup, absent → the
     # bloom false positive, still correctly 'new'.

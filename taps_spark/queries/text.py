@@ -392,10 +392,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("term_freq"))
-    df_tbl = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
-        F.count("*").alias("doc_freq")
+    # r13: one tokenize pass — tf is (doc, token)-distinct by
+    # construction, so doc_freq is a plain count over it; deriving
+    # df from `toks` re-ran the whole explode + a distinct shuffle
+    # (two exploded-token exchanges in the r12 plan). The checkpoint
+    # stops the scored/df branches from replaying the tf aggregation
+    # (§1.2; r12 VERDICT task #3).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("term_freq"))
+        .localCheckpoint(eager=True)
     )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("doc_freq"))
     n_docs = docs.select(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_tbl), "tok")
@@ -1089,7 +1097,12 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bloom_build(eval_grams, "gram")
 
     train = dg.filter(F.col("bucket") >= 2)
-    probed = bloom_probe(train, bloom, "gram").persist()
+    # localCheckpoint, not persist: a persisted deterministic plan is
+    # substituted by the CacheManager into any later matching plan, so
+    # a second same-session invocation would read this run's cache —
+    # cross-run result reuse the bench must never see (see
+    # dedup_incremental's probed comment, r13).
+    probed = bloom_probe(train, bloom, "gram").localCheckpoint(eager=True)
     # Probe-miss grams are DEFINITELY clean (no false negatives);
     # probe-hit grams get the exact membership verdict.
     verified = (
@@ -3554,22 +3567,36 @@ def text_common_ngram_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # r13: collapse the trigram STREAM to (source, trigram) counts
+    # once — the top-20 ranking and the per-source coverage fold both
+    # consumed `tri`, each replaying the full trigram HOF explosion
+    # over the corpus. All downstream numbers are exact integer sums
+    # of c, so the grid totals are bit-identical (§1.2; r12 VERDICT
+    # task #3). The checkpointed grain is trigram-vocabulary-sized,
+    # not stream-sized.
+    tric = (
+        tri.groupBy("source", "g")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     # orderBy+limit compiles to TakeOrderedAndProject — a map-side
     # top-20 per partition reduced on the driver, NOT a global sort
     # of the trigram vocabulary (the window form would be).
     top = (
-        tri.groupBy("g")
-        .agg(F.count("*").alias("c"))
+        tric.groupBy("g")
+        .agg(F.sum("c").alias("c"))
         .orderBy(F.col("c").desc(), F.col("g"))
         .limit(20)
         .select("g", F.lit(1).alias("blocked"))
     )
     return (
-        tri.join(F.broadcast(top), "g", "left")
+        tric.join(F.broadcast(top), "g", "left")
         .groupBy("source")
         .agg(
-            F.count("*").alias("total_trigrams"),
-            F.sum(F.coalesce(F.col("blocked"), F.lit(0)))
+            F.sum("c").cast("long").alias("total_trigrams"),
+            F.sum(
+                F.when(F.col("blocked").isNotNull(), F.col("c")).otherwise(F.lit(0))
+            )
             .cast("long")
             .alias("blocked_trigrams"),
         )
@@ -3793,10 +3820,16 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sum is an exact integer; one milli fold at the end.
     """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # r13: the (source, token) count table feeds FOUR lineage
+    # references (tot, and own/other in each _terms direction); the
+    # barrier reduces four tokenize→explode→agg corpus passes to one.
+    # Vocabulary grain — bounded by |sources|·|vocab|, far below
+    # corpus size (§1.2; r12 VERDICT task #3).
     tc = (
         docs.select("source", F.explode(tokens("text")).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
     pairs = (
@@ -4214,10 +4247,18 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # r13: materialize the (doc, source, token) count grain ONCE — the
+    # top-20 ranking and the per-(source, token) moment aggregate both
+    # consume it, and without a barrier each replayed the full
+    # tokenize→explode→hash-agg pass over the corpus (differential
+    # column pruning defeats ReusedExchange, the kendall lesson).
+    # One exploded-token exchange per query (§1.2; r12 VERDICT
+    # task #3).
     dtc = (
         docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     top = (
         dtc.groupBy("tok")
