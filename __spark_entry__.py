@@ -105,21 +105,42 @@ def _failed_latest_round() -> set[str]:
     return _artifact_scan()[2]
 
 
+def _touched_since_seal() -> set[str]:
+    """Queries whose implementing files changed since the previous
+    seal, from the committed TOUCHED_QUERIES.json artifact (generated
+    by tools/touched_queries.py at seal time — the driver environment
+    has no git, so the list ships as data). Missing or malformed file
+    → empty set: the tier degrades to a no-op, never an error."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "TOUCHED_QUERIES.json")) as f:
+            data = json.load(f)
+        return {n for n in data.get("queries", []) if isinstance(n, str)}
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return set()
+
+
 def _rotated(names: list[str]) -> list[str]:
     counts, last, failed, latest = _artifact_scan()
+    touched = _touched_since_seal()
     # Priority: (1) failed-last-round, (2) queries with NO driver row
     # at all — zero hard signal outranks old-but-green signal plus
     # fresh local sweeps, so newcomers gate in their FIRST round and
     # a second zero-evidence backlog can never form (r11 VERDICT
-    # task #1; supersedes the r10 latest-4 pivot) — then (3) stalest
-    # last-green (LRU: every query re-gates within ceil(N/50) rounds
-    # by construction), then (4) least-covered; registry order breaks
-    # remaining ties (stable sort). Stateless given the artifacts.
+    # task #1; supersedes the r10 latest-4 pivot) — then (3) queries
+    # whose implementing files changed since the previous seal
+    # (TOUCHED_QUERIES.json; r12 VERDICT task #2: an optimization
+    # round's edits re-gate in the SAME round instead of waiting for
+    # the LRU wheel), then (4) stalest last-green (LRU: every query
+    # re-gates within ceil(N/50) rounds by construction), then (5)
+    # least-covered; registry order breaks remaining ties (stable
+    # sort). Stateless given the committed artifacts.
     return sorted(
         names,
         key=lambda n: (
             n not in failed,
             n in last,
+            n not in touched,
             last.get(n, 0),
             counts.get(n, 0),
         ),

@@ -233,8 +233,19 @@ def _hash_bit_votes(hashed: DataFrame, id_col: str, nbits: int) -> DataFrame:
     r12 A/B and pinned by the portable-simhash DuckDB oracle).
     The little-endian uint8 view matches SQL shiftright semantics for
     bits 0..62 (two's-complement raw bits; & 1 discards sign fill)."""
+    import sys
+
     import numpy as np
     import pandas as pd_
+
+    # The uint8 view + bitorder='little' equivalence with SQL
+    # shiftright holds only on a little-endian host; fail loudly
+    # instead of corrupting fingerprints on an exotic platform
+    # (r12 ADVICE).
+    assert sys.byteorder == "little", (
+        "_hash_bit_votes requires a little-endian host (uint8 view of "
+        "int64 must yield LSB-first bytes)"
+    )
 
     def kernel(it):
         for pdf in it:
@@ -257,7 +268,12 @@ def _hash_bit_votes(hashed: DataFrame, id_col: str, nbits: int) -> DataFrame:
                 }
             )
 
-    part = hashed.mapInPandas(kernel, f"{id_col} long, pos int, v long")
+    # Derive the id field's DDL type from the input schema so the
+    # operator keeps working for non-bigint id columns (a hardcoded
+    # `long` made string-keyed callers fail with an opaque Arrow cast
+    # error — r12 ADVICE; both in-repo callers use bigint doc_id).
+    id_ddl = hashed.schema[id_col].dataType.simpleString()
+    part = hashed.mapInPandas(kernel, f"{id_col} {id_ddl}, pos int, v long")
     return part.groupBy(id_col, "pos").agg(F.sum("v").alias("vote"))
 
 

@@ -115,7 +115,16 @@ def stream_user_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    return run_to_memory(stats, "update")
+    # Per-group Python-state stream: sized like the other
+    # applyInPandasWithState operators (cost gradient is Python group
+    # calls, the opposite of the JVM-stateful default — jobs.py law;
+    # r12 ADVICE consistency fix, untestable in this container where
+    # protobuf is absent and the query is skip-registered).
+    from taps_spark.streaming.jobs import STREAM_PYTHON_STATE_PARTITIONS
+
+    return run_to_memory(
+        stats, "update", state_partitions=STREAM_PYTHON_STATE_PARTITIONS
+    )
 
 
 # ---------------------------------------------------------------------------

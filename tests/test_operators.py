@@ -1761,6 +1761,109 @@ def test_pca_components_match_numpy_deflation_replay(spark, any_sf_dir):
             assert abs(dot) < 1e-9 and abs(gdot) < 1e-4, (a, b, dot, gdot)
 
 
+def test_pca_components_match_matrix_power_form(spark, any_sf_dir):
+    """Independent-oversight pin for the PCA pair (r12 VERDICT
+    task #8): the engine's components must equal the MATRIX-POWER form
+    x = normalize(((I − VVᵀ)C)^8 · 1) — mathematically equivalent to
+    the 8-round per-step-normalized deflated power iteration (per-round
+    normalization is scale-invariant, so it commutes to one final
+    normalization; deflation is a fixed linear projector during each
+    component's iteration), but an arithmetically DIFFERENT derivation
+    with no shared code shape: no per-round normalize, no per-round
+    deflation loop, explicit projector matrix. A silent change to the
+    implementation's round count, start vector, deflation placement or
+    normalization order diverges from this form far beyond tolerance.
+
+    np.linalg.eigh is NOT usable as the pin: the fixture covariance
+    spectrum is near-flat (top eigengap ratios ≈ 1.01–1.07), so 8
+    power rounds sit far from the true eigenvectors (|dot| as low as
+    0.17 measured at sf0.001/0.01/0.1) — the declared quantity is the
+    8-round iterate, and only an equivalent closed form can pin it."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    sf_dir = any_sf_dir
+    rows = REGISTRY["similarity_pca_components"].fn(spark, sf_dir).collect()
+    got = {(r["pc"], r["dim"]): r["component"] for r in rows}
+    top = {
+        r["dim"]: r["component"]
+        for r in REGISTRY["similarity_pca_top_component"].fn(spark, sf_dir).collect()
+    }
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = tb.to_pandas()
+    df = df[df.vec_id < 500]
+    X = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    Q = np.floor(X * 1_000_000 + 0.5)
+    n = Q.shape[0]
+    s = Q.sum(axis=0)
+    C = (n * (Q.T @ Q) - np.outer(s, s)).astype(np.float64)
+
+    basis: list[np.ndarray] = []
+    for pc in range(1, 4):
+        P = np.eye(64)
+        for v in basis:
+            P = P - np.outer(v, v)
+        M = P @ C
+        z = np.ones(64)
+        for _ in range(8):
+            z = M @ z  # magnitude ~1e120 — comfortably inside float64
+        z = z / math.sqrt(float((z * z).sum()))
+        # deflation projector I − vvᵀ is sign-invariant, so the basis
+        # may keep z's natural sign
+        basis.append(z)
+        signed = -z if z[np.argmax(np.abs(z))] < 0 else z
+        for d in range(64):
+            assert abs(got[(pc, d + 1)] - signed[d]) < 1e-6, (pc, d)
+        if pc == 1:
+            for d in range(64):
+                assert abs(top[d + 1] - signed[d]) < 1e-6, d
+
+
+def test_pca_frozen_fixture_sf0001(spark, sf_dir):
+    """Frozen expected-values fixture (r12 VERDICT task #8, second
+    leg): the sf0.001 PCA outputs, captured at round 13 and committed
+    as data. Any silent change to the implementation (or a NumPy/BLAS
+    behavior shift large enough to move the 6-decimal outputs) fails
+    here against values the test CANNOT recompute. Tolerance 2e-6
+    allows last-ulp BLAS summation-order drift across environments
+    while catching any algorithmic change (those move coordinates by
+    orders of magnitude more)."""
+    import json
+    import os
+
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.001":
+        import pytest
+
+        pytest.skip("frozen values captured at sf0.001 only")
+
+    from taps_spark.queries import REGISTRY, _load
+
+    _load()
+    with open(os.path.join(os.path.dirname(__file__), "data",
+                           "pca_frozen_sf0001.json")) as f:
+        frozen = json.load(f)
+    top = {
+        r["dim"]: r["component"]
+        for r in REGISTRY["similarity_pca_top_component"].fn(spark, sf_dir).collect()
+    }
+    comps = {
+        (r["pc"], r["dim"]): r["component"]
+        for r in REGISTRY["similarity_pca_components"].fn(spark, sf_dir).collect()
+    }
+    assert len(top) == 64 and len(comps) == 192
+    for d, v in enumerate(frozen["top_component"], start=1):
+        assert abs(top[d] - v) < 2e-6, (d, top[d], v)
+    for pc, vec in enumerate(frozen["components"], start=1):
+        for d, v in enumerate(vec, start=1):
+            assert abs(comps[(pc, d)] - v) < 2e-6, (pc, d, comps[(pc, d)], v)
+
+
 def test_ivf_recall_sweep_invariants(spark, any_sf_dir):
     sf_dir = any_sf_dir  # second-seed re-gate (rows-only convention)
     """Compensating pins for the rows-only similarity_ivf_recall_sweep:

@@ -155,12 +155,50 @@ def test_driver_rotation_orders_failures_then_stalest():
     assert all(
         n not in last for n in names[n_failed : n_failed + n_norow]
     ), "zero-evidence queries must gate immediately after failures"
-    rest = [last[n] for n in names[n_failed + n_norow :]]
-    assert rest == sorted(rest), "non-failed queries must sort LRU by last green"
+    touched = e._touched_since_seal()
+    evidenced = names[n_failed + n_norow :]
+    n_touch = len([n for n in evidenced if n in touched])
+    assert all(
+        n in touched for n in evidenced[:n_touch]
+    ), "touched-since-seal queries must gate before the LRU wheel"
+    for grp in (evidenced[:n_touch], evidenced[n_touch:]):
+        rest = [last[n] for n in grp]
+        assert rest == sorted(rest), "each tier must sort LRU by last green"
     # Single-scan helpers agree with the combined scan.
     assert e._coverage_counts() == counts
     assert e._failed_latest_round() == failed
     assert e._last_green_round() == last
+
+
+def test_rotation_touched_tier(tmp_path, monkeypatch):
+    """TOUCHED_QUERIES.json promotes touched queries ahead of the LRU
+    wheel but NEVER ahead of failures or zero-evidence queries; a
+    missing or malformed file degrades to a no-op (r12 VERDICT
+    task #2)."""
+    import __spark_entry__ as e
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "err": None, "spark_rows": 1}
+    bad = dict(green, hash_match=False)
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({"q_old": green, "q_touched": green})
+    )
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        json.dumps({"q_fail": bad, "q_fresh": green})
+    )
+    (tmp_path / "TOUCHED_QUERIES.json").write_text(
+        json.dumps({"since": "abc", "queries": ["q_touched", "q_fail", "q_new"]})
+    )
+    monkeypatch.setattr(e, "__file__", str(tmp_path / "__spark_entry__.py"))
+    order = e._rotated(["q_fresh", "q_old", "q_touched", "q_new", "q_fail"])
+    # failed first, zero-evidence second (touched or not), touched
+    # third, then LRU (q_old round 1 before q_fresh round 2).
+    assert order == ["q_fail", "q_new", "q_touched", "q_old", "q_fresh"]
+    # malformed artifact: tier degrades to a no-op, no crash.
+    (tmp_path / "TOUCHED_QUERIES.json").write_text("{not json")
+    assert e._touched_since_seal() == set()
+    (tmp_path / "TOUCHED_QUERIES.json").unlink()
+    assert e._touched_since_seal() == set()
 
 
 def test_artifact_scan_sorts_rounds_numerically(tmp_path, monkeypatch):
