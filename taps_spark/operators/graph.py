@@ -85,8 +85,13 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        # contribs has at most n rows ((dst, contrib) for receiving
+        # nodes), so the same executor-residency gate that broadcasts
+        # the rank table applies: map-side rank update, no exchange on
+        # either side of the base join (r13; above the gate both joins
+        # shuffle and co-partition as before).
         ranks = (
-            base.join(contribs, base.node == contribs.dst, "left")
+            base.join(hint_ranks(contribs), base.node == contribs.dst, "left")
             .crossJoin(F.broadcast(dm))
             .select(
                 "node",

@@ -3095,7 +3095,14 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.max("live").cast("long").alias("peak_concurrency"),
         F.count(F.lit(1)).alias("n_active_minutes"),
-    )
+    # r13 (§1.2): the return unions `hourly` with `glob` (a rollup OF
+    # hourly), and Spark does not common-subexpression-eliminate
+    # across Union branches — without a barrier each branch replayed
+    # the whole pipeline (sessionize shuffle + minute-grain windows)
+    # from the scan up: 2 executions for 24 output rows. The ≤24-row
+    # checkpoint executes it once; bounded by the hour-of-day domain
+    # at any corpus size.
+    ).localCheckpoint(eager=True)
     glob = hourly.agg(
         F.max("peak_concurrency").alias("peak_concurrency"),
         F.sum("n_active_minutes").alias("n_active_minutes"),

@@ -415,12 +415,30 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
     )
     register_pull_source(spark)
+    # Chunk sizing (r13, guide §6 / r12 VERDICT task #7): the
+    # reference's chunk size is a semantic of its RESUME protocol
+    # (data_stream.rb state is "last pk shipped"), not of row
+    # delivery — any chunking returns the same rows. So size chunks
+    # for partition economics instead of a constant: target ~3 chunks
+    # per core (enough for stragglers, few enough that the per-chunk
+    # Python fixed cost — connect, ORDER BY, Arrow build — stays
+    # amortized), floored at the reference-scale 2000 so resume
+    # granularity never gets coarser than the reference's own default
+    # at small tables. Row count comes from parquet footer metadata
+    # (O(1), no scan). At 100 TB this keeps the chunk count
+    # cluster-sized where a fixed 2000 would plan millions of
+    # driver-coordinated chunks. See SCALE.md (round-13 notes).
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    target_chunks = max(1, spark.sparkContext.defaultParallelism) * 3
+    chunk_rows = max(2000, -(-n_rows // target_chunks))
     df = (
         spark.read.format("taps_pull")
         .option("path", db)
         .option("table", "orders")
         .option("pk", "o_orderkey")
-        .option("chunk_rows", "2000")
+        .option("chunk_rows", str(chunk_rows))
         .load()
     )
     return (
