@@ -220,3 +220,41 @@ def test_artifact_scan_sorts_rounds_numerically(tmp_path, monkeypatch):
     assert latest == 100
     assert last["qa"] == 100 and counts["qa"] == 2
     assert failed == {"qb"}
+
+
+def test_touched_queries_hunk_parser():
+    """parse_hunks maps -U0 headers to inclusive new-file ranges; a
+    pure deletion (count 0) touches the seam so adjacency errs toward
+    inclusion."""
+    from tools.touched_queries import parse_hunks
+
+    diff = (
+        "--- a/x.py\n+++ b/x.py\n"
+        "@@ -10,2 +10,3 @@ def f():\n+a\n+b\n+c\n"
+        "@@ -20 +22 @@ def g():\n+d\n"
+        "@@ -30,4 +31,0 @@ def h():\n-e\n-f\n-g\n-h\n"
+    )
+    assert parse_hunks(diff) == [(10, 12), (22, 22), (31, 32)]
+
+
+def test_touched_queries_span_resolution():
+    """Def-level resolution: the r13 generator must (a) return the
+    empty set for an empty diff, (b) include a query whose own function
+    changed, and (c) NOT blanket-include whole modules when every hunk
+    lands inside specific defs (the 334/379 dilution this tool
+    replaced)."""
+    from tools.touched_queries import _top_level_spans, touched_for_rotation
+
+    assert touched_for_rotation("HEAD") == set()
+
+    src = (
+        "import os\n"
+        "X = 1\n"
+        "@deco\ndef f():\n    return X\n"
+        "class C:\n    def m(self):\n        pass\n"
+        "def g():\n    return f()\n"
+    )
+    spans = _top_level_spans(src)
+    assert spans["f"] == (3, 5)  # decorator line included
+    assert spans["C"] == (6, 8)
+    assert spans["g"] == (9, 10)
